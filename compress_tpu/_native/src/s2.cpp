@@ -1,0 +1,370 @@
+// S2 / Snappy block codec — host-side native core.
+//
+// Format parity (studied from reference behavior, not copied):
+//   tag encodings + repeat-offset extension per s2/README.md "Format
+//   Extensions" and s2/decode_other.go semantics; snappy base format per
+//   google/snappy format_description.txt.
+//
+// The encoder is our own design ("repeat-aware greedy with adaptive skip"):
+// single 6-byte multiply-shift hash table, repeat-offset probe at every
+// position, backward extension, adaptive literal-run skip. It is specified
+// deterministically so the pure-Python fallback produces byte-identical
+// output (differential-tested, like the reference's asm-vs-Go CI).
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+static inline uint64_t s2_load64(const uint8_t* p) {
+  uint64_t v;
+  memcpy(&v, p, 8);
+  return v;
+}
+static inline uint32_t s2_load32(const uint8_t* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+
+// 4-byte multiply-shift hash: low 32 bits of the LE load, spread by the
+// golden-ratio constant. Deterministic across implementations (the pure
+// Python fallback mirrors this exactly). 4-byte hashing finds the short
+// matches that dominate text; collisions are cheap to reject via the
+// 32-bit verify.
+static inline uint32_t hash4(uint64_t v, int bits) {
+  return (uint32_t)(((v << 32) * 0x9E3779B185EBCA87ULL) >> (64 - bits));
+}
+
+// ---------------------------------------------------------------------------
+// Emitters
+// ---------------------------------------------------------------------------
+
+static inline int emit_literal(uint8_t* dst, const uint8_t* lit, uint32_t n) {
+  if (n == 0) return 0;
+  uint32_t x = n - 1;
+  int i = 0;
+  if (x < 60) {
+    dst[i++] = (uint8_t)(x << 2);
+  } else if (x < (1u << 8)) {
+    dst[i++] = 60 << 2;
+    dst[i++] = (uint8_t)x;
+  } else if (x < (1u << 16)) {
+    dst[i++] = 61 << 2;
+    dst[i++] = (uint8_t)x;
+    dst[i++] = (uint8_t)(x >> 8);
+  } else if (x < (1u << 24)) {
+    dst[i++] = 62 << 2;
+    dst[i++] = (uint8_t)x;
+    dst[i++] = (uint8_t)(x >> 8);
+    dst[i++] = (uint8_t)(x >> 16);
+  } else {
+    dst[i++] = 63 << 2;
+    dst[i++] = (uint8_t)x;
+    dst[i++] = (uint8_t)(x >> 8);
+    dst[i++] = (uint8_t)(x >> 16);
+    dst[i++] = (uint8_t)(x >> 24);
+  }
+  memcpy(dst + i, lit, n);
+  return i + (int)n;
+}
+
+// Repeat op (S2 extension): copy1 tag with offset byte 0.
+// length >= 4. Chains for very long lengths.
+static int emit_repeat(uint8_t* dst, uint32_t length) {
+  int i = 0;
+  for (;;) {
+    if (length <= 8) {
+      dst[i++] = (uint8_t)(((length - 4) << 2) | 1);
+      dst[i++] = 0;
+      return i;
+    }
+    if (length <= 263) {
+      dst[i++] = (5 << 2) | 1;
+      dst[i++] = 0;
+      dst[i++] = (uint8_t)(length - 8);
+      return i;
+    }
+    if (length <= 65795) {
+      dst[i++] = (6 << 2) | 1;
+      dst[i++] = 0;
+      uint32_t v = length - 260;
+      dst[i++] = (uint8_t)v;
+      dst[i++] = (uint8_t)(v >> 8);
+      return i;
+    }
+    uint32_t maxl = 65539u + (1u << 24) - 1;  // L=7 ceiling
+    uint32_t take = length <= maxl ? length : maxl;
+    if (length - take != 0 && length - take < 4) take = length - 4;  // keep >=4 rest
+    if (take >= 65540) {
+      dst[i++] = (7 << 2) | 1;
+      dst[i++] = 0;
+      uint32_t v = take - 65540;
+      dst[i++] = (uint8_t)v;
+      dst[i++] = (uint8_t)(v >> 8);
+      dst[i++] = (uint8_t)(v >> 16);
+    } else {
+      // take in (65795, 65540) impossible; fall back to 65795 chunk
+      take = 65795;
+      dst[i++] = (6 << 2) | 1;
+      dst[i++] = 0;
+      uint32_t v = take - 260;
+      dst[i++] = (uint8_t)v;
+      dst[i++] = (uint8_t)(v >> 8);
+    }
+    length -= take;
+    if (length == 0) return i;
+  }
+}
+
+// S2 copy: copy1/copy2/copy4 + repeat chaining for long matches.
+static int emit_copy_s2(uint8_t* dst, uint32_t offset, uint32_t length) {
+  int i = 0;
+  if (offset >= 65536) {
+    // copy4; length 1..64 per op, chain with repeats
+    if (length > 64) {
+      uint32_t first = (length - 64 >= 4) ? 64 : 60;
+      dst[i++] = (uint8_t)(((first - 1) << 2) | 3);
+      memcpy(dst + i, &offset, 4);
+      i += 4;
+      return i + emit_repeat(dst + i, length - first);
+    }
+    dst[i++] = (uint8_t)(((length - 1) << 2) | 3);
+    memcpy(dst + i, &offset, 4);
+    return i + 4;
+  }
+  if (length > 64) {
+    uint32_t first = (length - 64 >= 4) ? 64 : 60;
+    dst[i++] = (uint8_t)(((first - 1) << 2) | 2);
+    dst[i++] = (uint8_t)offset;
+    dst[i++] = (uint8_t)(offset >> 8);
+    return i + emit_repeat(dst + i, length - first);
+  }
+  if (offset < 2048 && length <= 11) {
+    dst[i++] = (uint8_t)(((offset >> 8) << 5) | ((length - 4) << 2) | 1);
+    dst[i++] = (uint8_t)offset;
+    return i;
+  }
+  dst[i++] = (uint8_t)(((length - 1) << 2) | 2);
+  dst[i++] = (uint8_t)offset;
+  dst[i++] = (uint8_t)(offset >> 8);
+  return i;
+}
+
+// Snappy copy: no repeat ops allowed; chain plain copies.
+static int emit_copy_snappy(uint8_t* dst, uint32_t offset, uint32_t length) {
+  int i = 0;
+  int tag = offset >= 65536 ? 3 : 2;
+  int obytes = offset >= 65536 ? 4 : 2;
+  while (length > 68) {
+    dst[i++] = (uint8_t)((63 << 2) | tag);
+    memcpy(dst + i, &offset, obytes);
+    i += obytes;
+    length -= 64;
+  }
+  if (length > 64) {
+    dst[i++] = (uint8_t)((59 << 2) | tag);  // len 60
+    memcpy(dst + i, &offset, obytes);
+    i += obytes;
+    length -= 60;
+  }
+  if (offset < 2048 && length >= 4 && length <= 11) {
+    dst[i++] = (uint8_t)(((offset >> 8) << 5) | ((length - 4) << 2) | 1);
+    dst[i++] = (uint8_t)offset;
+    return i;
+  }
+  dst[i++] = (uint8_t)(((length - 1) << 2) | tag);
+  memcpy(dst + i, &offset, obytes);
+  return i + obytes;
+}
+
+// ---------------------------------------------------------------------------
+// Block encoder
+// ---------------------------------------------------------------------------
+
+static inline int table_bits(uint64_t n) {
+  int b = 8;
+  while ((1ull << b) < n && b < 16) b++;
+  return b;
+}
+
+static inline uint32_t match_len(const uint8_t* a, const uint8_t* b, uint32_t max) {
+  uint32_t i = 0;
+  while (i + 8 <= max) {
+    uint64_t x = s2_load64(a + i) ^ s2_load64(b + i);
+    if (x) return i + (uint32_t)(__builtin_ctzll(x) >> 3);
+    i += 8;
+  }
+  while (i < max && a[i] == b[i]) i++;
+  return i;
+}
+
+// mode: 0 = s2 (repeat offsets), 1 = snappy-compatible.
+// Emits the raw block body (no uvarint preamble — the Python layer owns the
+// framing). Returns bytes written; dst must have max_encoded_len room.
+int64_t ct_s2_encode_block(uint8_t* dst, const uint8_t* src, uint64_t n,
+                           int mode) {
+  int64_t di = 0;
+  if (n == 0) return 0;
+  if (n < 16) return emit_literal(dst, src, (uint32_t)n);
+
+  const int bits = table_bits(n);
+  static thread_local int32_t table[1 << 16];
+  const uint32_t tsize = 1u << bits;
+  for (uint32_t i = 0; i < tsize; i++) table[i] = -1;
+
+  uint64_t s = 1, next_emit = 0;
+  uint32_t repeat = 0;
+  const int snappy = mode == 1;
+
+  for (;;) {
+    // probe loop
+    uint64_t cand;
+    int is_rep = 0;
+    for (;;) {
+      if (s + 16 > n) goto remainder;
+      uint64_t v = s2_load64(src + s);
+      uint32_t h = hash4(v, bits);
+      int32_t c = table[h];
+      table[h] = (int32_t)s;
+      if (!snappy && repeat > 0 && s2_load32(src + s) == s2_load32(src + s - repeat)) {
+        cand = s - repeat;
+        is_rep = 1;
+        break;
+      }
+      if (c >= 0 && s2_load32(src + c) == (uint32_t)v) {
+        cand = (uint64_t)c;
+        is_rep = 0;
+        break;
+      }
+      s += 1 + ((s - next_emit) >> 6);
+    }
+    // extend backwards
+    while (s > next_emit && cand > 0 && src[s - 1] == src[cand - 1]) {
+      s--;
+      cand--;
+    }
+    di += emit_literal(dst + di, src + next_emit, (uint32_t)(s - next_emit));
+    {
+      uint32_t offset = (uint32_t)(s - cand);
+      uint32_t length = 4 + match_len(src + cand + 4, src + s + 4, (uint32_t)(n - s - 4));
+      if (!snappy && is_rep && offset == repeat) {
+        di += emit_repeat(dst + di, length);
+      } else if (snappy) {
+        di += emit_copy_snappy(dst + di, offset, length);
+      } else {
+        di += emit_copy_s2(dst + di, offset, length);
+      }
+      repeat = offset;
+      s += length;
+      next_emit = s;
+    }
+    if (s + 16 > n) goto remainder;
+    // re-seed the table inside the covered span so the next probe at s can
+    // still find close matches (dense-ish insertion buys ~3% ratio)
+    for (int d = 1; d <= 4; d++)
+      table[hash4(s2_load64(src + s - d), bits)] = (int32_t)(s - d);
+  }
+
+remainder:
+  if (next_emit < n)
+    di += emit_literal(dst + di, src + next_emit, (uint32_t)(n - next_emit));
+  return di;
+}
+
+// ---------------------------------------------------------------------------
+// Block decoder
+// ---------------------------------------------------------------------------
+
+// mode bit0: allow S2 repeat ops (0 = strict snappy: offset 0 is corrupt).
+// Returns 0 on success, -1 on corrupt input.
+int ct_s2_decode_block(uint8_t* dst, uint64_t dlen, const uint8_t* src,
+                       uint64_t slen, int mode) {
+  uint64_t d = 0, s = 0;
+  uint64_t offset = 0;
+  const int allow_repeat = mode & 1;
+  while (s < slen) {
+    uint8_t tag = src[s];
+    uint64_t length;
+    switch (tag & 3) {
+      case 0: {  // literal
+        uint32_t x = tag >> 2;
+        if (x < 60) {
+          s += 1;
+        } else {
+          uint32_t nb = x - 59;  // 1..4 extra bytes
+          if (s + 1 + nb > slen) return -1;
+          x = 0;
+          for (uint32_t k = 0; k < nb; k++) x |= (uint32_t)src[s + 1 + k] << (8 * k);
+          s += 1 + nb;
+        }
+        length = (uint64_t)x + 1;
+        if (length > dlen - d || length > slen - s) return -1;
+        memcpy(dst + d, src + s, length);
+        d += length;
+        s += length;
+        continue;
+      }
+      case 1: {  // copy1 / repeat
+        if (s + 2 > slen) return -1;
+        uint64_t toff = ((uint64_t)(tag & 0xE0) << 3) | src[s + 1];
+        length = (tag >> 2) & 7;
+        s += 2;
+        if (toff == 0) {
+          if (!allow_repeat) return -1;
+          switch (length) {
+            case 5:
+              if (s + 1 > slen) return -1;
+              length = (uint64_t)src[s] + 4;
+              s += 1;
+              break;
+            case 6:
+              if (s + 2 > slen) return -1;
+              length = ((uint64_t)src[s] | ((uint64_t)src[s + 1] << 8)) + 256;
+              s += 2;
+              break;
+            case 7:
+              if (s + 3 > slen) return -1;
+              length = ((uint64_t)src[s] | ((uint64_t)src[s + 1] << 8) |
+                        ((uint64_t)src[s + 2] << 16)) +
+                       65536;
+              s += 3;
+              break;
+            default:;  // 0..4
+          }
+        } else {
+          offset = toff;
+        }
+        length += 4;
+        break;
+      }
+      case 2: {  // copy2
+        if (s + 3 > slen) return -1;
+        offset = (uint64_t)src[s + 1] | ((uint64_t)src[s + 2] << 8);
+        length = 1 + (tag >> 2);
+        s += 3;
+        break;
+      }
+      default: {  // copy4
+        if (s + 5 > slen) return -1;
+        offset = s2_load32(src + s + 1);
+        length = 1 + (tag >> 2);
+        s += 5;
+        break;
+      }
+    }
+    if (offset == 0 || d < offset || length > dlen - d) return -1;
+    if (offset >= length) {
+      memcpy(dst + d, dst + d - offset, length);
+    } else {
+      // overlapping forward copy
+      uint8_t* o = dst + d;
+      const uint8_t* in = dst + d - offset;
+      for (uint64_t i = 0; i < length; i++) o[i] = in[i];
+    }
+    d += length;
+  }
+  return d == dlen ? 0 : -1;
+}
+
+}  // extern "C"

@@ -1,0 +1,26 @@
+"""S2 — snappy-extended block and stream format (reference: s2/ package).
+
+Block API here; stream Writer/Reader, seek index, and dictionaries in
+sibling modules. The device (JAX/Pallas) encode path is exposed through
+compress_tpu.parallel for block-sharded throughput.
+"""
+
+from compress_tpu.s2.block import (
+    CorruptError,
+    MAX_BLOCK_SIZE,
+    decode,
+    decoded_len,
+    encode,
+    encode_snappy,
+    max_encoded_len,
+)
+
+__all__ = [
+    "CorruptError",
+    "MAX_BLOCK_SIZE",
+    "decode",
+    "decoded_len",
+    "encode",
+    "encode_snappy",
+    "max_encoded_len",
+]
