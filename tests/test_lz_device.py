@@ -1,0 +1,66 @@
+"""Device (JAX) S2 encoder tests — run on the CPU backend.
+
+The device encoder's output bytes differ from the host encoder's (both are
+valid S2; the reference makes the same non-promise between its own
+versions). What must hold: every emitted block decodes bit-exactly with the
+host (reference-semantics) decoder, and the ratio is in the same league.
+"""
+
+import numpy as np
+import pytest
+
+from compress_tpu import s2
+from compress_tpu.ops import lz
+from compress_tpu.s2 import block as s2block
+from compress_tpu.utils.varint import put_uvarint
+
+
+def _decode_body(body: np.ndarray) -> bytes:
+    hdr = bytearray()
+    put_uvarint(hdr, lz.B)
+    return s2.decode(bytes(hdr) + body.tobytes())
+
+
+@pytest.fixture(scope="module")
+def twain():
+    return open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()
+
+
+def test_device_encode_roundtrip_text(twain):
+    n_blocks = min(len(twain) // lz.B, 3)
+    data = twain[: n_blocks * lz.B]
+    bodies = lz.encode_blocks_np(data)
+    assert len(bodies) == n_blocks
+    for i, body in enumerate(bodies):
+        assert _decode_body(body) == data[i * lz.B : (i + 1) * lz.B]
+
+
+def test_device_encode_ratio_competitive(twain):
+    data = twain[: lz.B]
+    body = lz.encode_blocks_np(data)[0]
+    host = s2.encode(data)
+    # device exact-candidate search should be within 5% of (usually better
+    # than) the host greedy encoder
+    assert len(body) <= len(host) * 1.05
+
+
+@pytest.mark.parametrize(
+    "kind", ["zeros", "random", "rle_period3", "alternating", "text_random_mix"]
+)
+def test_device_encode_adversarial(kind, twain):
+    rng = np.random.default_rng(7)
+    if kind == "zeros":
+        data = bytes(lz.B)
+    elif kind == "random":
+        data = rng.integers(0, 256, lz.B, dtype=np.uint8).tobytes()
+    elif kind == "rle_period3":
+        data = (b"abc" * (lz.B // 3 + 1))[: lz.B]
+    elif kind == "alternating":
+        # 4-byte matches everywhere, worst case for op density
+        data = (b"abcdefgh" * (lz.B // 8))[: lz.B]
+    else:
+        half = lz.B // 2
+        data = twain[:half] + rng.integers(0, 256, lz.B - half, dtype=np.uint8).tobytes()
+    body = lz.encode_blocks_np(data)[0]
+    assert len(body) <= lz.MAX_OUT
+    assert _decode_body(body) == data
