@@ -1,0 +1,403 @@
+"""huff0 — Huffman block codec for <=255 symbols, tableLog <= 11.
+
+Reference parity: huff0/ package — Compress1X/Compress4X (single and
+4-interleaved-stream), canonical table serialization as FSE-compressed
+weights or raw 4-bit nibbles (huff0/huff0.go cTable.write), ReadTable +
+table-driven decode, ErrIncompressible/ErrUseRLE contracts (SURVEY.md §2.4).
+
+Format notes (RFC 8878 §4.2.1, shared with zstd literals):
+- weight(s) = max_nb_bits + 1 - nb_bits(s); 0 = unused; the last present
+  symbol's weight is implied (completes the 2^max_bits kraft sum).
+- header byte < 128: FSE-compressed weights follow (that many bytes);
+  header byte >= 128: raw nibbles, count = header - 127.
+- canonical codes: decode table is filled weight-ascending (longest codes
+  at the lowest positions), natural symbol order within a weight.
+- 4X: input split in 4 segments of ceil(n/4) (last = remainder); 6-byte
+  jump table with the first three compressed sizes.
+
+Our code-length assignment is package-merge (optimal length-limited), not
+the reference's heap+setMaxHeight — same format, usually equal or smaller
+output.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from compress_tpu.fse import core as fse_core
+from compress_tpu.utils.histogram import histogram256
+from compress_tpu.utils.varint import put_uvarint, read_uvarint
+
+MAX_TABLELOG = 11
+
+
+class IncompressibleError(ValueError):
+    pass
+
+
+class UseRLEError(ValueError):
+    pass
+
+
+class CorruptError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Code length assignment (package-merge, optimal length-limited)
+# ---------------------------------------------------------------------------
+
+
+def package_merge_lengths(freqs: np.ndarray, limit: int) -> np.ndarray:
+    """Optimal length-limited code lengths for nonzero freqs (<= limit)."""
+    sym = np.nonzero(freqs)[0]
+    n = len(sym)
+    if n == 0:
+        raise ValueError("empty histogram")
+    if n == 1:
+        out = np.zeros(len(freqs), dtype=np.int32)
+        out[sym[0]] = 1
+        return out
+    if (1 << limit) < n:
+        raise ValueError("limit too small for alphabet")
+    f = freqs[sym].astype(np.int64)
+    # package-merge: maintain lists per level
+    items = sorted((int(w), (int(s),)) for s, w in zip(sym, f))
+    packages = items
+    merged = items
+    for _ in range(limit - 1):
+        # package pairs
+        paired = [
+            (packages[i][0] + packages[i + 1][0], packages[i][1] + packages[i + 1][1])
+            for i in range(0, len(packages) - 1, 2)
+        ]
+        merged = sorted(items + paired)
+        packages = merged
+    lengths = np.zeros(len(freqs), dtype=np.int32)
+    for w, syms in merged[: 2 * n - 2]:
+        for s in syms:
+            lengths[s] += 1
+    return lengths
+
+
+def build_nbits(hist: np.ndarray, table_log: int = MAX_TABLELOG) -> tuple[np.ndarray, int]:
+    """nb_bits per symbol (0 = unused) and the actual max bits used."""
+    total = int(hist.sum())
+    nz = int((hist > 0).sum())
+    if nz <= 1:
+        raise UseRLEError("single symbol")
+    limit = min(table_log, MAX_TABLELOG)
+    # like the reference, don't use more bits than a plain huffman tree needs
+    nbits = package_merge_lengths(hist, limit)
+    return nbits, int(nbits.max())
+
+
+# ---------------------------------------------------------------------------
+# Weights <-> canonical codes
+# ---------------------------------------------------------------------------
+
+
+def nbits_to_weights(nbits: np.ndarray, max_bits: int) -> np.ndarray:
+    w = np.where(nbits > 0, max_bits + 1 - nbits, 0)
+    return w.astype(np.int32)
+
+
+def weights_to_nbits(weights: np.ndarray) -> tuple[np.ndarray, int]:
+    """Infer nb_bits from explicit weights + the implied last weight.
+
+    weights: the serialized weights (last symbol's weight NOT included).
+    Returns (nbits including the implied symbol, max_bits)."""
+    w = weights.astype(np.int64)
+    if (w < 0).any():
+        raise CorruptError("negative weight")
+    ksum = int((np.where(w > 0, 1 << (w - 1), 0)).sum())
+    if ksum < 1:
+        raise CorruptError("no weights")
+    # total must reach the next power of two
+    max_bits = max(ksum.bit_length(), 1)
+    target = 1 << max_bits
+    rest = target - ksum
+    # rest must itself be a power of two (the implied symbol's 2^(w-1))
+    if rest <= 0 or (rest & (rest - 1)) != 0:
+        raise CorruptError("invalid weight sum")
+    last_w = rest.bit_length()  # 2^(w-1) = rest
+    full = np.concatenate([w, [last_w]])
+    if max_bits > MAX_TABLELOG:
+        raise CorruptError("tableLog too large")
+    nbits = np.where(full > 0, max_bits + 1 - full, 0).astype(np.int32)
+    return nbits, max_bits
+
+
+def canonical_codes(nbits: np.ndarray, max_bits: int) -> np.ndarray:
+    """Code value per symbol matching the RFC decode-table layout.
+
+    Table is filled weight-ascending (i.e. nb_bits DESCENDING), natural
+    symbol order within a weight; code = table_start >> (max_bits - nb)."""
+    codes = np.zeros(len(nbits), dtype=np.int64)
+    start = 0
+    for nb in range(max_bits, 0, -1):  # longest codes first = lowest starts
+        span = 1 << (max_bits - nb)
+        for s in np.nonzero(nbits == nb)[0]:
+            codes[s] = start >> (max_bits - nb)
+            start += span
+    if start != (1 << max_bits):
+        raise ValueError("kraft sum mismatch")
+    return codes
+
+
+def build_dtable(weights_full: np.ndarray, max_bits: int):
+    """(symbol, nb_bits) per max_bits-bit window index (RFC layout)."""
+    size = 1 << max_bits
+    sym_t = np.zeros(size, dtype=np.uint8)
+    nb_t = np.zeros(size, dtype=np.int32)
+    start = 0
+    for w in range(1, max_bits + 1):
+        nb = max_bits + 1 - w
+        span = 1 << (w - 1)
+        for s in np.nonzero(weights_full == w)[0]:
+            sym_t[start : start + span] = s
+            nb_t[start : start + span] = nb
+            start += span
+    if start != size:
+        raise CorruptError("weights do not fill the table")
+    return sym_t, nb_t
+
+
+# ---------------------------------------------------------------------------
+# Table serialization
+# ---------------------------------------------------------------------------
+
+
+def write_table(nbits: np.ndarray, max_bits: int) -> bytes:
+    """Serialize weights: FSE-compressed if smaller, else raw nibbles."""
+    weights = nbits_to_weights(nbits, max_bits)
+    last = int(np.nonzero(nbits)[0][-1])
+    w_explicit = weights[:last]  # last present symbol's weight implied
+    n = len(w_explicit)
+
+    # raw nibble encoding: headerByte = 127 + count(symbols incl. implied);
+    # only representable for <= 128 symbols
+    raw = None
+    if n + 1 <= 128:
+        raw = bytearray([127 + n + 1])
+        for i in range(0, n, 2):
+            hi = int(w_explicit[i])
+            lo = int(w_explicit[i + 1]) if i + 1 < n else 0
+            raw.append((hi << 4) | lo)
+
+    # FSE-compressed weights (accuracy <= 6, no explicit length)
+    fse_blob = None
+    if n >= 2:
+        try:
+            hist = np.bincount(w_explicit, minlength=256).astype(np.int64)
+            max_sym = int(np.nonzero(hist)[0][-1])
+            tl = fse_core.optimal_table_log(6, n, max_sym, max_table_log=6)
+            norm = fse_core.normalize_count(hist, tl, n, max_sym)
+            hdr = fse_core.write_ncount(norm, tl)
+            stream = fse_core.encode_interleaved2(w_explicit.astype(np.uint8), norm, tl)
+            blob = hdr + stream
+            if len(blob) < 128 and (raw is None or len(blob) + 1 < len(raw)):
+                # verify unambiguous exhaustion-decode before committing
+                back = decode_weights_fse(bytes(blob))
+                if back is not None and len(back) == n and (back == w_explicit).all():
+                    fse_blob = bytes([len(blob)]) + blob
+        except (ValueError, IncompressibleError):
+            fse_blob = None
+    if fse_blob is not None:
+        return fse_blob
+    if raw is None:
+        raise IncompressibleError("table not serializable (>128 symbols, FSE failed)")
+    return bytes(raw)
+
+
+def decode_weights_fse(blob: bytes):
+    """Decode FSE-compressed weights (termination by stream exhaustion)."""
+    try:
+        norm, tl, pos = fse_core.read_ncount(blob, 0, max_symbol=255, max_table_log=6)
+    except ValueError:
+        return None
+    spread, nb, new_state = fse_core.build_dtable(norm, tl)
+    try:
+        br = fse_core.BitReaderReverse(blob[pos:])
+    except ValueError:
+        return None
+    s1 = br.read(tl)
+    s2 = br.read(tl)
+    out = []
+    # zstd semantics: emit, reload; overflow on reload => other state emits
+    for _ in range(255):
+        out.append(int(spread[s1]))
+        s1 = int(new_state[s1]) + br.read(int(nb[s1]))
+        if br.bitpos < 0:
+            out.append(int(spread[s2]))
+            return np.array(out, dtype=np.int32)
+        out.append(int(spread[s2]))
+        s2 = int(new_state[s2]) + br.read(int(nb[s2]))
+        if br.bitpos < 0:
+            out.append(int(spread[s1]))
+            return np.array(out, dtype=np.int32)
+    return None  # did not terminate — treat as corrupt/ambiguous
+
+
+def read_table(buf: bytes, pos: int = 0):
+    """Parse a serialized table. Returns (sym_t, nb_t, max_bits, new_pos)."""
+    if pos >= len(buf):
+        raise CorruptError("table truncated")
+    hdr = buf[pos]
+    pos += 1
+    if hdr >= 128:
+        n = hdr - 127  # number of symbols incl. the implied one
+        nbytes = (n - 1 + 1) // 2
+        if pos + nbytes > len(buf):
+            raise CorruptError("table truncated")
+        w = np.zeros(n - 1, dtype=np.int32)
+        for i in range(n - 1):
+            b = buf[pos + i // 2]
+            w[i] = (b >> 4) if i % 2 == 0 else (b & 0xF)
+        pos += nbytes
+    else:
+        if pos + hdr > len(buf):
+            raise CorruptError("table truncated")
+        w = decode_weights_fse(buf[pos : pos + hdr])
+        if w is None:
+            raise CorruptError("bad FSE weight stream")
+        pos += hdr
+    nbits, max_bits = weights_to_nbits(np.asarray(w))
+    weights_full = np.where(nbits > 0, max_bits + 1 - nbits, 0)
+    sym_t, nb_t = build_dtable(weights_full, max_bits)
+    return sym_t, nb_t, max_bits, pos
+
+
+# ---------------------------------------------------------------------------
+# Stream codec
+# ---------------------------------------------------------------------------
+
+
+def _encode_stream(data: np.ndarray, codes: np.ndarray, nbits: np.ndarray) -> bytes:
+    bw = fse_core.BitWriter()
+    # encoded in reverse so the decoder emits forward
+    for b in data[::-1].tolist():
+        bw.add(int(codes[b]), int(nbits[b]))
+    return bw.close()
+
+
+def _decode_stream(stream: bytes, sym_t, nb_t, max_bits: int, out_len: int) -> np.ndarray:
+    br = fse_core.BitReaderReverse(stream)
+    out = np.zeros(out_len, dtype=np.uint8)
+    bitpos = br.bitpos
+    data = br.data
+    for i in range(out_len):
+        # peek max_bits (zero-padded near the start)
+        bp = bitpos - max_bits
+        if bp >= 0:
+            byte0 = bp >> 3
+            chunk = int.from_bytes(data[byte0 : byte0 + 9], "little")
+            window = (chunk >> (bp & 7)) & ((1 << max_bits) - 1)
+        else:
+            chunk = int.from_bytes(data[0:9], "little")
+            window = (chunk << -bp) & ((1 << max_bits) - 1)
+        nb = int(nb_t[window])
+        out[i] = sym_t[window]
+        bitpos -= nb
+        if bitpos < 0:
+            raise CorruptError("stream overread")
+    if bitpos != 0:
+        raise CorruptError("stream not fully consumed")
+    return out
+
+
+def compress_1x(data, table_log: int = MAX_TABLELOG, reuse_table=None) -> bytes:
+    """Single-stream compress. Container: [uvarint n][table][stream]."""
+    data = bytes(data)
+    n = len(data)
+    if n == 0:
+        raise IncompressibleError("empty")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    hist = histogram256(buf)
+    if int(hist.max()) == n:
+        raise UseRLEError("single symbol")
+    nbits, max_bits = build_nbits(hist, table_log)
+    codes = canonical_codes(nbits, max_bits)
+    table = write_table(nbits, max_bits)
+    stream = _encode_stream(buf, codes, nbits)
+    out = bytearray()
+    put_uvarint(out, n)
+    out += table
+    out += stream
+    if len(out) >= n:
+        raise IncompressibleError("did not compress")
+    return bytes(out)
+
+
+def compress_4x(data, table_log: int = MAX_TABLELOG) -> bytes:
+    """4-stream compress: [uvarint n][table][jump6][s1][s2][s3][s4]."""
+    data = bytes(data)
+    n = len(data)
+    if n < 12:
+        raise IncompressibleError("too small for 4X")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    hist = histogram256(buf)
+    if int(hist.max()) == n:
+        raise UseRLEError("single symbol")
+    nbits, max_bits = build_nbits(hist, table_log)
+    codes = canonical_codes(nbits, max_bits)
+    table = write_table(nbits, max_bits)
+    seg = (n + 3) // 4
+    streams = []
+    for k in range(4):
+        part = buf[k * seg : min((k + 1) * seg, n)]
+        streams.append(_encode_stream(part, codes, nbits))
+    if max(len(s) for s in streams[:3]) > 0xFFFF:
+        raise IncompressibleError("stream too large for jump table")
+    out = bytearray()
+    put_uvarint(out, n)
+    out += table
+    for s in streams[:3]:
+        out += len(s).to_bytes(2, "little")
+    for s in streams:
+        out += s
+    if len(out) >= n:
+        raise IncompressibleError("did not compress")
+    return bytes(out)
+
+
+def decompress_1x(blob, max_size: int = 64 << 20) -> bytes:
+    blob = bytes(blob)
+    n, pos = read_uvarint(blob)
+    if n > max_size:
+        raise ValueError("decoded size exceeds limit")
+    sym_t, nb_t, max_bits, pos = read_table(blob, pos)
+    return _decode_stream(blob[pos:], sym_t, nb_t, max_bits, n).tobytes()
+
+
+def decompress_4x(blob, max_size: int = 64 << 20) -> bytes:
+    blob = bytes(blob)
+    n, pos = read_uvarint(blob)
+    if n > max_size:
+        raise ValueError("decoded size exceeds limit")
+    sym_t, nb_t, max_bits, pos = read_table(blob, pos)
+    if pos + 6 > len(blob):
+        raise CorruptError("jump table truncated")
+    sizes = [int.from_bytes(blob[pos + 2 * k : pos + 2 * k + 2], "little") for k in range(3)]
+    pos += 6
+    seg = (n + 3) // 4
+    lens = [seg, seg, seg, n - 3 * seg]
+    if lens[3] < 0:
+        raise CorruptError("invalid segment split")
+    out = bytearray()
+    for k in range(4):
+        size = sizes[k] if k < 3 else len(blob) - pos
+        if pos + size > len(blob):
+            raise CorruptError("stream truncated")
+        out += _decode_stream(blob[pos : pos + size], sym_t, nb_t, max_bits, lens[k]).tobytes()
+        pos += size
+    return bytes(out)
+
+
+__all__ = [
+    "compress_1x", "compress_4x", "decompress_1x", "decompress_4x",
+    "read_table", "write_table", "build_nbits", "canonical_codes",
+    "IncompressibleError", "UseRLEError", "CorruptError", "MAX_TABLELOG",
+]

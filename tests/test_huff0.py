@@ -1,0 +1,125 @@
+"""huff0 tests: 1X/4X round-trips, table ser/de, kraft validity, contracts,
+
+and the reference's fuzz corpus."""
+
+import pathlib
+import zipfile
+
+import numpy as np
+import pytest
+
+from compress_tpu import huff0
+
+H_TESTDATA = pathlib.Path("/root/reference/huff0/testdata")
+
+
+@pytest.mark.parametrize("mode", ["1x", "4x"])
+def test_roundtrip_corpus(corpus_file, mode):
+    data = corpus_file.read_bytes()[: 1 << 16]
+    comp = huff0.compress_1x if mode == "1x" else huff0.compress_4x
+    dec = huff0.decompress_1x if mode == "1x" else huff0.decompress_4x
+    try:
+        blob = comp(data)
+    except (huff0.IncompressibleError, huff0.UseRLEError):
+        pytest.skip("not huffman-compressible (contract)")
+    assert len(blob) < len(data)
+    assert dec(blob) == data
+
+
+@pytest.mark.parametrize("n", [2, 3, 12, 13, 100, 1000, 65536])
+def test_roundtrip_sizes(n):
+    rng = np.random.default_rng(n)
+    data = rng.choice(
+        np.arange(16, dtype=np.uint8), size=n, p=np.array([32,16,16,8,8,8,4,4,4,4,4,4,4,4,2,6]) / 128.0
+    ).tobytes()
+    try:
+        blob1 = huff0.compress_1x(data)
+        assert huff0.decompress_1x(blob1) == data
+    except (huff0.IncompressibleError, huff0.UseRLEError):
+        if n > 64:
+            raise
+    if n >= 12:
+        try:
+            blob4 = huff0.compress_4x(data)
+            assert huff0.decompress_4x(blob4) == data
+        except (huff0.IncompressibleError, huff0.UseRLEError):
+            if n > 64:
+                raise
+
+
+def test_contracts():
+    with pytest.raises(huff0.UseRLEError):
+        huff0.compress_1x(b"z" * 500)
+    rng = np.random.default_rng(0)
+    with pytest.raises(huff0.IncompressibleError):
+        huff0.compress_1x(rng.integers(0, 256, 4096, dtype=np.uint8).tobytes())
+
+
+def test_table_roundtrip_and_kraft():
+    rng = np.random.default_rng(1)
+    for trial in range(60):
+        nsym = int(rng.integers(2, 256))
+        hist = np.zeros(256, dtype=np.int64)
+        idx = rng.choice(256, nsym, replace=False)
+        hist[idx] = rng.integers(1, 100000, nsym)
+        nbits, max_bits = huff0.build_nbits(hist)
+        assert max_bits <= huff0.MAX_TABLELOG
+        # kraft equality (full binary code space used)
+        k = np.where(nbits > 0, 2.0 ** (-nbits.astype(np.float64)), 0).sum()
+        assert abs(k - 1.0) < 1e-9
+        table = huff0.write_table(nbits, max_bits)
+        sym_t, nb_t, mb2, pos = huff0.read_table(table, 0)
+        assert pos == len(table)
+        assert mb2 == max_bits
+        # decode table agrees with encode lengths
+        for s in np.nonzero(nbits)[0]:
+            idxs = np.nonzero(sym_t == s)[0]
+            assert (nb_t[idxs] == nbits[s]).all()
+            assert len(idxs) == 1 << (max_bits - nbits[s])
+
+
+def test_optimality_vs_entropy():
+    """package-merge lengths should be within 1 bit/sym of entropy."""
+    rng = np.random.default_rng(2)
+    data = rng.choice(np.arange(32, dtype=np.uint8), size=1 << 15,
+                      p=np.arange(32, 0, -1) / np.arange(32, 0, -1).sum()).tobytes()
+    from compress_tpu.estimate import shannon_entropy_bits
+
+    blob = huff0.compress_1x(data)
+    ent = shannon_entropy_bits(data)
+    assert len(blob) * 8 <= ent + len(data) + 1024  # <=1 extra bit/sym + table
+
+
+def test_corrupt_tables():
+    with pytest.raises(ValueError):
+        huff0.decompress_1x(b"")
+    with pytest.raises(ValueError):
+        huff0.decompress_1x(bytes([4, 200, 0x11]))  # truncated nibbles
+    # weight sum not a power gap
+    bad = bytearray()
+    bad.append(4)  # n=4
+    bad.append(127 + 3)  # 2 explicit weights
+    bad.append((3 << 4) | 3)
+    with pytest.raises(ValueError):
+        huff0.decompress_1x(bytes(bad) + b"\x01")
+
+
+def test_reference_fuzz_corpus():
+    zips = list(H_TESTDATA.glob("*.zip")) if H_TESTDATA.exists() else []
+    for zp in zips:
+        with zipfile.ZipFile(zp) as z:
+            for info in z.infolist():
+                if info.is_dir() or info.file_size > 1 << 18:
+                    continue
+                data = z.read(info)
+                if not data:
+                    continue
+                for comp, dec in [
+                    (huff0.compress_1x, huff0.decompress_1x),
+                    (huff0.compress_4x, huff0.decompress_4x),
+                ]:
+                    try:
+                        blob = comp(data)
+                    except (huff0.IncompressibleError, huff0.UseRLEError, ValueError):
+                        continue
+                    assert dec(blob) == data, (zp.name, info.filename)
