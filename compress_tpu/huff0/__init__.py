@@ -177,11 +177,12 @@ def write_table(nbits: np.ndarray, max_bits: int) -> bytes:
     w_explicit = weights[:last]  # last present symbol's weight implied
     n = len(w_explicit)
 
-    # raw nibble encoding: headerByte = 127 + count(symbols incl. implied);
-    # only representable for <= 128 symbols
+    # raw nibble encoding: headerByte = 127 + number_of_weights, where the
+    # weight count EXCLUDES the implied last symbol (RFC 8878 §4.2.1.1);
+    # only representable for <= 128 explicit weights
     raw = None
-    if n + 1 <= 128:
-        raw = bytearray([127 + n + 1])
+    if n <= 128:
+        raw = bytearray([127 + n])
         for i in range(0, n, 2):
             hi = int(w_explicit[i])
             lo = int(w_explicit[i + 1]) if i + 1 < n else 0
@@ -248,12 +249,12 @@ def read_table(buf: bytes, pos: int = 0):
     hdr = buf[pos]
     pos += 1
     if hdr >= 128:
-        n = hdr - 127  # number of symbols incl. the implied one
-        nbytes = (n - 1 + 1) // 2
+        n = hdr - 127  # number of explicit weights (implied last excluded)
+        nbytes = (n + 1) // 2
         if pos + nbytes > len(buf):
             raise CorruptError("table truncated")
-        w = np.zeros(n - 1, dtype=np.int32)
-        for i in range(n - 1):
+        w = np.zeros(n, dtype=np.int32)
+        for i in range(n):
             b = buf[pos + i // 2]
             w[i] = (b >> 4) if i % 2 == 0 else (b & 0xF)
         pos += nbytes

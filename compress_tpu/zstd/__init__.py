@@ -1,0 +1,123 @@
+"""zstd — full frame codec (RFC 8878), TPU-framework host path.
+
+Reference parity targets (SURVEY.md §2.1): Encoder/Decoder with EncodeAll/
+DecodeAll semantics, levels fastest/default/better/best, streaming, dicts,
+concurrent job engine (in compress_tpu.parallel). This module: the
+synchronous block/frame codec. Cross-validated bit-exactly against libzstd
+(the `zstandard` wheel) in tests — a stronger oracle than the Go reference
+itself, which only promises format compatibility.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from compress_tpu.utils.xxhash64 import xxh64
+from compress_tpu.zstd import block as B
+from compress_tpu.zstd import frame as F
+from compress_tpu.zstd.block import BlockError, History
+from compress_tpu.zstd.frame import FrameError, Header, parse_frame_header
+
+SpeedFastest = 1
+SpeedDefault = 2
+SpeedBetter = 3
+SpeedBest = 4
+
+MAX_DECODED_SIZE = 64 << 30  # reference decoder_options.go:41
+
+
+class ZstdError(ValueError):
+    pass
+
+
+def decompress(data, max_size: int = MAX_DECODED_SIZE,
+               max_window: int = 1 << 31) -> bytes:
+    """Decode all frames in data (reference: Decoder.DecodeAll)."""
+    data = bytes(data)
+    pos = 0
+    out_all = bytearray()
+    # empty input decodes to empty output (reference: DecodeAll hits EOF
+    # before any frame and returns dst unchanged)
+    while pos < len(data):
+        try:
+            h = parse_frame_header(data, pos)
+        except FrameError as e:
+            raise ZstdError(str(e)) from e
+        if h.skippable:
+            pos += h.header_size + h.skippable_size
+            if pos > len(data):
+                raise ZstdError("skippable frame overruns input")
+            continue
+        pos += h.header_size
+        if h.window_size > max_window:
+            raise ZstdError("window size exceeds limit")
+        if h.frame_content_size is not None and h.frame_content_size > max_size:
+            raise ZstdError("decoded size exceeds limit")
+        hist = History(window_size=max(h.window_size, 1024))
+        frame_out = bytearray()
+        digest_parts = []
+        while True:
+            if pos + 3 > len(data):
+                raise ZstdError("truncated block header")
+            bh = int.from_bytes(data[pos : pos + 3], "little")
+            pos += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            max_out = min(B.MAX_BLOCK_SIZE, h.window_size or B.MAX_BLOCK_SIZE)
+            if h.frame_content_size is not None:
+                max_out = min(max(max_out, 1), B.MAX_BLOCK_SIZE)
+            if btype == B.BLOCK_RAW:
+                if pos + bsize > len(data):
+                    raise ZstdError("truncated raw block")
+                out = data[pos : pos + bsize]
+                pos += bsize
+            elif btype == B.BLOCK_RLE:
+                if pos >= len(data):
+                    raise ZstdError("truncated RLE block")
+                if bsize > B.MAX_BLOCK_SIZE:
+                    raise ZstdError("RLE block too large")
+                out = bytes([data[pos]]) * bsize
+                pos += 1
+            elif btype == B.BLOCK_COMPRESSED:
+                if bsize > B.MAX_BLOCK_SIZE:
+                    raise ZstdError("compressed block too large")
+                if pos + bsize > len(data):
+                    raise ZstdError("truncated compressed block")
+                try:
+                    out = B.decode_block(data[pos : pos + bsize], hist,
+                                         B.MAX_BLOCK_SIZE)
+                except (ValueError, IndexError) as e:
+                    raise ZstdError(f"block decode failed: {e}") from e
+                pos += bsize
+            else:
+                raise ZstdError("reserved block type")
+            hist.append(out)
+            frame_out += out
+            if len(out_all) + len(frame_out) > max_size:
+                raise ZstdError("decoded size exceeds limit")
+            if last:
+                break
+        if h.frame_content_size is not None and len(frame_out) != h.frame_content_size:
+            raise ZstdError("frame content size mismatch")
+        if h.has_checksum:
+            if pos + 4 > len(data):
+                raise ZstdError("truncated checksum")
+            want = int.from_bytes(data[pos : pos + 4], "little")
+            got = xxh64(bytes(frame_out)) & 0xFFFFFFFF
+            if want != got:
+                raise ZstdError("checksum mismatch")
+            pos += 4
+        out_all += frame_out
+    return bytes(out_all)
+
+
+# encoder lives in encoder.py; re-exported here
+from compress_tpu.zstd.encoder import compress  # noqa: E402
+
+__all__ = [
+    "compress", "decompress", "Header", "parse_frame_header",
+    "ZstdError", "FrameError", "BlockError", "History",
+    "SpeedFastest", "SpeedDefault", "SpeedBetter", "SpeedBest",
+    "MAX_DECODED_SIZE",
+]

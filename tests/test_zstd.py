@@ -1,0 +1,172 @@
+"""zstd frame codec tests, cross-validated against libzstd (`zstandard`).
+
+This is the strongest oracle available: our decoder must bit-exactly decode
+libzstd output at every level, and libzstd must decode ours. Mirrors the
+reference's cross-implementation testing (SURVEY.md §4.9).
+"""
+
+import os
+import pathlib
+
+import numpy as np
+import pytest
+import zstandard
+
+from compress_tpu import zstd as Z
+
+ZSTD_TESTDATA = pathlib.Path("/root/reference/zstd/testdata")
+
+
+@pytest.mark.parametrize("lvl", [1, 3, 9, 19])
+def test_decode_libzstd_frames(corpus_file, lvl):
+    data = corpus_file.read_bytes()
+    blob = zstandard.ZstdCompressor(level=lvl).compress(data)
+    assert Z.decompress(blob) == data
+
+
+@pytest.mark.parametrize("params", [
+    dict(level=3, write_checksum=True),
+    dict(level=1, write_content_size=False),
+    dict(level=3, write_content_size=True, write_checksum=True),
+])
+def test_decode_libzstd_param_variants(params):
+    data = open("/root/reference/testdata/html.txt", "rb").read()
+    c = zstandard.ZstdCompressor(**params)
+    blob = c.compress(data)
+    assert Z.decompress(blob) == data
+
+
+def test_decode_libzstd_long_window():
+    rng = np.random.default_rng(0)
+    motif = rng.integers(0, 256, 1 << 15, dtype=np.uint8).tobytes()
+    data = motif * 40 + b"x" * 100 + motif  # matches far back
+    blob = zstandard.ZstdCompressor(level=19).compress(data)
+    assert Z.decompress(blob) == data
+
+
+def test_decode_multiframe_and_skippable():
+    data1 = b"hello zstd world " * 100
+    data2 = b"second frame " * 50
+    from compress_tpu.zstd.frame import write_skippable_frame
+
+    blob = (
+        zstandard.ZstdCompressor().compress(data1)
+        + write_skippable_frame(b"metadata!", 5)
+        + zstandard.ZstdCompressor().compress(data2)
+    )
+    assert Z.decompress(blob) == data1 + data2
+
+
+@pytest.mark.parametrize("lvl", [1, 2, 3, 4])
+def test_encode_decoded_by_libzstd(corpus_file, lvl):
+    data = corpus_file.read_bytes()[: 1 << 18]
+    blob = Z.compress(data, level=lvl, checksum=True)
+    d = zstandard.ZstdDecompressor()
+    assert d.decompress(blob, max_output_size=len(data) + 16) == data
+
+
+@pytest.mark.parametrize("n", [0, 1, 2, 31, 32, 100, 5000, (1 << 17) + 17, 1 << 18])
+def test_encode_sizes(n):
+    rng = np.random.default_rng(n)
+    motif = rng.integers(0, 5, 131, dtype=np.uint8).tobytes()
+    data = (motif * (n // len(motif) + 1))[:n]
+    blob = Z.compress(data, level=2, checksum=True)
+    assert zstandard.ZstdDecompressor().decompress(
+        blob, max_output_size=n + 16
+    ) == data
+    assert Z.decompress(blob) == data
+
+
+def test_encode_ratio_vs_reference_numbers():
+    """Our L1/L2 should be in the same league as libzstd L1 on text."""
+    data = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()
+    ours = Z.compress(data, level=2)
+    lib = zstandard.ZstdCompressor(level=1).compress(data)
+    assert len(ours) <= len(lib) * 1.25, (len(ours), len(lib))
+
+
+def test_roundtrip_own_decoder(corpus_file):
+    data = corpus_file.read_bytes()[: 1 << 17]
+    for lvl in (1, 2):
+        blob = Z.compress(data, level=lvl)
+        assert Z.decompress(blob) == data
+
+
+def test_header_inspector():
+    data = b"x" * 1000
+    blob = Z.compress(data, checksum=True)
+    h = Z.parse_frame_header(blob)
+    assert h.frame_content_size == 1000
+    assert h.has_checksum
+    assert h.first_block_ok
+    lib = zstandard.ZstdCompressor(level=3, write_checksum=True).compress(data)
+    h2 = Z.parse_frame_header(lib)
+    assert h2.frame_content_size == 1000
+    assert h2.has_checksum
+
+
+def test_corrupt_rejection():
+    data = b"some data to compress " * 100
+    blob = bytearray(Z.compress(data, checksum=True))
+    with pytest.raises(Z.ZstdError):
+        Z.decompress(b"\x00\x01\x02\x03")  # bad magic
+    with pytest.raises(Z.ZstdError):
+        Z.decompress(blob[: len(blob) // 2])  # truncated
+    flip = bytes(blob[:-2]) + bytes([blob[-2] ^ 0xFF]) + bytes(blob[-1:])
+    with pytest.raises(Z.ZstdError):
+        Z.decompress(flip)  # checksum mismatch
+
+
+def test_reference_decode_regressions():
+    """Hostile inputs from the reference's fuzz corpora must never crash."""
+    import zipfile
+
+    for name in ["bad.zip", "decode-regression.zip"]:
+        p = ZSTD_TESTDATA / name
+        if not p.exists():
+            continue
+        with zipfile.ZipFile(p) as z:
+            for info in z.infolist():
+                if info.is_dir() or info.file_size > 1 << 22:
+                    continue
+                blob = z.read(info)
+                try:
+                    out = Z.decompress(blob, max_size=1 << 26)
+                except (ValueError, OverflowError, MemoryError):
+                    continue
+                # if we decoded it, libzstd should agree (when it accepts it)
+                try:
+                    want = zstandard.ZstdDecompressor().decompress(
+                        blob, max_output_size=1 << 26
+                    )
+                except zstandard.ZstdError:
+                    continue
+                assert out == want, info.filename
+
+
+def test_good_corpus_bit_exact():
+    import zipfile
+
+    p = ZSTD_TESTDATA / "good.zip"
+    if not p.exists():
+        pytest.skip("no good corpus")
+    for_count = 0
+    with zipfile.ZipFile(p) as z:
+        for info in z.infolist():
+            if info.is_dir() or info.file_size > 1 << 22:
+                continue
+            blob = z.read(info)
+            try:
+                # read_across_frames matches our DecodeAll multi-frame
+                # semantics (the plain one-shot API stops after frame 1)
+                import io
+
+                rdr = zstandard.ZstdDecompressor().stream_reader(
+                    io.BytesIO(blob), read_across_frames=True
+                )
+                want = rdr.read()
+            except zstandard.ZstdError:
+                continue
+            assert Z.decompress(blob, max_size=1 << 26) == want, info.filename
+            for_count += 1
+    assert for_count > 0
