@@ -41,52 +41,56 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B = 1 << 16  # device block size
-TILE = 512
-N_TILES = B // TILE
-S_MAX = TILE // 4 + 1  # parse steps: each step consumes a >=4B match or ends
-OPS_PER_BLOCK = N_TILES * S_MAX * 2  # (lit, match) per step
-MAX_OUT = B + B // 2  # safe upper bound (see parse analysis in tests)
+B = 1 << 16  # default device block size
+TILE = 512  # default parse tile
+MAX_OUT = B + B // 2  # safe upper bound for the default config
 
 _EXT_ROUNDS = 15  # 4 + 15*4 = 64 max match length
 
 
-def _u32_values(block):
-    """v32[i] = LE 4-byte value at i; positions past B-4 get unique sentinels
+def _derived(block_size: int, tile: int):
+    n_tiles = block_size // tile
+    s_max = tile // 4 + 1
+    max_out = block_size + block_size // 2
+    return n_tiles, s_max, max_out
+
+
+def _u32_values(block, bs):
+    """v32[i] = LE 4-byte value at i; positions past bs-4 get unique sentinels
 
     (cannot match anything, so they never become candidates)."""
     b = jnp.concatenate([block, jnp.zeros(4, jnp.uint8)]).astype(jnp.uint32)
-    v = b[:B] | (b[1 : B + 1] << 8) | (b[2 : B + 2] << 16) | (b[3 : B + 3] << 24)
-    pos = jnp.arange(B, dtype=jnp.uint32)
+    v = b[:bs] | (b[1 : bs + 1] << 8) | (b[2 : bs + 2] << 16) | (b[3 : bs + 3] << 24)
+    pos = jnp.arange(bs, dtype=jnp.uint32)
     # unique, distinct-from-data sentinel stream for the tail positions
-    return jnp.where(pos > B - 4, pos ^ jnp.uint32(0xDEADBEEF), v)
+    return jnp.where(pos > bs - 4, pos ^ jnp.uint32(0xDEADBEEF), v)
 
 
-def _candidates(v32):
+def _candidates(v32, bs):
     """Nearest previous position with identical 4-byte value, else -1."""
-    pos = jnp.arange(B, dtype=jnp.int32)
+    pos = jnp.arange(bs, dtype=jnp.int32)
     v_sorted, p_sorted = jax.lax.sort((v32, pos), dimension=0, num_keys=2)
     same = jnp.concatenate(
         [jnp.array([False]), v_sorted[1:] == v_sorted[:-1]]
     )
     prev = jnp.concatenate([jnp.array([-1], jnp.int32), p_sorted[:-1]])
     cand_sorted = jnp.where(same, prev, -1)
-    return jnp.zeros(B, jnp.int32).at[p_sorted].set(cand_sorted)
+    return jnp.zeros(bs, jnp.int32).at[p_sorted].set(cand_sorted)
 
 
-def _match_lengths(block, v32, cand):
+def _match_lengths(block, v32, cand, bs):
     """L[i] = match length between i and cand[i] (0 if no candidate),
 
     capped at 64 and at the block end."""
     has = cand >= 0
     c = jnp.maximum(cand, 0)
-    i = jnp.arange(B, dtype=jnp.int32)
+    i = jnp.arange(bs, dtype=jnp.int32)
 
     def round_fn(carry, k):
         L, alive = carry
         off = 4 + 4 * k
-        ia = jnp.minimum(c + off, B - 4)
-        ib = jnp.minimum(i + off, B - 4)
+        ia = jnp.minimum(c + off, bs - 4)
+        ib = jnp.minimum(i + off, bs - 4)
         va = v32[ia]
         vb = v32[ib]
         x = va ^ vb
@@ -97,7 +101,7 @@ def _match_lengths(block, v32, cand):
             + jnp.where((x & 0xFFFFFF) == 0, 1, 0)
             + jnp.where(x == 0, 1, 0)
         ).astype(jnp.int32)
-        in_range = (i + off + 4) <= B  # whole 4-byte window inside block
+        in_range = (i + off + 4) <= bs  # whole 4-byte window inside block
         eq = jnp.where(in_range, eq, 0)
         L = L + jnp.where(alive, eq, 0)
         alive = alive & (eq == 4)
@@ -105,58 +109,57 @@ def _match_lengths(block, v32, cand):
 
     (ext, _), _ = jax.lax.scan(
         round_fn,
-        (jnp.zeros(B, jnp.int32), has),
+        (jnp.zeros(bs, jnp.int32), has),
         jnp.arange(_EXT_ROUNDS, dtype=jnp.int32),
     )
     L = jnp.where(has, 4 + ext, 0)
     L = jnp.minimum(L, 64)
-    L = jnp.minimum(L, B - i)
+    L = jnp.minimum(L, bs - i)
     return jnp.where(has, L, 0)
 
 
-def _parse(cand, L):
-    """Tiled greedy parse -> per-op arrays in emission order.
-
-    Returns dict of (N_TILES*S_MAX,)-shaped arrays for literal runs and
-    matches (interleaved at flatten time)."""
-    i = jnp.arange(B, dtype=jnp.int32)
-    r = i % TILE
-    tile_end_room = TILE - r
+def _parse(cand, L, bs, tile):
+    """Tiled greedy parse -> per-op arrays in emission order."""
+    n_tiles, s_max, _ = _derived(bs, tile)
+    i = jnp.arange(bs, dtype=jnp.int32)
+    r = i % tile
+    tile_end_room = tile - r
     L_t = jnp.minimum(L, tile_end_room)
     off = i - cand
     valid = (L_t >= 4) & (cand >= 0)
 
     # next valid match at or after r, per tile
-    idx_in_tile = jnp.where(valid, r, TILE).reshape(N_TILES, TILE)
-    nm = jax.lax.cummin(idx_in_tile, axis=1, reverse=True)  # (N_TILES, TILE)
-    L_tl = L_t.reshape(N_TILES, TILE)
-    off_tl = off.reshape(N_TILES, TILE)
-    tile_base = (jnp.arange(N_TILES, dtype=jnp.int32) * TILE)
+    idx_in_tile = jnp.where(valid, r, tile).reshape(n_tiles, tile)
+    nm = jax.lax.cummin(idx_in_tile, axis=1, reverse=True)  # (n_tiles, tile)
+    L_tl = L_t.reshape(n_tiles, tile)
+    off_tl = off.reshape(n_tiles, tile)
+    tile_base = (jnp.arange(n_tiles, dtype=jnp.int32) * tile)
 
     def step(p, _):
-        pc = jnp.minimum(p, TILE - 1)
+        pc = jnp.minimum(p, tile - 1)
         j = jnp.take_along_axis(nm, pc[:, None], axis=1)[:, 0]
-        j = jnp.where(p < TILE, j, TILE)
-        lit_len = jnp.minimum(j, TILE) - jnp.minimum(p, TILE)
-        has_m = j < TILE
-        jc = jnp.minimum(j, TILE - 1)
+        j = jnp.where(p < tile, j, tile)
+        lit_len = jnp.minimum(j, tile) - jnp.minimum(p, tile)
+        has_m = j < tile
+        jc = jnp.minimum(j, tile - 1)
         mlen = jnp.where(has_m, jnp.take_along_axis(L_tl, jc[:, None], axis=1)[:, 0], 0)
         moff = jnp.where(has_m, jnp.take_along_axis(off_tl, jc[:, None], axis=1)[:, 0], 0)
-        lit_src = tile_base + jnp.minimum(p, TILE)
-        p_next = jnp.where(has_m, j + mlen, TILE)
+        lit_src = tile_base + jnp.minimum(p, tile)
+        p_next = jnp.where(has_m, j + mlen, tile)
         return p_next, (lit_src, lit_len, mlen, moff)
 
     _, (lit_src, lit_len, mlen, moff) = jax.lax.scan(
-        step, jnp.zeros(N_TILES, jnp.int32), None, length=S_MAX
+        step, jnp.zeros(n_tiles, jnp.int32), None, length=s_max
     )
     # (S_MAX, N_TILES) -> tile-major op order
     tr = lambda x: x.T.reshape(-1)
     return tr(lit_src), tr(lit_len), tr(mlen), tr(moff)
 
 
-def _emit(block, lit_src, lit_len, mlen, moff):
+def _emit(block, lit_src, lit_len, mlen, moff, bs):
     """Interleave (lit, match) ops, cost, scan, and gather-emit bytes."""
     n = lit_len.shape[0]
+    max_out = bs + bs // 2
 
     # literal headers
     x = jnp.maximum(lit_len - 1, 0)
@@ -192,33 +195,35 @@ def _emit(block, lit_src, lit_len, mlen, moff):
     total = ends[-1]
     starts = ends - cost
 
-    o = jnp.arange(MAX_OUT, dtype=jnp.int32)
+    o = jnp.arange(max_out, dtype=jnp.int32)
     k = jnp.searchsorted(starts, o, side="right") - 1
     k = jnp.clip(k, 0, 2 * n - 1)
     q = o - starts[k]
     hdr = jnp.where(q == 0, h0[k], jnp.where(q == 1, h1[k], h2[k]))
-    pay_idx = jnp.clip(src[k] + q - hl[k], 0, B - 1)
+    pay_idx = jnp.clip(src[k] + q - hl[k], 0, bs - 1)
     byte = jnp.where(q < hl[k], hdr, block[pay_idx].astype(jnp.int32))
     byte = jnp.where(o < total, byte, 0)
     return byte.astype(jnp.uint8), total
 
 
-def _encode_one(block):
-    v32 = _u32_values(block)
-    cand = _candidates(v32)
-    L = _match_lengths(block, v32, cand)
-    lit_src, lit_len, mlen, moff = _parse(cand, L)
-    return _emit(block, lit_src, lit_len, mlen, moff)
+def _encode_one(block, bs, tile):
+    v32 = _u32_values(block, bs)
+    cand = _candidates(v32, bs)
+    L = _match_lengths(block, v32, cand, bs)
+    lit_src, lit_len, mlen, moff = _parse(cand, L, bs, tile)
+    return _emit(block, lit_src, lit_len, mlen, moff, bs)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def s2_encode_blocks(blocks):
-    """Encode a batch of 64 KiB blocks on device.
+@functools.partial(jax.jit, static_argnames=("tile",))
+def s2_encode_blocks(blocks, tile: int = TILE):
+    """Encode a batch of blocks on device.
 
-    blocks: (NB, 65536) uint8.
-    Returns (out, lens): (NB, MAX_OUT) uint8 bodies and (NB,) int32 lengths.
+    blocks: (NB, block_size) uint8 (block_size <= 65536 so offsets fit
+    copy1/copy2 tags; a power of two divisible by `tile`).
+    Returns (out, lens): (NB, block_size*3//2) uint8 bodies + int32 lengths.
     """
-    return jax.vmap(_encode_one)(blocks)
+    bs = blocks.shape[-1]
+    return jax.vmap(lambda b: _encode_one(b, bs, tile))(blocks)
 
 
 # ---------------------------------------------------------------------------

@@ -8,10 +8,18 @@ Must be set before JAX is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the ambient environment points at the tunneled TPU —
+# tests never consume real-chip time; bench.py is the only real-chip user.
+# The axon sitecustomize imports jax at interpreter startup, so the env var
+# alone is too late: override via jax.config as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 
