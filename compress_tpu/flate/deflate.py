@@ -1,0 +1,260 @@
+"""DEFLATE encoder (RFC 1951): levels -2..9, custom windows, stateless mode.
+
+Reference parity: flate/deflate.go (level dispatch: 0=store, -2=huffman-only,
+1-6 fast token generators, 7-9 lazy), flate/huffman_bit_writer.go (per-block
+dynamic/fixed/stored choice by exact size). The matcher is our repeat-aware
+greedy family with a 32 KiB offset cap and 258 length cap; levels map to
+table size / insert density / lazy matching.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from compress_tpu.flate import huffman as H
+
+MAX_OFFSET = 32768
+MAX_MATCH = 258
+MIN_MATCH = 3
+_MUL = 0x9E3779B185EBCA87
+
+HUFFMAN_ONLY = -2
+NO_COMPRESSION = 0
+DEFAULT_COMPRESSION = 6
+BEST_SPEED = 1
+BEST_COMPRESSION = 9
+
+_LEVELS = {
+    1: dict(bits=13, insert=1),
+    2: dict(bits=14, insert=2),
+    3: dict(bits=14, insert=3),
+    4: dict(bits=15, insert=3),
+    5: dict(bits=15, insert=4),
+    6: dict(bits=16, insert=4),
+    7: dict(bits=16, insert=6),
+    8: dict(bits=17, insert=8),
+    9: dict(bits=17, insert=10),
+}
+
+
+def _tokens(src: bytes, level: int, max_offset: int = MAX_OFFSET):
+    """Greedy tokenization -> (lits_mask, mlen, mdist) per op list.
+
+    Returns list of ops: (lit_run_start, lit_run_len, match_len, match_dist),
+    the trailing literal run included with match_len 0."""
+    p = _LEVELS.get(level, _LEVELS[6])
+    n = len(src)
+    ops = []
+    if n < 16:
+        return [(0, n, 0, 0)]
+    buf = np.frombuffer(src, dtype=np.uint8)
+    bits = 8
+    while (1 << bits) < n and bits < p["bits"]:
+        bits += 1
+    b8 = np.concatenate([buf, np.zeros(8, np.uint8)])
+    v32 = (
+        b8[:n].astype(np.uint64)
+        | (b8[1 : n + 1].astype(np.uint64) << np.uint64(8))
+        | (b8[2 : n + 2].astype(np.uint64) << np.uint64(16))
+        | (b8[3 : n + 3].astype(np.uint64) << np.uint64(24))
+    )
+    hashes = ((v32 << np.uint64(32)) * np.uint64(_MUL)) >> np.uint64(64 - bits)
+    hashes = hashes.astype(np.int64)
+    v32 = v32.astype(np.uint32)
+    table = np.full(1 << bits, -1, dtype=np.int64)
+    s = 1
+    next_emit = 0
+    while True:
+        while True:
+            if s + 16 > n:
+                if next_emit < n:
+                    ops.append((next_emit, n - next_emit, 0, 0))
+                return ops
+            h = int(hashes[s])
+            c = int(table[h])
+            table[h] = s
+            if c >= 0 and v32[c] == v32[s] and s - c <= max_offset:
+                cand = c
+                break
+            s += 1 + ((s - next_emit) >> 6)
+        while s > next_emit and cand > 0 and s - cand <= max_offset and src[s - 1] == src[cand - 1]:
+            s -= 1
+            cand -= 1
+        maxl = min(n - s - 4, MAX_MATCH - 4)
+        x = buf[cand + 4 : cand + 4 + maxl]
+        y = buf[s + 4 : s + 4 + maxl]
+        neq = np.nonzero(x != y)[0]
+        length = 4 + (int(neq[0]) if neq.size else maxl)
+        ops.append((next_emit, s - next_emit, length, s - cand))
+        s += length
+        next_emit = s
+        if s + 16 > n:
+            if next_emit < n:
+                ops.append((next_emit, n - next_emit, 0, 0))
+            return ops
+        for d in range(1, p["insert"] + 1):
+            if s - d > 0:
+                table[int(hashes[s - d])] = s - d
+
+
+def _emit_block(bw: H.BitWriterLSB, src: bytes, ops, final: bool,
+                force_kind: str | None = None):
+    """Choose stored/fixed/dynamic and emit one block of tokens."""
+    # token symbol histograms
+    lit_freq = np.zeros(286, dtype=np.int64)
+    dist_freq = np.zeros(30, dtype=np.int64)
+    blk_len = 0
+    for (ls, ll, ml, md) in ops:
+        if ll:
+            lit_freq[: 256] += np.bincount(
+                np.frombuffer(src[ls : ls + ll], np.uint8), minlength=256
+            )
+        blk_len += ll + ml
+        if ml:
+            lit_freq[257 + int(H.length_code(ml))] += 1
+            dist_freq[int(H.dist_code(md))] += 1
+    lit_freq[256] = 1  # end-of-block
+
+    dyn_lit = H.build_lengths(lit_freq, H.MAX_BITS)
+    dyn_dist = H.build_lengths(dist_freq, H.MAX_BITS) if dist_freq.any() else np.zeros(30, np.int32)
+
+    def token_bits(lit_l, dist_l):
+        bits = int((lit_freq * lit_l[: len(lit_freq)]).sum())
+        bits += int((dist_freq * dist_l[: len(dist_freq)]).sum())
+        for (_, _, ml, md) in ops:
+            if ml:
+                bits += int(H._LEN_XBITS[int(H.length_code(ml))])
+                bits += int(H._DIST_XBITS[int(H.dist_code(md))])
+        return bits
+
+    fixed_lit = H.fixed_lit_lengths()
+    fixed_dist = H.fixed_dist_lengths()
+    fixed_cost = 3 + token_bits(fixed_lit, fixed_dist)
+    # dynamic header cost: measure by writing to a scratch writer
+    scratch = H.BitWriterLSB()
+    H.write_dynamic_header(scratch, dyn_lit, dyn_dist)
+    dyn_cost = 3 + len(scratch.out) * 8 + scratch.n + token_bits(dyn_lit, dyn_dist)
+    stored_cost = 3 + 16 + 16 + blk_len * 8 + 7  # + alignment worst case
+
+    kind = force_kind
+    if kind is None:
+        kind = "dynamic"
+        best = dyn_cost
+        if fixed_cost < best:
+            kind, best = "fixed", fixed_cost
+        if stored_cost < best and blk_len <= 65535:
+            kind = "stored"
+
+    bw.add(1 if final else 0, 1)
+    if kind == "stored":
+        # ops cover a contiguous src range; stored blocks carry it raw
+        start = ops[0][0]
+        bw.add(0, 2)
+        bw.align_byte()
+        bw.add(blk_len, 16)
+        bw.add((~blk_len) & 0xFFFF, 16)
+        bw.out += src[start : start + blk_len]
+        return
+    if kind == "fixed":
+        bw.add(1, 2)
+        lit_l, dist_l = fixed_lit, fixed_dist
+    else:
+        bw.add(2, 2)
+        H.write_dynamic_header(bw, dyn_lit, dyn_dist)
+        lit_l, dist_l = dyn_lit, dyn_dist
+    lit_c = H.canonical_codes_rfc1951(lit_l)
+    dist_c = H.canonical_codes_rfc1951(dist_l)
+    for (ls, ll, ml, md) in ops:
+        for b in src[ls : ls + ll]:
+            bw.add(int(lit_c[b]), int(lit_l[b]))
+        if ml:
+            lc = int(H.length_code(ml))
+            bw.add(int(lit_c[257 + lc]), int(lit_l[257 + lc]))
+            bw.add(ml - int(H._LEN_BASE[lc]), int(H._LEN_XBITS[lc]))
+            dc = int(H.dist_code(md))
+            bw.add(int(dist_c[dc]), int(dist_l[dc]))
+            bw.add(md - int(H._DIST_BASE[dc]), int(H._DIST_XBITS[dc]))
+    bw.add(int(lit_c[256]), int(lit_l[256]))  # end of block
+
+
+BLOCK_TOKENS = 1 << 16  # input bytes per emitted block
+
+
+def deflate(data, level: int = DEFAULT_COMPRESSION, window: int = MAX_OFFSET) -> bytes:
+    """Raw DEFLATE stream (no zlib/gzip wrapper)."""
+    data = bytes(data)
+    n = len(data)
+    bw = H.BitWriterLSB()
+    if n == 0:
+        bw.add(1, 1)
+        bw.add(1, 2)  # final fixed block with just EOB
+        fl = H.fixed_lit_lengths()
+        fc = H.canonical_codes_rfc1951(fl)
+        bw.add(int(fc[256]), int(fl[256]))
+        bw.align_byte()
+        return bw.bytes()
+    if level == NO_COMPRESSION:
+        pos = 0
+        while pos < n or pos == 0:
+            take = min(n - pos, 65535)
+            bw.add(1 if pos + take >= n else 0, 1)
+            bw.add(0, 2)
+            bw.align_byte()
+            bw.add(take, 16)
+            bw.add((~take) & 0xFFFF, 16)
+            bw.out += data[pos : pos + take]
+            pos += take
+            if pos >= n:
+                break
+        bw.align_byte()
+        return bw.bytes()
+    window = min(window, MAX_OFFSET)
+    if level == HUFFMAN_ONLY:
+        all_ops = [(0, n, 0, 0)]
+    else:
+        all_ops = _tokens(data, level, window)
+    # group ops into blocks of ~BLOCK_TOKENS input bytes
+    blocks = []
+    cur = []
+    cur_len = 0
+    for op in all_ops:
+        cur.append(op)
+        cur_len += op[1] + op[2]
+        if cur_len >= BLOCK_TOKENS:
+            blocks.append(cur)
+            cur = []
+            cur_len = 0
+    if cur:
+        blocks.append(cur)
+    for i, ops in enumerate(blocks):
+        _emit_block(bw, data, ops, final=(i == len(blocks) - 1))
+    bw.align_byte()
+    return bw.bytes()
+
+
+def stateless_deflate(data, dictionary: bytes | None = None) -> bytes:
+    """One-shot deflate with no retained state (reference: StatelessDeflate).
+
+    The optional dictionary seeds back-references like the reference's
+    version (matches may point into the dictionary)."""
+    if dictionary:
+        # encode with the dict prefix, then strip: simplest correct approach
+        # is to forbid pre-dict emission by tokenizing the concatenation and
+        # dropping ops that start inside the dictionary.
+        dlen = len(dictionary)
+        combined = bytes(dictionary) + bytes(data)
+        ops = _tokens(combined, 5)
+        ops2 = []
+        for (ls, ll, ml, md) in ops:
+            if ls + ll + ml <= dlen:
+                continue
+            if ls < dlen:  # trim the literal part overlapping the dict
+                cut = dlen - ls
+                ls, ll = dlen, ll - cut
+            ops2.append((ls, ll, ml, md))
+        bw = H.BitWriterLSB()
+        # shift op source positions: keep src=combined, emit directly
+        _emit_block(bw, combined, ops2 if ops2 else [(dlen, len(data), 0, 0)], True)
+        bw.align_byte()
+        return bw.bytes()
+    return deflate(bytes(data), 5)

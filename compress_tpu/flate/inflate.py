@@ -1,0 +1,250 @@
+"""INFLATE (RFC 1951) decoder with mid-stream checkpoints.
+
+Reference parity: flate/inflate.go (huffmanDecoder with primary table,
+resumable step machine, InflateCheckpoint/WithEobCallback/WithResumeFrom —
+flate/inflate.go:882-911), flate/dict_decoder.go (32 KiB window).
+Validated against the stdlib zlib oracle both directions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from compress_tpu.flate import huffman as H
+
+
+class InflateError(ValueError):
+    pass
+
+
+@dataclass
+class Checkpoint:
+    """Resumable mid-stream state at an end-of-block boundary.
+
+    Reference: flate.InflateCheckpoint{UncompressedOffset, CompressedOffset,
+    BitOffset, Final, Window}."""
+
+    uncompressed_offset: int
+    compressed_offset: int  # byte offset into the deflate stream
+    bit_offset: int  # bits already consumed within that byte
+    final: bool
+    window: bytes  # last <=32 KiB of output
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes, pos: int = 0, bit: int = 0):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        if bit:
+            if pos >= len(data):
+                raise InflateError("truncated")
+            self.acc = data[pos] >> bit
+            self.n = 8 - bit
+            self.pos = pos + 1
+
+    def need(self, n: int):
+        while self.n < n:
+            if self.pos >= len(self.data):
+                raise InflateError("unexpected end of stream")
+            self.acc |= self.data[self.pos] << self.n
+            self.pos += 1
+            self.n += 8
+
+    def take(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self.need(n)
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.n -= n
+        return v
+
+    def align_byte(self):
+        drop = self.n & 7
+        self.acc >>= drop
+        self.n -= drop
+
+    def bit_position(self) -> tuple[int, int]:
+        """(byte_offset, bit_within_byte) of the next unread bit."""
+        byte = self.pos - self.n // 8
+        bit = (8 - self.n % 8) % 8
+        if bit:
+            byte -= 1
+        return byte, bit
+
+
+def _build_decode_table(lengths: np.ndarray):
+    """Full 2^maxlen lookup: index by next maxlen bits (LSB-first reversed)."""
+    maxlen = int(lengths.max())
+    if maxlen == 0:
+        return None, 0
+    size = 1 << maxlen
+    sym_t = np.full(size, -1, dtype=np.int32)
+    len_t = np.zeros(size, dtype=np.int32)
+    codes = H.canonical_codes_rfc1951(lengths)  # already bit-reversed
+    for s in range(len(lengths)):
+        l = int(lengths[s])
+        if not l:
+            continue
+        c = int(codes[s])
+        step = 1 << l
+        for idx in range(c, size, step):
+            sym_t[idx] = s
+            len_t[idx] = l
+    return (sym_t, len_t), maxlen
+
+
+def _decode_sym(br: _BitReader, table, maxlen: int) -> int:
+    sym_t, len_t = table
+    # peek up to maxlen bits (zero-padded at stream end)
+    while br.n < maxlen and br.pos < len(br.data):
+        br.acc |= br.data[br.pos] << br.n
+        br.pos += 1
+        br.n += 8
+    idx = br.acc & ((1 << maxlen) - 1)
+    s = int(sym_t[idx])
+    l = int(len_t[idx])
+    if s < 0 or l > br.n:
+        raise InflateError("invalid huffman code")
+    br.acc >>= l
+    br.n -= l
+    return s
+
+
+def _read_dynamic_tables(br: _BitReader):
+    hlit = br.take(5) + 257
+    hdist = br.take(5) + 1
+    hclen = br.take(4) + 4
+    clen = np.zeros(19, dtype=np.int32)
+    for k in range(hclen):
+        clen[H.CLEN_ORDER[k]] = br.take(3)
+    ctab, cmax = _build_decode_table(clen)
+    if ctab is None:
+        raise InflateError("empty code-length table")
+    lengths = np.zeros(hlit + hdist, dtype=np.int32)
+    i = 0
+    while i < hlit + hdist:
+        s = _decode_sym(br, ctab, cmax)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+        elif s == 16:
+            if i == 0:
+                raise InflateError("repeat with no previous length")
+            r = 3 + br.take(2)
+            lengths[i : i + r] = lengths[i - 1]
+            i += r
+        elif s == 17:
+            i += 3 + br.take(3)
+        else:
+            i += 11 + br.take(7)
+    if i > hlit + hdist:
+        raise InflateError("code lengths overflow")
+    lit_l = lengths[:hlit]
+    dist_l = lengths[hlit:]
+    if lit_l[256] == 0:
+        raise InflateError("missing end-of-block code")
+    return _build_decode_table(lit_l), _build_decode_table(dist_l)
+
+
+_FIXED_LIT = None
+_FIXED_DIST = None
+
+
+def _fixed_tables():
+    global _FIXED_LIT, _FIXED_DIST
+    if _FIXED_LIT is None:
+        _FIXED_LIT = _build_decode_table(H.fixed_lit_lengths())
+        _FIXED_DIST = _build_decode_table(H.fixed_dist_lengths())
+    return _FIXED_LIT, _FIXED_DIST
+
+
+def inflate(data, max_size: int = 1 << 31, eob_callback=None,
+            resume_from: Checkpoint | None = None,
+            prefix: bytes = b"") -> bytes:
+    """Decode a raw DEFLATE stream.
+
+    eob_callback(Checkpoint) fires at every end-of-block (reference:
+    WithEobCallback); resume_from continues from a checkpoint (reference:
+    WithResumeFrom); prefix seeds the window (dictionary)."""
+    data = bytes(data)
+    if resume_from is not None:
+        br = _BitReader(data, resume_from.compressed_offset, resume_from.bit_offset)
+        out = bytearray()
+        window = bytearray(resume_from.window)
+        base_off = resume_from.uncompressed_offset
+        if resume_from.final:
+            return b""
+    else:
+        br = _BitReader(data)
+        out = bytearray()
+        window = bytearray(prefix[-32768:]) if prefix else bytearray()
+        base_off = 0
+
+    def backref(dist: int, length: int):
+        if dist > len(out) + len(window):
+            raise InflateError("distance too far back")
+        for _ in range(length):
+            if dist > len(out):
+                b = window[len(window) - (dist - len(out))]
+            else:
+                b = out[-dist]
+            out.append(b)
+        if len(out) > max_size:
+            raise InflateError("output exceeds limit")
+
+    while True:
+        final = br.take(1)
+        btype = br.take(2)
+        if btype == 0:
+            br.align_byte()
+            ln = br.take(16)
+            nln = br.take(16)
+            if ln != (~nln) & 0xFFFF:
+                raise InflateError("stored length mismatch")
+            start = br.pos - br.n // 8
+            if start + ln > len(data):
+                raise InflateError("stored block truncated")
+            out += data[start : start + ln]
+            br.pos = start + ln
+            br.acc = 0
+            br.n = 0
+        elif btype in (1, 2):
+            if btype == 1:
+                (lit_tab, lit_max), (dist_tab, dist_max) = _fixed_tables()
+            else:
+                (lit_tab, lit_max), (dist_tab, dist_max) = _read_dynamic_tables(br)
+            while True:
+                s = _decode_sym(br, (lit_tab), lit_max)
+                if s < 256:
+                    out.append(s)
+                    if len(out) > max_size:
+                        raise InflateError("output exceeds limit")
+                elif s == 256:
+                    break
+                else:
+                    lc = s - 257
+                    if lc >= 29:
+                        raise InflateError("invalid length code")
+                    length = int(H._LEN_BASE[lc]) + br.take(int(H._LEN_XBITS[lc]))
+                    if dist_tab is None:
+                        raise InflateError("match with empty distance table")
+                    dc = _decode_sym(br, dist_tab, dist_max)
+                    if dc >= 30:
+                        raise InflateError("invalid distance code")
+                    dist = int(H._DIST_BASE[dc]) + br.take(int(H._DIST_XBITS[dc]))
+                    backref(dist, length)
+        else:
+            raise InflateError("reserved block type")
+        if eob_callback is not None:
+            byte, bit = br.bit_position()
+            win = (bytes(window) + bytes(out))[-32768:]
+            eob_callback(Checkpoint(base_off + len(out), byte, bit, bool(final), win))
+        if final:
+            return bytes(out)

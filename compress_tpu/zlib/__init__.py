@@ -1,0 +1,92 @@
+"""zlib (RFC 1950) wrapper over our flate codec.
+
+Reference parity: zlib/writer.go + zlib/reader.go — 2-byte header, FDICT
+dictionary support, adler32 trailer.
+"""
+
+from __future__ import annotations
+
+import zlib as _zlib  # stdlib: adler32 only
+
+from compress_tpu.flate import deflate, inflate
+
+_DEFLATE_CM = 8
+
+
+class ZlibError(ValueError):
+    pass
+
+
+def compress(data, level: int = 6, dictionary: bytes | None = None) -> bytes:
+    data = bytes(data)
+    cmf = _DEFLATE_CM | (7 << 4)  # 32K window
+    flevel = 0 if level < 2 else (1 if level < 6 else (2 if level < 8 else 3))
+    flg = flevel << 6
+    if dictionary:
+        flg |= 0x20
+    # FCHECK: make (cmf*256 + flg) % 31 == 0
+    rem = (cmf * 256 + flg) % 31
+    if rem:
+        flg += 31 - rem
+    out = bytearray([cmf, flg])
+    if dictionary:
+        out += (_zlib.adler32(dictionary) & 0xFFFFFFFF).to_bytes(4, "big")
+        # the dictionary is pure history: tokenize dict+data, keep only ops
+        # that emit data bytes, trimming across the boundary
+        from compress_tpu.flate.deflate import _tokens, _emit_block
+        from compress_tpu.flate import huffman as H
+
+        combined = bytes(dictionary) + data
+        dlen = len(dictionary)
+        raw = _tokens(combined, level if level > 0 else 6)
+        fixed_ops = []
+        for (ls, ll, ml, md) in raw:
+            if ls + ll + ml <= dlen:
+                continue
+            if ls < dlen:
+                cut = dlen - ls
+                if cut < ll:
+                    ls, ll = dlen, ll - cut
+                else:
+                    # boundary inside the match: emit match part as literals
+                    rest = ls + ll + ml - dlen
+                    fixed_ops.append((dlen, rest, 0, 0))
+                    continue
+            fixed_ops.append((ls, ll, ml, md))
+        bw = H.BitWriterLSB()
+        _emit_block(bw, combined, fixed_ops or [(dlen, len(data), 0, 0)], True)
+        bw.align_byte()
+        out += bw.bytes()
+    else:
+        out += deflate(data, level)
+    out += (_zlib.adler32(data) & 0xFFFFFFFF).to_bytes(4, "big")
+    return bytes(out)
+
+
+def decompress(blob, dictionary: bytes | None = None, max_size: int = 1 << 31) -> bytes:
+    blob = bytes(blob)
+    if len(blob) < 6:
+        raise ZlibError("too short")
+    cmf, flg = blob[0], blob[1]
+    if cmf & 0x0F != _DEFLATE_CM:
+        raise ZlibError("unknown compression method")
+    if (cmf * 256 + flg) % 31 != 0:
+        raise ZlibError("bad header check")
+    pos = 2
+    prefix = b""
+    if flg & 0x20:
+        if dictionary is None:
+            raise ZlibError("dictionary required")
+        want = int.from_bytes(blob[pos : pos + 4], "big")
+        if _zlib.adler32(dictionary) & 0xFFFFFFFF != want:
+            raise ZlibError("dictionary checksum mismatch")
+        prefix = bytes(dictionary)
+        pos += 4
+    data = inflate(blob[pos:-4], max_size=max_size, prefix=prefix)
+    want = int.from_bytes(blob[-4:], "big")
+    if _zlib.adler32(data) & 0xFFFFFFFF != want:
+        raise ZlibError("adler32 mismatch")
+    return data
+
+
+__all__ = ["compress", "decompress", "ZlibError"]
