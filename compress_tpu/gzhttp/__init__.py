@@ -1,0 +1,222 @@
+"""gzhttp — transparent HTTP compression middleware (WSGI) + client helper.
+
+Reference parity: gzhttp/ — GzipHandler/NewWrapper server middleware with
+MinSize buffering, content-type filtering, Accept-Encoding q-value
+negotiation (case-insensitive, RFC 7231), optional zstd responses
+(EnableZstd/PreferZstd), BREACH-mitigating random length jitter
+(RandomJitter), ETag suffix/drop, request-body decompression
+(AllowCompressedRequests); and Transport, the client round-tripper that
+advertises gzip+zstd and transparently decodes (gzhttp/transport.go).
+The Go reference wraps http.Handler; the Python-native surface is WSGI.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+
+from compress_tpu import gzip as tgzip
+from compress_tpu import zstd as tzstd
+from compress_tpu.zstd.frame import write_skippable_frame
+
+DEFAULT_MIN_SIZE = 1400  # reference: DefaultMinSize
+
+
+def parse_accept_encoding(header: str) -> dict[str, float]:
+    """Accept-Encoding with q-values, case-insensitive (RFC 7231 §5.3)."""
+    out: dict[str, float] = {}
+    for part in (header or "").split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, params = part.partition(";")
+        q = 1.0
+        for p in params.split(";"):
+            p = p.strip()
+            if p.lower().startswith("q="):
+                try:
+                    q = float(p[2:])
+                except ValueError:
+                    q = 0.0
+        out[name.strip().lower()] = q
+    return out
+
+
+def negotiate(header: str, zstd_enabled: bool, prefer_zstd: bool) -> str | None:
+    accepted = parse_accept_encoding(header)
+    gz = accepted.get("gzip", accepted.get("*", 0.0))
+    zs = accepted.get("zstd", accepted.get("*", 0.0)) if zstd_enabled else 0.0
+    if gz <= 0 and zs <= 0:
+        return None
+    if zs > 0 and (prefer_zstd or zs > gz or gz <= 0):
+        return "zstd"
+    return "gzip" if gz > 0 else None
+
+
+class GzipMiddleware:
+    """WSGI middleware — the GzipHandler/NewWrapper equivalent.
+
+    Options mirror the reference: min_size (MinSize), level
+    (CompressionLevel), content_types (ContentTypes), enable_zstd /
+    prefer_zstd / zstd_level, suffix_etag / drop_etag, random_jitter
+    (RandomJitter BREACH mitigation), allow_compressed_requests."""
+
+    def __init__(self, app, min_size: int = DEFAULT_MIN_SIZE, level: int = 5,
+                 content_types=None, except_content_types=None,
+                 enable_zstd: bool = False, prefer_zstd: bool = False,
+                 zstd_level: int = 2, suffix_etag: str = "",
+                 drop_etag: bool = False, random_jitter: int = 0,
+                 jitter_buffer: int = 1 << 16,
+                 allow_compressed_requests: bool = False,
+                 keep_accept_ranges: bool = False):
+        self.app = app
+        self.min_size = min_size
+        self.level = max(1, min(level, 9))
+        self.content_types = content_types
+        self.except_content_types = except_content_types
+        self.enable_zstd = enable_zstd
+        self.prefer_zstd = prefer_zstd
+        self.zstd_level = zstd_level
+        self.suffix_etag = suffix_etag
+        self.drop_etag = drop_etag
+        self.random_jitter = random_jitter
+        self.jitter_buffer = jitter_buffer
+        self.allow_compressed_requests = allow_compressed_requests
+        self.keep_accept_ranges = keep_accept_ranges
+
+    def _type_ok(self, ctype: str) -> bool:
+        base = (ctype or "").split(";")[0].strip().lower()
+        if self.except_content_types and base in self.except_content_types:
+            return False
+        if self.content_types is not None:
+            return base in self.content_types
+        return True
+
+    def __call__(self, environ, start_response):
+        # request body decompression (AllowCompressedRequests)
+        if self.allow_compressed_requests:
+            ce = (environ.get("HTTP_CONTENT_ENCODING") or "").lower()
+            if ce in ("gzip", "zstd"):
+                body = environ["wsgi.input"].read()
+                if ce == "gzip":
+                    body, _ = tgzip.decompress(body)
+                else:
+                    body = tzstd.decompress(body)
+                environ["wsgi.input"] = io.BytesIO(body)
+                environ["CONTENT_LENGTH"] = str(len(body))
+                del environ["HTTP_CONTENT_ENCODING"]
+
+        enc = negotiate(environ.get("HTTP_ACCEPT_ENCODING", ""),
+                        self.enable_zstd, self.prefer_zstd)
+        captured = {}
+
+        def cap_start(status, headers, exc_info=None):
+            captured["status"] = status
+            captured["headers"] = headers
+            return lambda b: None
+
+        chunks = [c for c in self.app(environ, cap_start)]
+        body = b"".join(chunks)
+        status = captured["status"]
+        headers = list(captured["headers"])
+        hmap = {k.lower(): v for k, v in headers}
+
+        skip = (
+            enc is None
+            or len(body) < self.min_size
+            or "content-encoding" in hmap
+            or "content-range" in hmap
+            or not self._type_ok(hmap.get("content-type", ""))
+        )
+        if skip:
+            start_response(status, headers)
+            return [body]
+
+        if enc == "zstd":
+            comp = tzstd.compress(body, level=self.zstd_level, checksum=True)
+            if self.random_jitter:
+                comp = self._jitter_zstd(comp, body) + comp
+        else:
+            comp = tgzip.compress(body, self.level)
+            if self.random_jitter:
+                comp = self._jitter_gzip(body) + comp
+        if len(comp) >= len(body):
+            start_response(status, headers)
+            return [body]
+
+        out_headers = []
+        for k, v in headers:
+            kl = k.lower()
+            if kl in ("content-length", "accept-ranges") and not (
+                kl == "accept-ranges" and self.keep_accept_ranges
+            ):
+                continue
+            if kl == "etag":
+                if self.drop_etag:
+                    continue
+                if self.suffix_etag and v.endswith('"'):
+                    v = v[:-1] + self.suffix_etag + '"'
+            out_headers.append((k, v))
+        out_headers.append(("Content-Encoding", enc))
+        out_headers.append(("Vary", "Accept-Encoding"))
+        out_headers.append(("Content-Length", str(len(comp))))
+        start_response(status, out_headers)
+        return [comp]
+
+    def _content_hash(self, body: bytes) -> int:
+        h = hashlib.sha256(body[: self.jitter_buffer]).digest()
+        return int.from_bytes(h[:4], "little")
+
+    def _jitter_zstd(self, comp: bytes, body: bytes) -> bytes:
+        # length hiding: content-derived padding in a skippable frame
+        # (reference: writeZstdSkippableFrame, gzhttp/compress.go:480)
+        n = self._content_hash(body) % self.random_jitter
+        return write_skippable_frame(bytes(n), 0x50 & 0xF)
+
+    def _jitter_gzip(self, body: bytes) -> bytes:
+        # gzip jitter: an empty-name extra gzip member of padded size
+        n = self._content_hash(body) % self.random_jitter
+        return tgzip.compress(b"", 1, header=tgzip.Header(extra=bytes(n)))
+
+
+def gzip_handler(app, **opts):
+    """Reference: gzhttp.GzipHandler(h) — middleware with defaults."""
+    return GzipMiddleware(app, **opts)
+
+
+class Transport:
+    """Client-side transparent decompression (reference: gzhttp.Transport).
+
+    Wraps a callable request fn: (method, url, headers, body) ->
+    (status, headers, body); advertises gzip+zstd and decodes responses."""
+
+    def __init__(self, inner, enable_zstd: bool = True,
+                 always_decompress: bool = False):
+        self.inner = inner
+        self.enable_zstd = enable_zstd
+        self.always_decompress = always_decompress
+
+    def __call__(self, method, url, headers=None, body=None):
+        headers = dict(headers or {})
+        asked = False
+        if "accept-encoding" not in {k.lower() for k in headers}:
+            headers["Accept-Encoding"] = "gzip,zstd" if self.enable_zstd else "gzip"
+            asked = True
+        status, rheaders, rbody = self.inner(method, url, headers, body)
+        hmap = {k.lower(): v for k, v in rheaders.items()} if isinstance(
+            rheaders, dict) else {k.lower(): v for k, v in rheaders}
+        ce = hmap.get("content-encoding", "").lower()
+        if (asked or self.always_decompress) and ce in ("gzip", "zstd"):
+            if ce == "gzip":
+                rbody, _ = tgzip.decompress(rbody)
+            else:
+                rbody = tzstd.decompress(rbody)
+            hmap.pop("content-encoding", None)
+            hmap.pop("content-length", None)
+        return status, hmap, rbody
+
+
+__all__ = [
+    "GzipMiddleware", "gzip_handler", "Transport",
+    "parse_accept_encoding", "negotiate", "DEFAULT_MIN_SIZE",
+]

