@@ -31,8 +31,19 @@ class ZstdError(ValueError):
 
 
 def decompress(data, max_size: int = MAX_DECODED_SIZE,
-               max_window: int = 1 << 31) -> bytes:
-    """Decode all frames in data (reference: Decoder.DecodeAll)."""
+               max_window: int = 1 << 31, dicts=None,
+               ignore_checksum: bool = False) -> bytes:
+    """Decode all frames in data (reference: Decoder.DecodeAll).
+
+    dicts: iterable of zstd.dict.Dict (or raw dict blobs) selected by the
+    frame's dictionary ID (reference: WithDecoderDicts)."""
+    from compress_tpu.zstd.dict import Dict, load_dict
+
+    dict_map = {}
+    for d in dicts or ():
+        if not isinstance(d, Dict):
+            d = load_dict(d)
+        dict_map[d.id] = d
     data = bytes(data)
     pos = 0
     out_all = bytearray()
@@ -54,6 +65,18 @@ def decompress(data, max_size: int = MAX_DECODED_SIZE,
         if h.frame_content_size is not None and h.frame_content_size > max_size:
             raise ZstdError("decoded size exceeds limit")
         hist = History(window_size=max(h.window_size, 1024))
+        if h.dict_id:
+            d = dict_map.get(h.dict_id)
+            if d is None:
+                raise ZstdError(f"frame needs dictionary id {h.dict_id}")
+            hist.window = bytearray(d.content)
+            hist.rep_offsets = d.reps
+            hist.huf_table = d.huf
+            hist.t_ll, hist.t_of, hist.t_ml = d.t_ll, d.t_of, d.t_ml
+        elif dict_map and 0 in dict_map:
+            d = dict_map[0]
+            hist.window = bytearray(d.content)
+            hist.rep_offsets = d.reps
         frame_out = bytearray()
         digest_parts = []
         while True:
@@ -103,10 +126,11 @@ def decompress(data, max_size: int = MAX_DECODED_SIZE,
         if h.has_checksum:
             if pos + 4 > len(data):
                 raise ZstdError("truncated checksum")
-            want = int.from_bytes(data[pos : pos + 4], "little")
-            got = xxh64(bytes(frame_out)) & 0xFFFFFFFF
-            if want != got:
-                raise ZstdError("checksum mismatch")
+            if not ignore_checksum:
+                want = int.from_bytes(data[pos : pos + 4], "little")
+                got = xxh64(bytes(frame_out)) & 0xFFFFFFFF
+                if want != got:
+                    raise ZstdError("checksum mismatch")
             pos += 4
         out_all += frame_out
     return bytes(out_all)

@@ -338,14 +338,19 @@ def encode_sequences_section(lls, mls, ofvals) -> bytes:
 
 
 def compress(data, level: int = 2, checksum: bool = False,
-             window_log: int | None = None) -> bytes:
-    """Encode data as one zstd frame (reference: Encoder.EncodeAll)."""
+             window_log: int | None = None, dict_=None) -> bytes:
+    """Encode data as one zstd frame (reference: Encoder.EncodeAll).
+
+    dict_: a zstd.dict.Dict — content becomes prefix history, initial rep
+    offsets come from the dictionary, and the frame carries its ID."""
     data = bytes(data)
     n = len(data)
-    single = n <= (1 << 20)
-    window = n if single else min(1 << (window_log or 23), max(n, 1024))
+    single = n <= (1 << 20) and dict_ is None
+    window = n if single else min(1 << (window_log or 23),
+                                  max(n + (len(dict_.content) if dict_ else 0), 1024))
     out = bytearray(
-        F.write_frame_header(n, max(window, 1), single, checksum)
+        F.write_frame_header(n, max(window, 1), single, checksum,
+                             dict_id=dict_.id if dict_ else 0)
     )
     if n == 0:
         out += (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")  # empty raw last
@@ -353,14 +358,28 @@ def compress(data, level: int = 2, checksum: bool = False,
             out += (xxh64(b"") & 0xFFFFFFFF).to_bytes(4, "little")
         return bytes(out)
 
-    matcher = Matcher(data, level)
-    reps = (1, 4, 8)
+    prefix = dict_.content if dict_ else b""
+    plen = len(prefix)
+    if plen:
+        combined = bytes(prefix) + data
+        matcher = Matcher(combined, level)
+        # seed the hash table with the dictionary positions (sequences
+        # discarded — this is enc_base resetBase dict loading, enc_base.go:160)
+        matcher.next_block(0, plen)
+        data_view = combined
+        base = plen
+        reps = dict_.reps
+    else:
+        matcher = Matcher(data, level)
+        data_view = data
+        base = 0
+        reps = (1, 4, 8)
     pos = 0
     while pos < n:
-        blk_start = pos
-        blk_end = min(pos + BLOCK_SIZE, n)
+        blk_start = base + pos
+        blk_end = base + min(pos + BLOCK_SIZE, n)
         lls, mls, offs, tail = matcher.next_block(blk_start, blk_end)
-        pos = blk_end
+        pos = blk_end - base
         last = pos >= n
         blk_regen = blk_end - blk_start
 
@@ -372,7 +391,7 @@ def compress(data, level: int = 2, checksum: bool = False,
             lit_parts = []
             p = blk_start
             for i in range(len(lls)):
-                lit_parts.append(data[p : p + int(lls[i])])
+                lit_parts.append(data_view[p : p + int(lls[i])])
                 p += int(lls[i]) + int(mls[i])
             lit_parts.append(tail)
             literals = b"".join(lit_parts)
@@ -382,7 +401,7 @@ def compress(data, level: int = 2, checksum: bool = False,
         if body is None or len(body) >= blk_regen:
             bh = (1 if last else 0) | (0 << 1) | (blk_regen << 3)
             out += bh.to_bytes(3, "little")
-            out += data[blk_start:blk_end]
+            out += data_view[blk_start:blk_end]
             # raw blocks don't touch rep offsets
         else:
             bh = (1 if last else 0) | (2 << 1) | (len(body) << 3)

@@ -1,0 +1,223 @@
+"""zstd streaming API: Writer and Reader over io objects.
+
+Reference parity: zstd.Encoder (NewWriter/Write/Flush/Close — one frame per
+stream until Close, flush emits completed blocks) and zstd.Decoder
+(NewReader/Read with incremental frame parsing, multi-frame streams,
+skippable frames, IOReadCloser). The parallel job engine lives in
+compress_tpu.parallel; this is the synchronous host layer.
+"""
+
+from __future__ import annotations
+
+import io
+
+from compress_tpu.utils.xxhash64 import xxh64
+from compress_tpu.zstd import block as B
+from compress_tpu.zstd import frame as F
+from compress_tpu.zstd import ZstdError, decompress
+
+
+class Writer:
+    """io.WriteCloser-style frame writer.
+
+    Buffers input and emits one complete frame on close() (flush() emits a
+    frame boundary: buffered bytes become a full frame, the next write
+    starts another — the window never spans a flush, like the reference's
+    EncodeAll-per-flush fallback path)."""
+
+    def __init__(self, dst, level: int = 2, checksum: bool = False,
+                 window_log: int | None = None, dict_=None,
+                 padding: int = 0):
+        self.dst = dst
+        self.level = level
+        self.checksum = checksum
+        self.window_log = window_log
+        self.dict_ = dict_
+        self.padding = padding
+        self._buf = bytearray()
+        self._written = 0
+        self._closed = False
+        self.n_input = 0  # reference: encoderState.nInput
+
+    def write(self, data) -> int:
+        if self._closed:
+            raise ZstdError("writer closed")
+        self._buf += bytes(data)
+        self.n_input += len(data)
+        return len(data)
+
+    def flush(self):
+        """Emit buffered data as a complete frame now."""
+        if self._buf or self._written == 0:
+            from compress_tpu.zstd.encoder import compress
+
+            frame = compress(bytes(self._buf), self.level, self.checksum,
+                             self.window_log, dict_=self.dict_)
+            self.dst.write(frame)
+            self._written += len(frame)
+            self._buf.clear()
+
+    def close(self):
+        if self._closed:
+            return
+        self.flush()
+        if self.padding:
+            pad = F.calc_skippable_frame(self._written, self.padding)
+            if pad:
+                self.dst.write(F.write_skippable_frame(bytes(pad - 8)))
+                self._written += pad
+        self._closed = True
+
+
+class Reader:
+    """io.Reader-style streaming decoder (reference: zstd.NewReader).
+
+    Parses frames incrementally from the source: per read, at most one block
+    is decoded beyond what is needed. Handles multi-frame concatenation and
+    skippable frames; verifies checksums."""
+
+    def __init__(self, src, max_window: int = 1 << 31,
+                 max_memory: int = 64 << 30, dicts=None,
+                 ignore_checksum: bool = False):
+        self.src = src
+        self.max_window = max_window
+        self.max_memory = max_memory
+        self.ignore_checksum = ignore_checksum
+        from compress_tpu.zstd.dict import Dict, load_dict
+
+        self.dicts = {}
+        for d in dicts or ():
+            if not isinstance(d, Dict):
+                d = load_dict(d)
+            self.dicts[d.id] = d
+        self._pending = b""
+        self._ppos = 0
+        self._hist = None
+        self._frame = None
+        self._frame_out = 0
+        self._hasher_parts = []
+        self._eof = False
+        self._total_out = 0
+
+    def _read_exact(self, n: int) -> bytes:
+        b = self.src.read(n)
+        if len(b) != n:
+            raise ZstdError("truncated stream")
+        return b
+
+    def _start_frame(self) -> bool:
+        while True:
+            magic = self.src.read(4)
+            if len(magic) == 0:
+                return False
+            if len(magic) < 4:
+                raise ZstdError("truncated magic")
+            m = int.from_bytes(magic, "little")
+            if (m & 0xFFFFFFF0) == F.SKIPPABLE_MAGIC_BASE:
+                size = int.from_bytes(self._read_exact(4), "little")
+                self._read_exact(size)
+                continue
+            if m != F.MAGIC:
+                raise ZstdError("bad magic")
+            break
+        # read the header incrementally: FHD determines remaining size
+        fhd = self._read_exact(1)
+        rest_len = 0
+        fhd_b = fhd[0]
+        if not (fhd_b & 0x20):
+            rest_len += 1  # window descriptor
+        rest_len += [0, 1, 2, 4][fhd_b & 3]
+        fcs = [0, 2, 4, 8][fhd_b >> 6]
+        if (fhd_b & 0x20) and (fhd_b >> 6) == 0:
+            fcs = 1
+        rest_len += fcs
+        rest = self._read_exact(rest_len)
+        h = F.parse_frame_header(magic + fhd + rest)
+        if h.window_size > self.max_window:
+            raise ZstdError("window too large")
+        self._frame = h
+        self._hist = B.History(window_size=max(h.window_size, 1024))
+        if h.dict_id:
+            d = self.dicts.get(h.dict_id)
+            if d is None:
+                raise ZstdError(f"frame needs dictionary id {h.dict_id}")
+            self._hist.window = bytearray(d.content)
+            self._hist.rep_offsets = d.reps
+            self._hist.huf_table = d.huf
+            self._hist.t_ll, self._hist.t_of, self._hist.t_ml = d.t_ll, d.t_of, d.t_ml
+        self._frame_out = 0
+        self._hasher_parts = []
+        return True
+
+    def _next_block(self) -> bool:
+        if self._frame is None:
+            if not self._start_frame():
+                self._eof = True
+                return False
+        bh = int.from_bytes(self._read_exact(3), "little")
+        last = bh & 1
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        if btype == B.BLOCK_RAW:
+            out = self._read_exact(bsize)
+        elif btype == B.BLOCK_RLE:
+            if bsize > B.MAX_BLOCK_SIZE:
+                raise ZstdError("RLE block too large")
+            out = self._read_exact(1) * bsize
+        elif btype == B.BLOCK_COMPRESSED:
+            if bsize > B.MAX_BLOCK_SIZE:
+                raise ZstdError("block too large")
+            body = self._read_exact(bsize)
+            try:
+                out = B.decode_block(body, self._hist, B.MAX_BLOCK_SIZE)
+            except (ValueError, IndexError) as e:
+                raise ZstdError(f"block decode failed: {e}") from e
+        else:
+            raise ZstdError("reserved block type")
+        self._hist.append(out)
+        self._frame_out += len(out)
+        self._total_out += len(out)
+        if self._total_out > self.max_memory:
+            raise ZstdError("decoded size exceeds limit")
+        if self._frame.has_checksum:
+            self._hasher_parts.append(out)
+        self._pending = out
+        self._ppos = 0
+        if last:
+            h = self._frame
+            if (h.frame_content_size is not None
+                    and self._frame_out != h.frame_content_size):
+                raise ZstdError("frame content size mismatch")
+            if h.has_checksum:
+                want = int.from_bytes(self._read_exact(4), "little")
+                if not self.ignore_checksum:
+                    got = xxh64(b"".join(self._hasher_parts)) & 0xFFFFFFFF
+                    if got != want:
+                        raise ZstdError("checksum mismatch")
+            self._frame = None
+        return True
+
+    def read(self, n: int = -1) -> bytes:
+        out = bytearray()
+        while n < 0 or len(out) < n:
+            if self._ppos >= len(self._pending):
+                if self._eof or not self._next_block():
+                    break
+                continue
+            avail = len(self._pending) - self._ppos
+            take = avail if n < 0 else min(avail, n - len(out))
+            out += self._pending[self._ppos : self._ppos + take]
+            self._ppos += take
+        return bytes(out)
+
+
+def encode_to(data, level: int = 2) -> bytes:
+    """Simple one-shot API (reference: zstd.EncodeTo, simple_go124.go)."""
+    from compress_tpu.zstd.encoder import compress
+
+    return compress(bytes(data), level)
+
+
+def decode_to(blob, max_size: int = 1 << 30) -> bytes:
+    """Simple one-shot API (reference: zstd.DecodeTo)."""
+    return decompress(blob, max_size=max_size)

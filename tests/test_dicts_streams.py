@@ -1,0 +1,119 @@
+"""zstd streaming API, s2 dictionaries, and the dict builder."""
+
+import io
+
+import numpy as np
+import pytest
+import zstandard
+
+from compress_tpu import dictbuilder
+from compress_tpu import zstd as Z
+from compress_tpu.s2 import dict as s2dict
+from compress_tpu.zstd import stream as zstream
+
+
+def _samples():
+    rng = np.random.default_rng(3)
+    base = b'{"event": "page_view", "url": "https://example.com/products/'
+    return [
+        base + str(i).encode() + b'", "ts": ' + str(1700000000 + i).encode() + b"}"
+        + rng.integers(97, 123, 20, dtype=np.uint8).tobytes()
+        for i in range(300)
+    ]
+
+
+def test_zstd_writer_reader_stream(corpus_file):
+    data = corpus_file.read_bytes()
+    buf = io.BytesIO()
+    w = zstream.Writer(buf, level=2, checksum=True)
+    for i in range(0, len(data), 65537):
+        w.write(data[i : i + 65537])
+    w.close()
+    blob = buf.getvalue()
+    # libzstd can stream-decode it
+    rdr = zstandard.ZstdDecompressor().stream_reader(io.BytesIO(blob),
+                                                     read_across_frames=True)
+    assert rdr.read() == data
+    # our streaming reader in small chunks
+    r = zstream.Reader(io.BytesIO(blob))
+    out = bytearray()
+    while True:
+        chunk = r.read(12345)
+        if not chunk:
+            break
+        out += chunk
+    assert bytes(out) == data
+
+
+def test_zstd_writer_flush_frames():
+    buf = io.BytesIO()
+    w = zstream.Writer(buf, padding=4096)
+    w.write(b"frame one " * 100)
+    w.flush()
+    w.write(b"frame two " * 100)
+    w.close()
+    blob = buf.getvalue()
+    assert len(blob) % 4096 == 0
+    assert zstream.Reader(io.BytesIO(blob)).read() == (
+        b"frame one " * 100 + b"frame two " * 100
+    )
+
+
+def test_zstd_reader_streams_libzstd_output():
+    data = open("/root/reference/testdata/html.txt", "rb").read()
+    blob = zstandard.ZstdCompressor(level=9, write_checksum=True).compress(data)
+    r = zstream.Reader(io.BytesIO(blob))
+    assert r.read() == data
+
+
+def test_simple_api():
+    data = b"simple api " * 500
+    assert zstream.decode_to(zstream.encode_to(data)) == data
+
+
+def test_s2_dict_roundtrip():
+    content = b"0123456789abcdefghijklmnopqrstuvwxyz" * 10
+    d = s2dict.make_dict(content)
+    blob = d.bytes()
+    d2 = s2dict.load_dict(blob)
+    assert d2.content == content and d2.repeat_into == d.repeat_into
+    data = b"abcdefghijklmnop... and now for something new: " + content[:50]
+    enc = s2dict.encode_with_dict(data, d)
+    assert s2dict.decode_with_dict(enc, d) == data
+    # dict must shrink output vs no-dict for dict-covered content
+    from compress_tpu import s2
+
+    assert len(enc) < len(s2.encode(data))
+
+
+def test_s2_dict_no_dict_blocks_still_decode():
+    """Valid blocks encoded without a dictionary decode with any dict."""
+    from compress_tpu import s2
+
+    d = s2dict.make_dict(b"x" * 64)
+    data = b"plain block data " * 50
+    assert s2dict.decode_with_dict(s2.encode(data), d) == data
+
+
+def test_dictbuilder_raw_and_formats():
+    samples = _samples()
+    raw = dictbuilder.build_raw_dict(samples, max_size=4096)
+    assert 16 <= len(raw) <= 4096
+    # the dict content should contain sample-like material
+    assert b"page_view" in raw or b"example.com" in raw
+    zd = dictbuilder.build_zstd_dict(samples, max_size=4096, dict_id=9)
+    from compress_tpu.zstd.dict import load_dict
+
+    d = load_dict(zd)
+    assert d.id == 9
+    s = samples[0]
+    enc = Z.compress(s, dict_=d)
+    assert Z.decompress(enc, dicts=[d]) == s
+    # ratio gain vs no dict across samples
+    with_d = sum(len(Z.compress(x, dict_=d)) for x in samples[:40])
+    without = sum(len(Z.compress(x)) for x in samples[:40])
+    assert with_d < without
+    s2d_blob = dictbuilder.build_s2_dict(samples, max_size=4096)
+    sd = s2dict.load_dict(s2d_blob)
+    enc2 = s2dict.encode_with_dict(samples[1], sd)
+    assert s2dict.decode_with_dict(enc2, sd) == samples[1]
