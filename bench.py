@@ -19,7 +19,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from compress_tpu.ops import lz
+    from compress_tpu.ops import lz2 as lz
 
     data = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()
     target = 16 << 20

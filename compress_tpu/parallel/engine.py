@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from compress_tpu.ops import lz
+from compress_tpu.ops import lz2 as lz
 from compress_tpu.utils.crc import crc32c_masked
 from compress_tpu.utils.varint import put_uvarint
 

@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import pytest
 
-from compress_tpu.ops import lz
+from compress_tpu.ops import lz2 as lz
 
 
 def _make_blocks(nb, bs, seed=0):
