@@ -152,7 +152,7 @@ def _parse(off, L, bs, tile):
 def _tile_out(tile: int) -> int:
     """Per-tile output bound: worst case is one all-literal run
     (tile + 3 header bytes); padded up to a lane multiple."""
-    return tile + 128
+    return tile + 64
 
 
 def _emit_batched(blocks, take, lit, L_t, off, bs, tile):
