@@ -228,16 +228,14 @@ def _emit_batched(blocks, take, lit, L_t, off, bs, tile):
            + jnp.roll(routed[:, 2], 2, axis=-1)
            + jnp.roll(routed[:, 3], 3, axis=-1)).astype(jnp.int32)  # (n, to)
 
-    # compaction: ascending sort of (global_dest << 8 | byte); invalid
-    # slots sort to the end.
+    # compaction: tile-major order is already the output order, so a
+    # stable monotone compaction (log-shift, no sort) finishes the job.
+    from compress_tpu.ops.common import compact_logshift
+
     w = jnp.arange(to, dtype=jnp.int32)[None, :]
-    g = tstart.reshape(n, 1) + w
-    valid = w < tile_total.reshape(n, 1)
-    key = jnp.where(valid, (g.astype(jnp.uint32) << 8) | buf.astype(jnp.uint32),
-                    jnp.uint32(0xFFFFFFFF))
-    skey = jnp.sort(key.reshape(nb, nt * to), axis=1)
-    o = jnp.arange(nt * to, dtype=jnp.int32)[None, :]
-    out = jnp.where(o < total[:, None], skey & 0xFF, 0).astype(jnp.uint8)
+    valid = (w < tile_total.reshape(n, 1)).reshape(nb, nt * to)
+    alive, (bytes_,) = compact_logshift(valid, [buf.reshape(nb, nt * to)])
+    out = jnp.where(alive, bytes_ & 0xFF, 0).astype(jnp.uint8)
     return out, total
 
 
