@@ -51,20 +51,26 @@ def compact_logshift(valid, arrays, fill=0):
     return alive, arrays
 
 
-def route_tiles(dests, planes, out_width, *, accumulate_shifts=0):
+def route_tiles(dests, planes, out_width, *, accumulate_shifts=0,
+                dtype=jnp.bfloat16):
     """Sum-route `planes` values to per-tile slots via a single one-hot.
 
     dests: (N, P) int32 slot index per item, all < out_width.
-    planes: list of (N, P) int32 values (<= 2^15 so bf16 stays exact after
-        summation headroom; callers keep values <= 255 or split fields).
+    planes: list of (N, P) int32 values. With dtype=bf16, values must be
+        <= 255 for exactness; use dtype=f32 for 16-bit planes (sums of
+        disjoint-bit 16-bit values stay < 2^24, exact in f32).
     accumulate_shifts: if k > 0, plane j is shifted j slots right in the
-        output (used for multi-byte headers sharing one one-hot).
-    Returns (N, out_width) int32 sums.
+        output (used for multi-slot items sharing one one-hot).
+    Returns (N, out_width) int32 sums (or (N, K, out_width) if not
+    accumulating).
     """
-    oh = jax.nn.one_hot(dests, out_width, dtype=jnp.bfloat16)  # (N, P, O)
-    stacked = jnp.stack(planes, axis=-1).astype(jnp.bfloat16)  # (N, P, K)
+    oh = jax.nn.one_hot(dests, out_width, dtype=dtype)  # (N, P, O)
+    stacked = jnp.stack(planes, axis=-1).astype(dtype)  # (N, P, K)
+    # TPU f32 dots default to bf16 passes; 16-bit payloads need exactness
+    prec = "highest" if dtype == jnp.float32 else None
     routed = jnp.einsum(
-        "tpk,tpo->tko", stacked, oh, preferred_element_type=jnp.float32
+        "tpk,tpo->tko", stacked, oh, preferred_element_type=jnp.float32,
+        precision=prec,
     )
     if accumulate_shifts:
         out = routed[:, 0]

@@ -120,12 +120,12 @@ def _rle_lengths(block, bs):
     return best_off, best_L
 
 
-def _parse(off, L, bs, tile):
+def _parse(off, L, bs, tile, cap=L_EMIT_CAP):
     """Position-scan greedy parse over per-position (offset, length)."""
     n_tiles = bs // tile
     i = jnp.arange(bs, dtype=jnp.int32)
     r = i % tile
-    L_t = jnp.minimum(jnp.minimum(L, tile - r), L_EMIT_CAP)
+    L_t = jnp.minimum(jnp.minimum(L, tile - r), cap)
     valid = (L_t >= 4)
     off = jnp.where(valid, off, 0)
 

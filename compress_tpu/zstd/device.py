@@ -1,0 +1,269 @@
+"""Host assembly for the device zstd encoder (ops/zdev.py).
+
+The device produces, per 16 KiB block: sequence triples, literal counts,
+huff0 4-stream bit-packed literal halves, and the FSE sequence bitstream
+halves. This module is the frameenc/blockenc byte-plumbing equivalent
+(reference zstd/frameenc.go, zstd/blockenc.go header paths): it picks
+raw/RLE/compressed per section, writes headers, splices the device
+streams, and appends the end-of-stream marker bits the device leaves to
+the host (one OR per stream).
+
+Rep-offset codes are never emitted (offset values are always offset+3),
+so blocks are assembled without tracking decoder rep state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from compress_tpu import huff0
+from compress_tpu.utils.xxhash64 import xxh64
+from compress_tpu.zstd import frame as F
+
+from compress_tpu.ops import zdev
+
+
+def _lit_header_raw(regen: int) -> bytes:
+    if regen < 32:
+        return bytes([0 | (regen << 3)])
+    if regen < 4096:
+        return (0 | (1 << 2) | (regen << 4)).to_bytes(2, "little")
+    return (0 | (3 << 2) | (regen << 4)).to_bytes(3, "little")
+
+
+def _lit_header_rle(regen: int) -> bytes:
+    if regen < 32:
+        return bytes([1 | (regen << 3)])
+    if regen < 4096:
+        return (1 | (1 << 2) | (regen << 4)).to_bytes(2, "little")
+    return (1 | (3 << 2) | (regen << 4)).to_bytes(3, "little")
+
+
+def _lit_header_comp(lit_type: int, regen: int, comp: int) -> bytes:
+    # 4-stream sizes; pick the smallest size_format that fits
+    if regen < 1 << 10 and comp < 1 << 10:
+        v = lit_type | (1 << 2) | (regen << 4) | (comp << 14)
+        return v.to_bytes(3, "little")
+    if regen < 1 << 14 and comp < 1 << 14:
+        v = lit_type | (2 << 2) | (regen << 4) | (comp << 18)
+        return v.to_bytes(4, "little")
+    v = lit_type | (3 << 2) | (regen << 4) | (comp << 22)
+    return v.to_bytes(5, "little")
+
+
+def _seq_count_header(n: int) -> bytes:
+    if n == 0:
+        return b"\x00"
+    if n < 128:
+        return bytes([n])
+    if n < 0x7F00:
+        return bytes([128 + (n >> 8), n & 0xFF])
+    return b"\xff" + (n - 0x7F00).to_bytes(2, "little")
+
+
+def _extract_literals(block: bytes, lls, mls, ns: int) -> bytes:
+    parts = []
+    p = 0
+    for i in range(ns):
+        parts.append(block[p : p + int(lls[i])])
+        p += int(lls[i]) + int(mls[i])
+    parts.append(block[p:])
+    return b"".join(parts)
+
+
+def _assemble_job(job_bytes: bytes, t, j: int, block: int):
+    """Yield per-block compressed bodies (or None for raw) for job j."""
+    nblk = len(job_bytes) // block
+    n_seqs = np.asarray(t["n_seqs"][j])
+    lit_cnt = np.asarray(t["lit_cnt"][j])
+    ll = np.asarray(t["ll"][j])
+    ml = np.asarray(t["ml"][j])
+    huff_ok = np.asarray(t["huff_ok"][j])
+    nbits = np.asarray(t["nbits"][j])
+    max_bits = np.asarray(t["max_bits"][j])
+    stream_bits = np.asarray(t["stream_bits"][j])
+    lit_halves = np.asarray(t["lit_halves"][j])
+    seq_halves = np.asarray(t["seq_halves"][j])
+    seq_total_bits = np.asarray(t["seq_total_bits"][j])
+
+    table_cache: dict = t.setdefault("_table_cache", {})
+
+    def huff_table_blob(b):
+        if not bool(huff_ok[b]):
+            return None
+        key = nbits[b].tobytes()
+        if key not in table_cache:
+            try:
+                table_cache[key] = huff0.write_table(
+                    nbits[b].astype(np.int64), int(max_bits[b]))
+            except Exception:
+                table_cache[key] = None
+        return table_cache[key]
+
+    # per-job FSE sequence tables: first seq-block carries them (FSE or RLE
+    # mode per table), later seq-blocks use Repeat_Mode
+    from compress_tpu.fse import core as fse_core
+
+    fse_norm = np.asarray(t["fse_norm"][j])
+    fse_log = np.asarray(t["fse_log"][j])
+    fse_rle = np.asarray(t["fse_rle"][j])
+    fse_rle_sym = np.asarray(t["fse_rle_sym"][j])
+    first_modes = []
+    first_extras = []
+    for k in range(3):
+        if bool(fse_rle[k]):
+            first_modes.append(1)
+            first_extras.append(bytes([int(fse_rle_sym[k])]))
+        else:
+            norm = fse_norm[k].astype(np.int64)
+            nz = np.nonzero(norm)[0]
+            first_modes.append(2)
+            first_extras.append(
+                fse_core.write_ncount(norm[: nz[-1] + 1], int(fse_log[k])))
+    tables_written = False
+
+    out = []
+    for b in range(nblk):
+        blk = job_bytes[b * block : (b + 1) * block]
+        if blk.count(blk[0]) == len(blk):
+            out.append(("rle", blk[:1]))
+            continue
+        ns = int(n_seqs[b])
+        lc = int(lit_cnt[b])
+        lits = _extract_literals(blk, ll[b], ml[b], ns)
+        assert len(lits) == lc, (len(lits), lc)
+
+        # ---- literal section candidates -------------------------------
+        lit_sec = _lit_header_raw(lc) + lits
+        if lc > 0 and lits.count(lits[0]) == lc:
+            rle = _lit_header_rle(lc) + lits[:1]
+            if len(rle) < len(lit_sec):
+                lit_sec = rle
+        table_blob = huff_table_blob(b)
+        if table_blob is not None and lc >= 256:
+            bq = stream_bits[b]
+            sb = [(int(x) + 1 + 7) // 8 for x in bq]          # incl. EOS bit
+            sh = [(int(x) + 16) >> 4 for x in bq]
+            sbase = [sh[1] + sh[2] + sh[3], sh[2] + sh[3], sh[3], 0]
+            hb = lit_halves[b].astype(np.uint16).tobytes()
+            streams = []
+            for q in range(4):
+                sbytes = bytearray(hb[2 * sbase[q] : 2 * sbase[q] + sb[q]])
+                eos = int(bq[q])
+                sbytes[eos >> 3] |= 1 << (eos & 7)
+                streams.append(bytes(sbytes))
+            if max(len(s) for s in streams[:3]) <= 0xFFFF:
+                body = table_blob
+                body += b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
+                body += b"".join(streams)
+                try:
+                    comp = _lit_header_comp(2, lc, len(body)) + body
+                except OverflowError:
+                    comp = None
+                if comp is not None and len(comp) < len(lit_sec):
+                    lit_sec = comp
+
+        # ---- sequence section ------------------------------------------
+        seq_sec = _seq_count_header(ns)
+        if ns > 0:
+            tb = int(seq_total_bits[b])
+            sb = (tb + 1 + 7) // 8
+            sbytes = bytearray(seq_halves[b].astype(np.uint16).tobytes()[:sb])
+            sbytes[tb >> 3] |= 1 << (tb & 7)
+            if not tables_written:
+                m = (first_modes[0] << 6) | (first_modes[1] << 4) | (first_modes[2] << 2)
+                seq_sec += bytes([m]) + b"".join(first_extras)
+            else:
+                seq_sec += bytes([(3 << 6) | (3 << 4) | (3 << 2)])
+            seq_sec += bytes(sbytes)
+
+        body = lit_sec + seq_sec
+        if len(body) < len(blk):
+            out.append(body)
+            # decoder-side FSE table state only advances when the
+            # compressed block is actually emitted
+            tables_written = tables_written or ns > 0
+        else:
+            out.append(None)
+    return out
+
+
+def compress_device(data, *, checksum: bool = False, job: int = zdev.JOB,
+                    block: int = zdev.BLOCK, encode_fn=None,
+                    max_launch_jobs: int = 16) -> bytes:
+    """Encode `data` as one zstd frame using the device encoder for all
+    full `job`-sized windows; the tail uses the host matcher (rep-free).
+
+    encode_fn: override for zdev.zstd_encode_jobs (tests pass smaller
+    geometry)."""
+    data = bytes(data)
+    n = len(data)
+    if n < job:
+        from compress_tpu.zstd.encoder import compress
+
+        return compress(data, level=1, checksum=checksum)
+    encode_fn = encode_fn or zdev.zstd_encode_jobs
+
+    n_jobs = n // job
+    out = bytearray(F.write_frame_header(n, job, False, checksum))
+    bodies = []
+    regens = []
+    for c in range(0, n_jobs, max_launch_jobs):
+        hi = min(c + max_launch_jobs, n_jobs)
+        arr = np.frombuffer(data[c * job : hi * job], np.uint8).reshape(-1, job)
+        import jax.numpy as jnp
+
+        t = encode_fn(jnp.asarray(arr), job=job, block=block)
+        t = {k: np.asarray(v) for k, v in t.items()}
+        for j in range(hi - c):
+            jb = data[(c + j) * job : (c + j + 1) * job]
+            for b, body in enumerate(_assemble_job(jb, t, j, block)):
+                bodies.append(body)
+                regens.append(block)
+
+    # tail: host matcher, rep-free offset values
+    tail = data[n_jobs * job :]
+    if tail:
+        from compress_tpu.zstd import encoder as E
+
+        matcher = E.Matcher(tail, 1)
+        pos = 0
+        while pos < len(tail):
+            end = min(pos + E.BLOCK_SIZE, len(tail))
+            lls, mls, offs, _tl = matcher.next_block(pos, end)
+            body = None
+            if len(lls):
+                vals = offs + 3  # never rep codes
+                lit_sec = E.encode_literals(
+                    _extract_literals(tail[pos:end], lls, mls, len(lls)))
+                seq_sec = E.encode_sequences_section(lls, mls, vals)
+                body = lit_sec + seq_sec
+            if body is not None and len(body) < end - pos:
+                bodies.append(body)
+            else:
+                bodies.append(None)
+            regens.append(end - pos)
+            if body is None:
+                bodies[-1] = None
+            pos = end
+        # raw fallback content comes from the tail region
+    # emit blocks
+    off = 0
+    for i, (body, regen) in enumerate(zip(bodies, regens)):
+        last = i == len(bodies) - 1
+        if body is None:
+            bh = (1 if last else 0) | (0 << 1) | (regen << 3)
+            out += bh.to_bytes(3, "little")
+            out += data[off : off + regen]
+        elif isinstance(body, tuple):  # ("rle", byte)
+            bh = (1 if last else 0) | (1 << 1) | (regen << 3)
+            out += bh.to_bytes(3, "little")
+            out += body[1]
+        else:
+            bh = (1 if last else 0) | (2 << 1) | (len(body) << 3)
+            out += bh.to_bytes(3, "little")
+            out += body
+        off += regen
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

@@ -1,0 +1,80 @@
+"""Device zstd L1 encoder tests (CPU backend, small geometry).
+
+What must hold (same contract as the S2 device tests): every frame the
+device encoder emits decodes bit-exactly — by our own decoder AND by
+libzstd (the `zstandard` oracle) — and ratios are sane. The device
+bitstream is a valid alternative encoding, not byte-identical to the
+host encoder's (the reference makes the same non-promise vs C zstd,
+zstd/README.md:134).
+"""
+
+import numpy as np
+import pytest
+
+zstandard = pytest.importorskip("zstandard")
+
+from compress_tpu import zstd
+from compress_tpu.zstd.device import compress_device
+
+JOB, BLOCK = 1 << 15, 1 << 13  # tiny geometry for CPU tests
+
+
+def _roundtrip(data: bytes):
+    frame = compress_device(data, job=JOB, block=BLOCK, checksum=True)
+    assert zstd.decompress(frame) == data
+    got = zstandard.ZstdDecompressor().decompress(
+        frame, max_output_size=len(data) + 16)
+    assert got == data
+    return frame
+
+
+@pytest.fixture(scope="module")
+def twain():
+    return open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()
+
+
+def test_text_roundtrip_and_ratio(twain):
+    data = twain[: 2 * JOB + 777]
+    frame = _roundtrip(data)
+    assert len(frame) < len(data) * 0.75
+
+
+def test_zeros_rle_blocks():
+    data = bytes(2 * JOB)
+    frame = _roundtrip(data)
+    # constant blocks become RLE block type: a few bytes per 8K block
+    assert len(frame) < 100
+
+
+def test_incompressible_random():
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, JOB + 100, dtype=np.uint8).tobytes()
+    frame = _roundtrip(data)
+    assert len(frame) < len(data) * 1.01  # raw-block fallback bounds expansion
+
+
+def test_long_range_dedup(twain):
+    # repeated segment within one job: top-K offset probing must catch it
+    seg = twain[:JOB // 2]
+    data = seg + seg
+    frame = _roundtrip(data)
+    assert len(frame) < len(seg) * 0.75  # second copy nearly free
+
+
+def test_periodic():
+    data = (b"abcde" * (JOB // 5 + 3))[: JOB + 17]
+    frame = _roundtrip(data)
+    assert len(frame) < 2500
+
+
+def test_mixed_content(twain):
+    rng = np.random.default_rng(5)
+    data = (twain[:JOB] + bytes(3000)
+            + rng.integers(0, 256, JOB, dtype=np.uint8).tobytes())
+    _roundtrip(data)
+
+
+def test_small_input_host_fallback(twain):
+    data = twain[:1000]  # < job -> host path
+    frame = compress_device(data, job=JOB, block=BLOCK)
+    assert zstd.decompress(frame) == data
