@@ -1,11 +1,16 @@
 """Round benchmark — runs on the real TPU chip.
 
-Measures the device S2 block-encode pipeline (the flagship kernel chain:
-sort-based candidate search + tiled parse + emission) on Twain-replicated
-text, validates a sample decodes bit-exactly, and prints ONE JSON line.
+Measures the two flagship device pipelines on Twain-replicated text:
 
-Baseline: the reference's s2 default block encode, single goroutine —
-936.73 MB/s on its mixed 4GB corpus (BASELINE.md, s2/README.md:468-475).
+1. S2 block encode (sort-based exact candidates + tiled parse + MXU
+   one-hot emission) — the primary metric, vs the reference's s2 default
+   single-goroutine block encode (936.73 MB/s, s2/README.md:468-475).
+2. zstd L1 job encode (LZ + per-block huff0 4X literals + per-job real
+   FSE tables + parallel bit-pack) — reported as extra fields, vs the
+   reference's zstd -1 silesia number (318.47 MB/s, zstd/README.md:190).
+
+Prints ONE JSON line. Each pipeline's output is validity-checked by
+decoding a sample bit-exactly on the host.
 """
 
 import json
@@ -17,27 +22,36 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: first-ever bench pays ~3 min of XLA
+    # compiles, later runs start hot
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from compress_tpu.ops import lz2 as lz
+    from compress_tpu.ops import zdev
 
     data = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()
     target = 16 << 20
     big = (data * (target // len(data) + 1))[:target]
+
+    # ---- S2 block encode ---------------------------------------------------
     nb = len(big) // lz.B
     arr = jnp.asarray(np.frombuffer(big, np.uint8).reshape(nb, lz.B))
-
     out, lens = lz.s2_encode_blocks(arr)  # compile + warm
     np.asarray(lens[-1:])
-
     iters = 2
     t = time.time()
     for _ in range(iters):
         out, lens = lz.s2_encode_blocks(arr)
     lens_np = np.asarray(lens)
     dt = (time.time() - t) / iters
-    gbps = len(big) / dt / 1e9
-    ratio = float(lens_np.sum()) / len(big)
+    s2_gbps = len(big) / dt / 1e9
+    s2_ratio = float(lens_np.sum()) / len(big)
 
     # validity: first block decodes bit-exactly via the host decoder
     from compress_tpu import s2
@@ -46,18 +60,40 @@ def main():
     hdr = bytearray()
     put_uvarint(hdr, lz.B)
     body = np.asarray(out[0])[: lens_np[0]].tobytes()
-    assert s2.decode(bytes(hdr) + body) == big[: lz.B], "decode mismatch"
+    assert s2.decode(bytes(hdr) + body) == big[: lz.B], "s2 decode mismatch"
 
-    baseline_gbps = 0.93673  # reference s2 default, 1 core
+    # ---- zstd L1 job encode ------------------------------------------------
+    jobs = jnp.asarray(np.frombuffer(big, np.uint8).reshape(-1, zdev.JOB))
+    t0 = zdev.zstd_encode_jobs(jobs)
+    np.asarray(t0["n_seqs"].ravel()[0:1])
+    t = time.time()
+    for _ in range(iters):
+        t0 = zdev.zstd_encode_jobs(jobs)
+    np.asarray(t0["n_seqs"].ravel()[0:1])
+    zdt = (time.time() - t) / iters
+    z_gbps = len(big) / zdt / 1e9
+
+    # validity + ratio: assemble one job on the host, decode bit-exactly
+    from compress_tpu.zstd.device import compress_device
+    from compress_tpu import zstd as z
+
+    frame = compress_device(big[: zdev.JOB])
+    assert z.decompress(frame) == big[: zdev.JOB], "zstd decode mismatch"
+    z_ratio = len(frame) / zdev.JOB
+
     print(json.dumps({
         "metric": "s2_block_encode_device",
-        "value": round(gbps, 5),
+        "value": round(s2_gbps, 5),
         "unit": "GB/s",
-        "vs_baseline": round(gbps / baseline_gbps, 5),
-        "ratio": round(ratio, 4),
+        "vs_baseline": round(s2_gbps / 0.93673, 5),
+        "ratio": round(s2_ratio, 4),
+        "zstd_l1_encode_gbps": round(z_gbps, 5),
+        "zstd_l1_vs_baseline": round(z_gbps / 0.31847, 5),
+        "zstd_l1_ratio": round(z_ratio, 4),
         "n_bytes": len(big),
     }))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
