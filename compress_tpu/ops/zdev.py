@@ -509,27 +509,45 @@ def _fse_scan(ll_c, of_c, ml_c, n_seqs, tabs, nblk):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("job", "block", "tile", "debug"))
+@functools.partial(jax.jit,
+                   static_argnames=("job", "block", "tile", "debug"))
 def zstd_encode_jobs(jobs, job: int = JOB, block: int = BLOCK,
-                     tile: int = TILE, debug: bool = False):
+                     tile: int = TILE, debug: bool = False,
+                     prefixes=None, has_prefix=None):
     """jobs: (NJ, job) uint8. Returns a dict of device tensors for host
-    assembly (see zstd/device.py)."""
+    assembly (see zstd/device.py).
+
+    prefixes: optional (NJ, PRE) uint8 overlap history (the previous job's
+    tail — reference enc_jobs.go overlap prefix, SURVEY §2.9 P3). Matches
+    may reach into the prefix; nothing is emitted for it. has_prefix: (NJ,)
+    bool — jobs without real history (frame start) must not match into the
+    zero-filled prefix."""
     nj = jobs.shape[0]
     nblk = job // block
     maxseq = block // MAXSEQ_DEN
     R = nj * nblk
+    pre = 0 if prefixes is None else prefixes.shape[1]
+    assert pre % tile == 0
+    span = pre + job
+    if prefixes is not None:
+        full = jnp.concatenate([prefixes, jobs], axis=1)
+        if has_prefix is None:
+            has_prefix = jnp.ones((nj,), bool)
+    else:
+        full = jobs
+        has_prefix = jnp.zeros((nj,), bool)
 
     # ---- LZ find + chain extension + parse --------------------------------
-    def find_one(b):
-        v32, words = lz2._values(b, job)
-        off_s, L_s = lz2._candidates_lengths(v32, words, job)
-        L_s = _chain_extend(off_s, L_s, job)
-        off_r, L_r = lz2._rle_lengths(b, job)
+    def find_one(b, hp):
+        v32, words = lz2._values(b, span)
+        off_s, L_s = lz2._candidates_lengths(v32, words, span)
+        L_s = _chain_extend(off_s, L_s, span)
+        off_r, L_r = lz2._rle_lengths(b, span)
         use_r = L_r > L_s
         off = jnp.where(use_r, off_r, off_s)
         L = jnp.where(use_r, L_r, L_s)
-        top = _topk_offsets(off_s, L_s, job)
-        off_t, L_t_ = _probe_offsets(b, top, job)
+        top = _topk_offsets(off_s, L_s, span)
+        off_t, L_t_ = _probe_offsets(b, top, span)
         use_t = L_t_ > L
         off = jnp.where(use_t, off_t, off)
         L = jnp.where(use_t, L_t_, L)
@@ -537,9 +555,15 @@ def zstd_encode_jobs(jobs, job: int = JOB, block: int = BLOCK,
         # (reference enc_fast hashes 6 bytes for the same reason)
         min_l = 6 + (off >= 1024) + (off >= 65536)
         L = jnp.where(L >= min_l, L, 0)
+        if pre:
+            # drop matches reaching into a non-existent prefix
+            p = jnp.arange(span, dtype=jnp.int32)
+            L = jnp.where(~hp & (off > p - pre), 0, L)
+            off = off[pre:]
+            L = L[pre:]
         return lz2._parse(off, L, job, tile, cap=tile)
 
-    take, lit, L_t, off = jax.vmap(find_one)(jobs)      # (nj, job)
+    take, lit, L_t, off = jax.vmap(find_one)(full, has_prefix)  # (nj, job)
 
     # ---- per-block sequence fields ----------------------------------------
     pos_in_blk = (jnp.arange(job, dtype=jnp.int32) % block)[None, :]

@@ -14,6 +14,7 @@ from compress_tpu.parallel.engine import (
     encode_blocks_sharded,
     encode_step_stats,
     s2_stream_encode_device,
+    zstd_encode_sharded,
 )
 
 __all__ = [

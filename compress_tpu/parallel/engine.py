@@ -117,3 +117,93 @@ def s2_stream_encode_device(data: bytes, mesh: Mesh | None = None) -> bytes:
                 + crc.to_bytes(4, "little") + bytes(payload)
         out += chunk
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Sharded zstd job engine with halo (overlap-prefix) exchange
+# ---------------------------------------------------------------------------
+
+
+def zstd_encode_sharded(data: bytes, mesh: Mesh | None = None,
+                        job: int | None = None, block: int | None = None,
+                        checksum: bool = False) -> bytes:
+    """zstd-compress `data` with 1 MiB jobs sharded over the device mesh.
+
+    The reference's concurrent job engine (zstd/enc_jobs.go, SURVEY §2.9
+    P3) maps to: data-parallel job shards; each shard fetches its left
+    neighbour's job tail as overlap prefix with a ppermute over the mesh
+    (the ICI halo exchange of SURVEY §5.8); compressed outputs are pulled
+    per shard and concatenated in job order on the host (the jobFlusher).
+    Sub-job leftovers go through the host matcher.
+    """
+    import jax.numpy as jnp
+
+    from compress_tpu.ops import zdev
+    from compress_tpu.utils.xxhash64 import xxh64
+    from compress_tpu.zstd import frame as F
+    from compress_tpu.zstd.device import (_assemble_job, emit_blocks,
+                                          tail_bodies)
+
+    job = job or zdev.JOB
+    block = block or zdev.BLOCK
+    pre = job // 8
+    mesh = mesh or block_mesh()
+    m = mesh.devices.size
+    n = len(data)
+    n_jobs = n // job
+    full = (n_jobs // m) * m  # jobs handled on the mesh
+
+    out = bytearray(F.write_frame_header(n, job + pre, False, checksum))
+    bodies, regens = [], []
+    if full:
+        arr = np.frombuffer(data[: full * job], np.uint8).reshape(full, job)
+        prefixes = np.zeros((full, pre), np.uint8)
+        has_prefix = np.zeros(full, bool)
+        for j in range(1, full):
+            prefixes[j] = np.frombuffer(data[j * job - pre : j * job], np.uint8)
+            has_prefix[j] = True
+        # jobs are laid out shard-major so each device gets a contiguous
+        # run of jobs; the first job of shard s>0 needs the tail of shard
+        # s-1's last job — shipped with a ppermute ring step.
+        k = full // m
+
+        def step(jobs_l, pref_l, hasp_l):
+            # halo: send my last job's tail right, receive from the left
+            tail = jobs_l[-1, job - pre:]
+            halo = jax.lax.ppermute(tail, "data",
+                                    perm=[(i, i + 1) for i in range(m - 1)])
+            first_pref = jnp.where(jax.lax.axis_index("data") > 0,
+                                   halo, pref_l[0])
+            pref = jnp.concatenate([first_pref[None], pref_l[1:]], axis=0)
+            hasp = hasp_l | (jnp.zeros(k, bool)
+                             .at[0].set(jax.lax.axis_index("data") > 0))
+            return zdev.zstd_encode_jobs(jobs_l, job=job, block=block,
+                                         prefixes=pref, has_prefix=hasp)
+
+        fn = jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(P("data", None), P("data", None), P("data",)),
+            out_specs=P("data"),
+            check_vma=False)
+        sharding = NamedSharding(mesh, P("data", None))
+        t = jax.jit(fn)(
+            jax.device_put(jnp.asarray(arr), sharding),
+            jax.device_put(jnp.asarray(prefixes), sharding),
+            jax.device_put(jnp.asarray(has_prefix), NamedSharding(mesh, P("data"))))
+        t = {kk: np.asarray(v) for kk, v in t.items()}
+        for j in range(full):
+            jb = data[j * job : (j + 1) * job]
+            for body in _assemble_job(jb, t, j, block):
+                bodies.append(body)
+                regens.append(block)
+
+    # leftover jobs (mesh remainder) + sub-job tail via the host matcher
+    rest = data[full * job :]
+    if rest:
+        tb, tr = tail_bodies(rest)
+        bodies += tb
+        regens += tr
+    emit_blocks(out, data, bodies, regens)
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

@@ -205,7 +205,8 @@ def compress_device(data, *, checksum: bool = False, job: int = zdev.JOB,
     encode_fn = encode_fn or zdev.zstd_encode_jobs
 
     n_jobs = n // job
-    out = bytearray(F.write_frame_header(n, job, False, checksum))
+    pre = job // 8  # overlap prefix (reference enc_jobs overlapSize)
+    out = bytearray(F.write_frame_header(n, job + pre, False, checksum))
     bodies = []
     regens = []
     for c in range(0, n_jobs, max_launch_jobs):
@@ -213,7 +214,16 @@ def compress_device(data, *, checksum: bool = False, job: int = zdev.JOB,
         arr = np.frombuffer(data[c * job : hi * job], np.uint8).reshape(-1, job)
         import jax.numpy as jnp
 
-        t = encode_fn(jnp.asarray(arr), job=job, block=block)
+        prefixes = np.zeros((hi - c, pre), np.uint8)
+        has_prefix = np.zeros(hi - c, bool)
+        for j in range(c, hi):
+            if j > 0:
+                prefixes[j - c] = np.frombuffer(
+                    data[j * job - pre : j * job], np.uint8)
+                has_prefix[j - c] = True
+        t = encode_fn(jnp.asarray(arr), job=job, block=block,
+                      prefixes=jnp.asarray(prefixes),
+                      has_prefix=jnp.asarray(has_prefix))
         t = {k: np.asarray(v) for k, v in t.items()}
         for j in range(hi - c):
             jb = data[(c + j) * job : (c + j + 1) * job]
@@ -221,33 +231,43 @@ def compress_device(data, *, checksum: bool = False, job: int = zdev.JOB,
                 bodies.append(body)
                 regens.append(block)
 
-    # tail: host matcher, rep-free offset values
-    tail = data[n_jobs * job :]
-    if tail:
-        from compress_tpu.zstd import encoder as E
+    tail_b, tail_r = tail_bodies(data[n_jobs * job :])
+    bodies += tail_b
+    regens += tail_r
+    emit_blocks(out, data, bodies, regens)
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
 
-        matcher = E.Matcher(tail, 1)
-        pos = 0
-        while pos < len(tail):
-            end = min(pos + E.BLOCK_SIZE, len(tail))
-            lls, mls, offs, _tl = matcher.next_block(pos, end)
-            body = None
-            if len(lls):
-                vals = offs + 3  # never rep codes
-                lit_sec = E.encode_literals(
-                    _extract_literals(tail[pos:end], lls, mls, len(lls)))
-                seq_sec = E.encode_sequences_section(lls, mls, vals)
-                body = lit_sec + seq_sec
-            if body is not None and len(body) < end - pos:
-                bodies.append(body)
-            else:
-                bodies.append(None)
-            regens.append(end - pos)
-            if body is None:
-                bodies[-1] = None
-            pos = end
-        # raw fallback content comes from the tail region
-    # emit blocks
+
+def tail_bodies(tail: bytes):
+    """Host-matcher encode of the sub-job tail (rep-free offset values)."""
+    bodies, regens = [], []
+    if not tail:
+        return bodies, regens
+    from compress_tpu.zstd import encoder as E
+
+    matcher = E.Matcher(tail, 1)
+    pos = 0
+    while pos < len(tail):
+        end = min(pos + E.BLOCK_SIZE, len(tail))
+        lls, mls, offs, _tl = matcher.next_block(pos, end)
+        body = None
+        if len(lls):
+            vals = offs + 3  # never rep codes
+            lit_sec = E.encode_literals(
+                _extract_literals(tail[pos:end], lls, mls, len(lls)))
+            seq_sec = E.encode_sequences_section(lls, mls, vals)
+            body = lit_sec + seq_sec
+        bodies.append(body if body is not None and len(body) < end - pos
+                      else None)
+        regens.append(end - pos)
+        pos = end
+    return bodies, regens
+
+
+def emit_blocks(out: bytearray, data: bytes, bodies, regens):
+    """Write block headers + bodies; None = raw, ("rle", b) = RLE block."""
     off = 0
     for i, (body, regen) in enumerate(zip(bodies, regens)):
         last = i == len(bodies) - 1
@@ -264,6 +284,4 @@ def compress_device(data, *, checksum: bool = False, job: int = zdev.JOB,
             out += bh.to_bytes(3, "little")
             out += body
         off += regen
-    if checksum:
-        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
-    return bytes(out)
+    return out

@@ -66,3 +66,23 @@ def test_s2_stream_encode_device_decodable():
     stream = s2_stream_encode_device(data)
     got = Reader(io.BytesIO(stream)).read()
     assert got == data
+
+
+def test_zstd_encode_sharded_roundtrip():
+    """Sharded zstd job engine: ppermute halo exchange over the virtual
+    mesh, ordered host gather; frame decodes bit-exactly (incl. matches
+    into a neighbour shard's overlap prefix)."""
+    import numpy as np
+
+    from compress_tpu import zstd
+    from compress_tpu.parallel import block_mesh, zstd_encode_sharded
+
+    twain = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()
+    JOB, BLOCK = 1 << 13, 1 << 12
+    mesh = block_mesh()
+    m = mesh.devices.size
+    # 2 jobs per device + a tail; repeated pattern so shard-boundary jobs
+    # benefit from (and exercise) the halo prefix
+    data = (twain[:3000] * (2 * m * JOB // 3000 + 2))[: 2 * m * JOB + 777]
+    frame = zstd_encode_sharded(data, mesh, job=JOB, block=BLOCK, checksum=True)
+    assert zstd.decompress(frame) == data
