@@ -346,6 +346,48 @@ def _bitpack_rows(values, nbits, dest_bit, to, region_end=None):
     return jnp.where(alive, halves, 0), n_halves
 
 
+def _rep_offsets(off_v, ll_v, is_seq):
+    """Offset values with repeat codes (zstd/encoder.go offsets_to_values).
+
+    Blocks run in parallel, but the decoder's rep state flows across the
+    whole frame — so the first 3 sequences of every block are forced to
+    plain pushes (off+3), after which the in-block rep state is fully
+    determined and rep codes 1-3 are safe."""
+    R, MS = off_v.shape
+
+    def step(carry, xs):
+        r1, r2, r3, cnt = carry
+        off, ll, live = xs
+        ll0 = ll == 0
+        val = jnp.where(~ll0 & (off == r1), 1,
+              jnp.where(~ll0 & (off == r2), 2,
+              jnp.where(~ll0 & (off == r3), 3,
+              jnp.where(ll0 & (off == r2), 1,
+              jnp.where(ll0 & (off == r3), 2,
+              jnp.where(ll0 & (off == r1 - 1) & (off > 0), 3, off + 3))))))
+        val = jnp.where(cnt < 3, off + 3, val)
+        # state update (mirrors the decoder's rep handling)
+        swap = ((~ll0 & (val == 2)) | (ll0 & (val == 1)))
+        rot = ((~ll0 & (val == 3)) | (ll0 & (val == 2)))
+        push = val > 3
+        push3 = ll0 & (val == 3)                  # pushes off = r1-1
+        n1 = jnp.where(swap, r2, jnp.where(rot, r3,
+             jnp.where(push | push3, off, r1)))
+        n2 = jnp.where(swap, r1, jnp.where(rot | push | push3, r1, r2))
+        n3 = jnp.where(rot | push | push3, r2, r3)
+        n1 = jnp.where(live, n1, r1)
+        n2 = jnp.where(live, n2, r2)
+        n3 = jnp.where(live, n3, r3)
+        val = jnp.where(live, val, 0)
+        return (n1, n2, n3, cnt + live.astype(jnp.int32)), val
+
+    init = (jnp.ones(R, jnp.int32), jnp.full(R, 4, jnp.int32),
+            jnp.full(R, 8, jnp.int32), jnp.zeros(R, jnp.int32))
+    _, vals = jax.lax.scan(
+        step, init, (off_v.T, ll_v.T, is_seq.T))
+    return vals.T
+
+
 # ---------------------------------------------------------------------------
 # FSE table build (per job, real tables) + sequence state chains
 # ---------------------------------------------------------------------------
@@ -573,7 +615,7 @@ def zstd_encode_jobs(jobs, job: int = JOB, block: int = BLOCK,
         [jnp.full((nj, nblk, 1), -1, jnp.int32), prev_end[:, :, :-1]], axis=2)
     prev_end_excl = jnp.maximum(prev_end_excl, 0).reshape(nj, job)
     ll = jnp.where(take, pos_in_blk - prev_end_excl, 0)
-    ofval = jnp.where(take, off + 3, 0)
+    ofval = jnp.where(take, off, 0)  # raw offsets; rep codes applied below
 
     take_b = take.reshape(R, block)
     n_seqs = jnp.sum(take_b.astype(jnp.int32), axis=1)
@@ -647,6 +689,7 @@ def zstd_encode_jobs(jobs, job: int = JOB, block: int = BLOCK,
     # ---- sequence codes + extras ------------------------------------------
     si = jnp.arange(maxseq, dtype=jnp.int32)[None, :]
     is_seq = si < n_seqs[:, None]
+    of_v = _rep_offsets(of_v, ll_v, is_seq)
     ll_c = jnp.where(is_seq, _ll_code(ll_v), 0)
     ml_c = jnp.where(is_seq, _ml_code(jnp.maximum(ml_v, 3)), 0)
     of_c = jnp.where(is_seq, _of_code(jnp.maximum(of_v, 1)), 0)
