@@ -48,7 +48,12 @@ JOB = 1 << 20          # device job (window) size
 BLOCK = 1 << 14        # zstd block size -> 64 blocks/job
 TILE = 512
 LCAP = lz2.L_CAP       # sort-carried match cap (16); chains extend it
-MAXSEQ_DEN = 4         # max sequences per block = BLOCK // 4
+MINMATCH = 6           # parse-time minimum match (cost model floor)
+
+
+def _maxseq(block: int) -> int:
+    """Hard bound on sequences per block (matches are >= MINMATCH long)."""
+    return block // MINMATCH + 1
 
 # bit-pack capacities (halves = 16-bit units)
 LIT_TO = 384           # per-512-item tile: <= 512*11 bits = 352 halves
@@ -502,10 +507,11 @@ def _fse_scan(ll_c, of_c, ml_c, n_seqs, tabs, nblk):
     rle = jnp.stack([expand(t["rle"]) for t in tabs], axis=1)    # (R,3)
     sizes = jnp.where(rle, 1, 1 << jnp.where(rle, 0, logs))
 
-    def lut64(table, idx):
+    def lut64_2(t1, t2, idx):
         oh = jax.nn.one_hot(idx, NSYM, dtype=jnp.float32)
-        return jnp.einsum("rks,rks->rk", oh, table.astype(jnp.float32),
-                          precision="highest").astype(jnp.int32)
+        tt = jnp.stack([t1, t2], axis=-1).astype(jnp.float32)
+        r = jnp.einsum("rks,rkst->rkt", oh, tt, precision="highest")
+        return r[..., 0].astype(jnp.int32), r[..., 1].astype(jnp.int32)
 
     def lut512(table, idx):
         oh = jax.nn.one_hot(idx, FSE_SZ, dtype=jnp.float32)
@@ -514,25 +520,29 @@ def _fse_scan(ll_c, of_c, ml_c, n_seqs, tabs, nblk):
 
     n = n_seqs[:, None]                                 # (R, 1)
 
+    # init states (cinit at seq n-1) precomputed outside the scan
+    oh_last = jax.nn.one_hot(jnp.maximum(n_seqs - 1, 0), MS,
+                             dtype=jnp.float32)          # (R, MS)
+    sym_last = jnp.einsum("rm,rkm->rk", oh_last, syms.astype(jnp.float32),
+                          precision="highest").astype(jnp.int32)
+    dnb0, dfs0 = lut64_2(dnb_t, dfs_t, sym_last)
+    nb0 = (dnb0 + (1 << 15)) >> 16
+    im = (nb0 << 16) - dnb0
+    lu0 = jnp.clip((im >> jnp.clip(nb0, 0, 16)) + dfs0, 0, FSE_SZ - 1)
+    st_init = jnp.where(rle, 0, lut512(st_t, lu0) - sizes)
+
     def step(carry, xs):
         st = carry                                       # (R, 3) state idx
         sym, i = xs                                      # sym (R, 3), i scalar
         is_init = i == (n - 1)
         is_live = i < (n - 1)
-        dnb = lut64(dnb_t, sym)
-        dfs = lut64(dfs_t, sym)
+        dnb, dfs = lut64_2(dnb_t, dfs_t, sym)
         nb = (st + sizes + dnb) >> 16
         nbc = jnp.clip(nb, 0, 16)
         val = (st + sizes) & ((1 << nbc) - 1)
         lu = jnp.clip(((st + sizes) >> nbc) + dfs, 0, FSE_SZ - 1)
-        st_enc = lut512(st_t, lu) - sizes
-        nb0 = (dnb + (1 << 15)) >> 16
-        nb0c = jnp.clip(nb0, 0, 16)
-        im = (nb0 << 16) - dnb
-        lu0 = jnp.clip((im >> nb0c) + dfs, 0, FSE_SZ - 1)
-        st_init = lut512(st_t, lu0) - sizes
+        st_enc = jnp.where(rle, 0, lut512(st_t, lu) - sizes)
         new_st = jnp.where(is_init, st_init, jnp.where(is_live, st_enc, st))
-        new_st = jnp.where(rle, 0, new_st)
         out_val = jnp.where(is_live & ~rle, val, 0)
         out_nb = jnp.where(is_live & ~rle, nb, 0)
         return new_st, (out_val, out_nb)
@@ -540,7 +550,8 @@ def _fse_scan(ll_c, of_c, ml_c, n_seqs, tabs, nblk):
     idx_rev = jnp.arange(MS - 1, -1, -1, dtype=jnp.int32)
     syms_rev = jnp.flip(syms, axis=2).transpose(2, 0, 1)  # (MS, R, 3)
     st0 = jnp.zeros((R, 3), jnp.int32)
-    st_fin, (vals, nbs) = jax.lax.scan(step, st0, (syms_rev, idx_rev))
+    st_fin, (vals, nbs) = jax.lax.scan(step, st0, (syms_rev, idx_rev),
+                                       unroll=4)
     st_val = vals.transpose(1, 2, 0)                    # (R, 3, MS) write order
     st_nb = nbs.transpose(1, 2, 0)
     return st_val, st_nb, st_fin, logs
@@ -566,7 +577,7 @@ def zstd_encode_jobs(jobs, job: int = JOB, block: int = BLOCK,
     zero-filled prefix."""
     nj = jobs.shape[0]
     nblk = job // block
-    maxseq = block // MAXSEQ_DEN
+    maxseq = _maxseq(block)
     R = nj * nblk
     pre = 0 if prefixes is None else prefixes.shape[1]
     assert pre % tile == 0
@@ -595,7 +606,7 @@ def zstd_encode_jobs(jobs, job: int = JOB, block: int = BLOCK,
         L = jnp.where(use_t, L_t_, L)
         # a sequence costs ~2.5-3 bytes; short matches are net losses
         # (reference enc_fast hashes 6 bytes for the same reason)
-        min_l = 6 + (off >= 1024) + (off >= 65536)
+        min_l = MINMATCH + (off >= 1024) + (off >= 65536)
         L = jnp.where(L >= min_l, L, 0)
         if pre:
             # drop matches reaching into a non-existent prefix
@@ -619,11 +630,12 @@ def zstd_encode_jobs(jobs, job: int = JOB, block: int = BLOCK,
 
     take_b = take.reshape(R, block)
     n_seqs = jnp.sum(take_b.astype(jnp.int32), axis=1)
-    _, (ll_c_, ml_c_, of_c_) = compact_logshift(
-        take_b, [ll.reshape(R, block), L_t.reshape(R, block),
-                 ofval.reshape(R, block)])
-    ll_v = ll_c_[:, :maxseq]
-    ml_v = ml_c_[:, :maxseq]
+    # pack (ll<<10 | ml) so the compaction moves 2 arrays, not 3
+    lm = (ll << 10) | L_t
+    _, (lm_c_, of_c_) = compact_logshift(
+        take_b, [lm.reshape(R, block), ofval.reshape(R, block)])
+    ll_v = lm_c_[:, :maxseq] >> 10
+    ml_v = lm_c_[:, :maxseq] & 1023
     of_v = of_c_[:, :maxseq]
 
     # ---- literals: compaction + histogram ---------------------------------
@@ -711,26 +723,35 @@ def zstd_encode_jobs(jobs, job: int = JOB, block: int = BLOCK,
     st_val, st_nb, st_fin, logs = _fse_scan(ll_c, of_c, ml_c, n_seqs,
                                             tabs, nblk)
 
-    # item layout per seq (write order, seq MS-1 first):
-    # [of_state, ml_state, ll_state, llx, mlx, ofx]
+    # item layout per seq (write order, seq MS-1 first), LSB-first packing
+    # fuses consecutive writes: [of|ml|ll states (<=26b), llx|mlx (<=21b),
+    # ofx (<=21b)] — 3 bit-pack items per sequence instead of 6.
     def flipseq(x):
         return jnp.flip(x, axis=1)
 
-    items_v = jnp.stack([
-        st_val[:, 1], st_val[:, 2], st_val[:, 0],
-        flipseq(llx_v), flipseq(mlx_v), flipseq(ofx_v)], axis=2)  # (R, MS, 6)
-    items_n = jnp.stack([
-        st_nb[:, 1], st_nb[:, 2], st_nb[:, 0],
-        flipseq(llx_n), flipseq(mlx_n), flipseq(ofx_n)], axis=2)
-    items_v = items_v.reshape(R, maxseq * 6)
-    items_n = items_n.reshape(R, maxseq * 6)
-    # flush states (ml, of, ll) + pad to a 512 multiple
+    s_of_v, s_ml_v, s_ll_v = st_val[:, 1], st_val[:, 2], st_val[:, 0]
+    s_of_n, s_ml_n, s_ll_n = st_nb[:, 1], st_nb[:, 2], st_nb[:, 0]
+    sh1 = jnp.clip(s_of_n, 0, 16)
+    sh2 = jnp.clip(s_of_n + s_ml_n, 0, 26)
+    states_v = s_of_v | (s_ml_v << sh1) | (s_ll_v << sh2)
+    states_n = s_of_n + s_ml_n + s_ll_n
+    fx_llx_v, fx_llx_n = flipseq(llx_v), flipseq(llx_n)
+    fx_mlx_v, fx_mlx_n = flipseq(mlx_v), flipseq(mlx_n)
+    x2_v = fx_llx_v | (fx_mlx_v << jnp.clip(fx_llx_n, 0, 16))
+    x2_n = fx_llx_n + fx_mlx_n
+    items_v = jnp.stack([states_v, x2_v, flipseq(ofx_v)], axis=2)
+    items_n = jnp.stack([states_n, x2_n, flipseq(ofx_n)], axis=2)
+    items_v = items_v.reshape(R, maxseq * 3)
+    items_n = items_n.reshape(R, maxseq * 3)
+    # flush states (ml, of, ll packed) + pad to a 512 multiple
     has_seq = (n_seqs > 0)[:, None]
-    fl_v = jnp.stack([st_fin[:, 2], st_fin[:, 1], st_fin[:, 0]], axis=1)
+    fsh1 = jnp.clip(logs[:, 2], 0, 16)
+    fsh2 = jnp.clip(logs[:, 2] + logs[:, 1], 0, 26)
+    fl_v = (st_fin[:, 2] | (st_fin[:, 1] << fsh1)
+            | (st_fin[:, 0] << fsh2))[:, None]
     fl_n = jnp.where(has_seq,
-                     jnp.stack([logs[:, 2], logs[:, 1], logs[:, 0]], axis=1),
-                     0)
-    pad = (-(maxseq * 6 + 3)) % 512
+                     (logs[:, 2] + logs[:, 1] + logs[:, 0])[:, None], 0)
+    pad = (-(maxseq * 3 + 1)) % 512
     items_v = jnp.concatenate(
         [items_v, jnp.where(has_seq, fl_v, 0),
          jnp.zeros((R, pad), jnp.int32)], axis=1)
