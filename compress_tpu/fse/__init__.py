@@ -70,3 +70,37 @@ def decompress(blob, max_size: int = 64 << 20) -> bytes:
 
 
 __all__ = ["compress", "decompress", "IncompressibleError", "UseRLEError", "core"]
+
+
+def compress_batch(blocks, table_log: int = 9) -> list:
+    """Device-batched FSE compress over equal-length blocks (L even).
+
+    Same container as :func:`compress` ([uvarint n][ncount][stream]);
+    entries are None where the block is incompressible/RLE."""
+    import jax.numpy as jnp
+
+    from compress_tpu.ops import entropy as E
+
+    arr = np.ascontiguousarray(blocks).astype(np.uint8)
+    N, L = arr.shape
+    t = {k: np.asarray(v) for k, v in
+         E.fse_encode_blocks(jnp.asarray(arr), log=table_log).items()}
+    out = []
+    for i in range(N):
+        hist = t["hist"][i]
+        if int(hist.max()) in (L, 1) or int(hist.max()) < (L >> 7):
+            out.append(None)  # RLE / incompressible per reference contract
+            continue
+        norm = t["norm"][i].astype(np.int64)
+        nz = np.nonzero(norm)[0]
+        header = core.write_ncount(norm[: nz[-1] + 1], table_log)
+        tb = int(t["total_bits"][i])
+        sb = (tb + 1 + 7) // 8
+        stream = bytearray(t["halves"][i].astype(np.uint16).tobytes()[:sb])
+        stream[tb >> 3] |= 1 << (tb & 7)
+        blob = bytearray()
+        put_uvarint(blob, L)
+        blob += header
+        blob += stream
+        out.append(bytes(blob) if len(blob) < L else None)
+    return out

@@ -402,3 +402,60 @@ __all__ = [
     "read_table", "write_table", "build_nbits", "canonical_codes",
     "IncompressibleError", "UseRLEError", "CorruptError", "MAX_TABLELOG",
 ]
+
+
+def compress_4x_batch(blocks) -> list:
+    """Device-batched Compress4X over equal-length blocks.
+
+    blocks: (N, L) uint8 array-like. Returns a list of containers in the
+    same [uvarint n][table][jump6][streams] format as compress_4x; entries
+    are None where the block is incompressible/RLE (caller falls back,
+    mirroring the reference's error contract)."""
+    import jax.numpy as jnp
+
+    from compress_tpu.ops import entropy as E
+
+    arr = np.ascontiguousarray(blocks).astype(np.uint8)
+    N, L = arr.shape
+    t = {k: np.asarray(v) for k, v in
+         E.huff0_encode_blocks(jnp.asarray(arr)).items()}
+    out = []
+    cache: dict = {}
+    for i in range(N):
+        if not bool(t["ok"][i]):
+            out.append(None)
+            continue
+        key = t["nbits"][i].tobytes()
+        if key not in cache:
+            try:
+                cache[key] = write_table(t["nbits"][i].astype(np.int64),
+                                         int(t["max_bits"][i]))
+            except IncompressibleError:
+                cache[key] = None
+        table = cache[key]
+        if table is None:
+            out.append(None)
+            continue
+        bq = t["stream_bits"][i]
+        sb = [(int(x) + 1 + 7) // 8 for x in bq]
+        sh = [(int(x) + 16) >> 4 for x in bq]
+        sbase = [sh[1] + sh[2] + sh[3], sh[2] + sh[3], sh[3], 0]
+        hb = t["halves"][i].astype(np.uint16).tobytes()
+        streams = []
+        for q in range(4):
+            sbytes = bytearray(hb[2 * sbase[q] : 2 * sbase[q] + sb[q]])
+            eos = int(bq[q])
+            sbytes[eos >> 3] |= 1 << (eos & 7)
+            streams.append(bytes(sbytes))
+        if max(len(s) for s in streams[:3]) > 0xFFFF:
+            out.append(None)
+            continue
+        blob = bytearray()
+        put_uvarint(blob, L)
+        blob += table
+        for s in streams[:3]:
+            blob += len(s).to_bytes(2, "little")
+        for s in streams:
+            blob += s
+        out.append(bytes(blob) if len(blob) < L else None)
+    return out

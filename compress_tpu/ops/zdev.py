@@ -227,33 +227,30 @@ def _huff_build(hist):
     kraft = jnp.sum(jnp.where(present, 1 << (11 - l0), 0), axis=1)
     deficit = (1 << 11) - kraft                      # >= 0 by construction
 
-    # symbols in descending-hist order (present first)
-    order_key = jnp.where(present, -hist, 1)         # most frequent first
-    _, sym_sorted, l_sorted = jax.lax.sort(
-        (order_key, jnp.broadcast_to(jnp.arange(256, dtype=jnp.int32), (J, 256)),
-         l0), dimension=1, num_keys=1)
-
-    def pass_(carry, lcol):
-        d = carry
-        gain = jnp.where(lcol > 0, 1 << (11 - lcol), 0)
-        # max k with gain*(2^k - 1) <= d and lcol - k >= 1
-        q = jnp.where(gain > 0, d // jnp.maximum(gain, 1) + 1, 1)
-        k = jnp.where(q > 1, floor_log2(q), 0)
-        k = jnp.minimum(k, jnp.maximum(lcol - 1, 0))
-        spend = jnp.where(lcol > 0, gain * ((1 << k) - 1), 0)
-        return d - spend, lcol - k
-
+    # redistribute the deficit by single-level shortenings, best
+    # gain-per-cost first (gain = hist, cost = 2^(11-l)); one step per
+    # symbol per pass, re-ranked each pass
+    iota = jnp.broadcast_to(jnp.arange(256, dtype=jnp.int32), (J, 256))
     d = deficit
-    ls = l_sorted
-    for _ in range(2):  # two passes always zero the deficit in practice
-        d, ls_t = jax.lax.scan(pass_, d, ls.T)
-        ls = ls_t.T
-    ok = (d == 0) & (nz >= 2)
+    ls = l0
 
-    # unsort back to symbol order
-    _, l_final = jax.lax.sort((sym_sorted, ls), dimension=1, num_keys=1)
-    max_bits = jnp.max(l_final, axis=1)
-    return l_final, max_bits, ok
+    def pass_(carry, col):
+        dd = carry
+        lcol, hcol = col
+        cost = jnp.where(lcol > 1, 1 << (11 - lcol), 1 << 30)
+        take = cost <= dd
+        return dd - jnp.where(take, cost, 0), lcol - take.astype(jnp.int32)
+
+    for _ in range(12):
+        # score ~ hist * 2^l (gain per kraft-unit), eligible symbols first
+        score = jnp.where((ls > 1) & present, -(hist << jnp.clip(ls, 0, 11)), 1)
+        _, sym_s, l_s, h_s = jax.lax.sort((score, iota, ls, hist),
+                                          dimension=1, num_keys=1)
+        d, l_s2 = jax.lax.scan(pass_, d, (l_s.T, h_s.T))
+        _, ls = jax.lax.sort((sym_s, l_s2.T), dimension=1, num_keys=1)
+    ok = (d == 0) & (nz >= 2)
+    max_bits = jnp.max(ls, axis=1)
+    return ls, max_bits, ok
 
 
 def _canonical_codes_dev(nbits, max_bits):
