@@ -5,7 +5,9 @@ sibling modules. The device (JAX/Pallas) encode path is exposed through
 compress_tpu.parallel for block-sharded throughput.
 """
 
-from compress_tpu.s2.block import (
+from compress_tpu.s2.block import (  # noqa: F401
+    concat_blocks,
+    estimate_block_size,
     CorruptError,
     MAX_BLOCK_SIZE,
     decode,
@@ -18,9 +20,11 @@ from compress_tpu.s2.block import (
 __all__ = [
     "CorruptError",
     "MAX_BLOCK_SIZE",
+    "concat_blocks",
     "decode",
     "decoded_len",
     "encode",
+    "estimate_block_size",
     "encode_snappy",
     "max_encoded_len",
 ]

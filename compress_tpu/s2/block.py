@@ -402,3 +402,42 @@ def decode(block, *, allow_repeat: bool = True) -> bytes:
             raise CorruptError("corrupt block")
         return dst.raw[:dlen] if dlen else b""
     return _decode_block_py(dlen, body, mode)
+
+
+def concat_blocks(*blocks) -> bytes:
+    """Concatenate S2 blocks into one valid block (reference:
+    s2.ConcatBlocks, s2/encode.go:64). Op streams splice directly: every
+    block's copy offsets stay within the combined decoded history."""
+    from compress_tpu.utils.varint import put_uvarint, read_uvarint
+
+    total = 0
+    bodies = []
+    for b in blocks:
+        b = bytes(b)
+        n, pos = read_uvarint(b)
+        total += n
+        bodies.append(b[pos:])
+    if total > MAX_BLOCK_SIZE:
+        raise ValueError("concatenated block too large")
+    out = bytearray()
+    put_uvarint(out, total)
+    for body in bodies:
+        out += body
+    return bytes(out)
+
+
+def estimate_block_size(src) -> int:
+    """Rough single-pass estimate of encode(src) size (reference:
+    s2.EstimateBlockSize heuristic — sampling-based, not exact)."""
+    from compress_tpu.estimate import estimate as _est
+
+    src = bytes(src)
+    n = len(src)
+    if n == 0:
+        return 1
+    if n > MAX_BLOCK_SIZE:
+        raise ValueError("block too large")
+    # order-1 compressibility score in [0,1]; add tag overhead margin
+    score = _est(src[: 64 << 10] if n > (64 << 10) else src)
+    est = int(n * min(1.0, score + 0.05)) + 32
+    return min(est, max_encoded_len(n))

@@ -145,3 +145,21 @@ __all__ = [
     "SpeedFastest", "SpeedDefault", "SpeedBetter", "SpeedBest",
     "MAX_DECODED_SIZE",
 ]
+
+
+_simple_cache = {}
+
+
+def encode_to(dst, src, level: int = 1) -> bytes:
+    """Append one zstd frame of src to dst (reference: zstd.EncodeTo,
+    simple_go124.go — package-cached encoder)."""
+    out = (bytearray(dst) if dst is not None else bytearray())
+    out += compress(src, level=level)
+    return bytes(out)
+
+
+def decode_to(dst, src, max_size: int = MAX_DECODED_SIZE) -> bytes:
+    """Append the decoded frames of src to dst (reference: zstd.DecodeTo)."""
+    out = (bytearray(dst) if dst is not None else bytearray())
+    out += decompress(src, max_size=max_size)
+    return bytes(out)

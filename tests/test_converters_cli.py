@@ -163,3 +163,21 @@ def test_cli_builddict(tmp_path):
 
     d = load_dict((tmp_path / "d.bin").read_bytes())
     assert d.content
+
+
+def test_s2sx_self_extract(tmp_path):
+    """s2sx builds a dependency-free self-extracting script (reference
+    s2/cmd/_s2sx equivalent)."""
+    import subprocess
+    import sys
+
+    from compress_tpu.cli.s2sx import build_sx
+
+    data = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()[:100000]
+    src = tmp_path / "doc.bin"
+    src.write_bytes(data)
+    sx = build_sx(str(src))
+    src.unlink()
+    subprocess.run([sys.executable, sx], cwd=tmp_path, check=True,
+                   capture_output=True)
+    assert src.read_bytes() == data
