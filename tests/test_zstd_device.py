@@ -78,3 +78,42 @@ def test_small_input_host_fallback(twain):
     data = twain[:1000]  # < job -> host path
     frame = compress_device(data, job=JOB, block=BLOCK)
     assert zstd.decompress(frame) == data
+
+
+def test_bitpack_region_covers_eos_slack():
+    """When a stream's bit count is a multiple of 16, the EOS slack half
+    is item-untouched; region ownership must still emit it (regression:
+    jobs shifted by one half and over-read)."""
+    import jax.numpy as jnp
+
+    from compress_tpu.ops.zdev import _bitpack_rows
+
+    R, I = 4, 512
+    nbits = np.zeros((R, I), np.int32)
+    vals = np.zeros((R, I), np.int32)
+    # row 0: 4 items x 4 bits = 16 bits exactly -> region needs 2 halves
+    nbits[0, :4] = 4
+    vals[0, :4] = [0x1, 0x2, 0x3, 0x4]
+    # row 1: 32 bits exactly
+    nbits[1, :8] = 4
+    vals[1, :8] = range(1, 9)
+    dest = np.cumsum(nbits, axis=1) - nbits
+    halves, nh = _bitpack_rows(jnp.asarray(vals), jnp.asarray(nbits),
+                               jnp.asarray(dest), 384,
+                               region_end=jnp.asarray(
+                                   [(16 + 16) >> 4, (32 + 16) >> 4, 1, 1]))
+    halves, nh = np.asarray(halves), np.asarray(nh)
+    assert nh[0] == 2 and nh[1] == 3          # EOS slack halves present
+    assert halves[0, 0] == 0x4321 and halves[0, 1] == 0
+    assert halves[1, 0] == 0x4321 and halves[1, 1] == 0x8765
+
+
+def test_multi_job_heterogeneous_corpus(twain):
+    """Several jobs in one launch over mixed text/periodic/random data."""
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(256).astype(np.uint8)
+    remap = perm[np.frombuffer(twain[: 2 * JOB], np.uint8)].tobytes()
+    data = (twain[:JOB] + bytes(JOB // 2)
+            + rng.integers(0, 256, JOB // 2, np.uint8).tobytes()
+            + remap + (b"0123456789" * (JOB // 10 + 1))[:JOB])
+    _roundtrip(data)
