@@ -181,10 +181,17 @@ def _emit_batched(blocks, take, lit, L_t, off, bs, tile):
     lit_start = lit & ~prev_lit
     run_len = jnp.where(lit_start, run_len_full, 0)
 
-    # per-position header lengths and output byte counts
+    # per-position header lengths and output byte counts.
+    # long matches (L <= tile) split into one copy tag (<= 64) plus one
+    # repeat tag (offset-0 extension, s2/README.md "Format Extensions").
     lit_hl = jnp.where(lit_start, 1 + (run_len > 60) + (run_len > 256), 0)
-    c1 = (off < 2048) & (L_t <= 11)
-    m_hl = jnp.where(take, jnp.where(c1, 2, 3), 0)
+    l1 = jnp.where(L_t >= 68, 64, jnp.where(L_t >= 65, L_t - 4, L_t))
+    l2 = L_t - l1
+    c1 = (off < 2048) & (l1 <= 11)
+    p1h = jnp.where(c1, 2, 3)
+    r_hl = jnp.where(l2 == 0, 0,
+                     jnp.where(l2 <= 8, 2, jnp.where(l2 <= 263, 3, 4)))
+    m_hl = jnp.where(take, p1h + r_hl, 0)
     hl = lit_hl + m_hl  # lit_start and take are mutually exclusive
     outb = hl + jnp.where(lit, 1, 0)
 
@@ -199,34 +206,53 @@ def _emit_batched(blocks, take, lit, L_t, off, bs, tile):
     # header byte values (S2 tag encoding)
     x = run_len - 1
     lh0 = jnp.where(run_len <= 60, x << 2, jnp.where(run_len <= 256, 240, 244))
-    mh0 = jnp.where(c1, ((off >> 8) << 5) | ((L_t - 4) << 2) | 1,
-                    ((L_t - 1) << 2) | 2)
+    mh0 = jnp.where(c1, ((off >> 8) << 5) | ((l1 - 4) << 2) | 1,
+                    ((l1 - 1) << 2) | 2)
+    # repeat-tag bytes for the overflow part l2
+    rb0 = jnp.where(l2 <= 8, ((l2 - 4) << 2) | 1,
+                    jnp.where(l2 <= 263, (5 << 2) | 1, (6 << 2) | 1))
+    rb2 = jnp.where(l2 <= 263, l2 - 8, (l2 - 260) & 0xFF)
+    rb3 = jnp.clip(l2 - 260, 0, None) >> 8
+    hasr = l2 > 0
+
     h0 = jnp.where(lit_start, lh0, jnp.where(take, mh0, 0))
     h1 = jnp.where(lit_start & (lit_hl >= 2), x & 0xFF,
                    jnp.where(take, off & 0xFF, 0))
     h2 = jnp.where(lit_start & (lit_hl >= 3), x >> 8,
-                   jnp.where(take & (m_hl >= 3), off >> 8, 0))
+                   jnp.where(take,
+                             jnp.where(c1, jnp.where(hasr, rb0, 0), off >> 8),
+                             0))
+    h3 = jnp.where(take & hasr, jnp.where(c1, 0, rb0), 0)
+    h4 = jnp.where(take & hasr & c1 & (r_hl >= 3), rb2, 0)
+    h5 = jnp.where(take & hasr,
+                   jnp.where(c1, jnp.where(r_hl >= 4, rb3, 0),
+                             jnp.where(r_hl >= 3, rb2, 0)), 0)
+    h6 = jnp.where(take & hasr & ~c1 & (r_hl >= 4), rb3, 0)
 
-    # four value planes, all routed with ONE one-hot of lstart; plane k is
-    # shifted k slots right in the tile output (header bytes at +0..+2,
-    # a run's first payload byte lands at +hl).
+    # seven value planes, all routed with ONE one-hot of lstart; plane k
+    # is shifted k slots right in the tile output (headers at +0..+6, a
+    # run's first payload byte lands at +hl).
     is_op = lit_start | take
     pay = jnp.where(lit, blocks.astype(jnp.int32), 0)
     p0 = jnp.where(is_op, h0, jnp.where(lit, pay, 0))
     p1 = jnp.where(hl >= 2, h1, 0) + jnp.where(lit_start & (hl == 1), pay, 0)
     p2 = jnp.where(hl >= 3, h2, 0) + jnp.where(lit_start & (hl == 2), pay, 0)
-    p3 = jnp.where(lit_start & (hl == 3), pay, 0)
+    p3 = jnp.where(hl >= 4, h3, 0) + jnp.where(lit_start & (hl == 3), pay, 0)
+    p4 = jnp.where(hl >= 5, h4, 0)
+    p5 = jnp.where(hl >= 6, h5, 0)
+    p6 = jnp.where(hl >= 7, h6, 0)
 
     n = nb * nt
     ds0 = lstart.reshape(n, tile)
     oh = jax.nn.one_hot(ds0, to, dtype=jnp.bfloat16)            # (n, tile, to)
-    planes = jnp.stack([p0, p1, p2, p3], axis=-1).reshape(n, tile, 4)
+    planes = jnp.stack([p0, p1, p2, p3, p4, p5, p6],
+                       axis=-1).reshape(n, tile, 7)
     routed = jnp.einsum("tpk,tpo->tko", planes.astype(jnp.bfloat16), oh,
-                        preferred_element_type=jnp.float32)     # (n, 4, to)
-    buf = (routed[:, 0]
-           + jnp.roll(routed[:, 1], 1, axis=-1)
-           + jnp.roll(routed[:, 2], 2, axis=-1)
-           + jnp.roll(routed[:, 3], 3, axis=-1)).astype(jnp.int32)  # (n, to)
+                        preferred_element_type=jnp.float32)     # (n, 7, to)
+    buf = routed[:, 0]
+    for k in range(1, 7):
+        buf = buf + jnp.roll(routed[:, k], k, axis=-1)
+    buf = buf.astype(jnp.int32)                                  # (n, to)
 
     # compaction: tile-major order is already the output order, so a
     # stable monotone compaction (log-shift, no sort) finishes the job.
@@ -239,21 +265,34 @@ def _emit_batched(blocks, take, lit, L_t, off, bs, tile):
     return out, total
 
 
-def _find_parse(block, bs, tile):
+def _find_parse(block, bs, tile, level=1):
+    """level 1 = s2.Encode parity (fast); level 2 adds chain extension +
+    top-K offset probing (s2.EncodeBetter-grade search)."""
     v32, words = _values(block, bs)
     off_s, L_s = _candidates_lengths(v32, words, bs)
+    if level >= 2:
+        L_s = _chain_extend(off_s, L_s, bs)
     off_r, L_r = _rle_lengths(block, bs)
     use_r = L_r > L_s
     off = jnp.where(use_r, off_r, off_s)
     L = jnp.where(use_r, L_r, L_s)
-    return _parse(off, L, bs, tile)
+    if level >= 2:
+        top = _topk_offsets(off_s, L_s, bs)
+        off_t, L_t = _probe_offsets(block, top, bs)
+        use_t = L_t > L
+        off = jnp.where(use_t, off_t, off)
+        L = jnp.where(use_t, L_t, L)
+    return _parse(off, L, bs, tile, cap=tile)
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
-def s2_encode_blocks(blocks, tile: int = TILE):
-    """v2 device encoder: (NB, block_size) uint8 -> (out, lens)."""
+@functools.partial(jax.jit, static_argnames=("tile", "level"))
+def s2_encode_blocks(blocks, tile: int = TILE, level: int = 1):
+    """Device encoder: (NB, block_size) uint8 -> (out, lens).
+
+    level 1 ~ s2.Encode, level 2 ~ s2.EncodeBetter (deeper search)."""
     bs = blocks.shape[-1]
-    take, lit, L_t, off = jax.vmap(lambda b: _find_parse(b, bs, tile))(blocks)
+    take, lit, L_t, off = jax.vmap(
+        lambda b: _find_parse(b, bs, tile, level))(blocks)
     return _emit_batched(blocks, take, lit, L_t, off, bs, tile)
 
 
@@ -273,3 +312,70 @@ def encode_blocks_np(data: bytes):
         lens = np.asarray(lens)
         bodies += [out[i, : lens[i]] for i in range(chunk.shape[0])]
     return bodies
+
+
+def _chain_extend(off, L, bs):
+    """Where L[p]==L_CAP and off[p+L_CAP]==off[p], extend to the full run:
+    L_ext[p] = L_CAP*links + L[terminal]. Strided (mod L_CAP) segmented
+    scans only — no gathers."""
+    nxt_off = jnp.concatenate([off[L_CAP:], jnp.zeros(L_CAP, off.dtype)])
+    cont = (L == L_CAP) & (nxt_off == off) & (off > 0)
+    # strided lanes: position p = k*L_CAP + r  ->  (K, L_CAP), scan over k
+    K = bs // L_CAP
+    c = cont.reshape(K, L_CAP)
+    Ls = L.reshape(K, L_CAP)
+    kk = jnp.arange(K, dtype=jnp.int32)[:, None]
+    # nearest terminal (not-cont) at k' >= k
+    term_at = jnp.where(~c, kk, K)
+    k_term = jax.lax.cummin(term_at, axis=0, reverse=True)
+    links = k_term - kk                                   # chain links after p
+    # terminal's own L delivered backward: reverse cummax of packed
+    # ((K-1-k') << 10 | L) at terminals; max picks the nearest k' >= k.
+    packed = jnp.where(~c, ((K - 1 - kk) << 10) | jnp.minimum(Ls, L_CAP), -1)
+    filled = jax.lax.cummax(packed, axis=0, reverse=True)
+    L_term = filled & 1023
+    L_ext = links * L_CAP + L_term
+    return jnp.where(cont, L_ext.reshape(bs), L)
+
+
+TOPK_OFFSETS = 8
+
+
+def _topk_offsets(off, L, bs, k=TOPK_OFFSETS):
+    """The k most frequent candidate offsets (sampled). Long-range repeats
+    (segment dedup) share one offset across many positions; probing those
+    offsets exactly recovers the long matches the nearest-candidate sort
+    misses (its chains break wherever a closer local match exists)."""
+    stride = 64
+    sample = jnp.where(L[::stride] >= 4, off[::stride], 0)
+    s = jnp.sort(sample)
+    n = s.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    start = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
+    nxt = jax.lax.cummin(jnp.where(start, idx, n), axis=0, reverse=True)
+    # run length at run starts
+    nxt_start = jnp.concatenate([nxt[1:], jnp.array([n], jnp.int32)])
+    run = jnp.where(start, nxt_start - idx, 0)
+    run = jnp.where(s > 0, run, 0)
+    _, top = jax.lax.sort((-run, s), dimension=0, num_keys=1)
+    return top[:k]                                       # (k,) offsets
+
+
+def _probe_offsets(block, offs, bs):
+    """Exact match lengths for each (dynamic scalar) offset via roll +
+    shift-compare; returns best (off, L) across the probes."""
+    bi = block.astype(jnp.int32)
+    idx = jnp.arange(bs, dtype=jnp.int32)
+    best_L = jnp.zeros(bs, jnp.int32)
+    best_o = jnp.zeros(bs, jnp.int32)
+    for j in range(offs.shape[0]):
+        o = offs[j]
+        rolled = jnp.roll(bi, o)
+        m = (bi == rolled) & (idx >= o) & (o > 0)
+        mism = jnp.where(m, bs, idx)
+        nxt = jax.lax.cummin(mism, axis=0, reverse=True)
+        Lj = jnp.where(m, nxt - idx, 0)
+        better = Lj > best_L
+        best_L = jnp.where(better, Lj, best_L)
+        best_o = jnp.where(better, o, best_o)
+    return best_o, jnp.where(best_L >= 4, best_L, 0)

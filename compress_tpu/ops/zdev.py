@@ -41,6 +41,8 @@ import jax.numpy as jnp
 
 from compress_tpu.fse import core as fse_core
 from compress_tpu.ops import lz2
+from compress_tpu.ops.lz2 import (_chain_extend, _probe_offsets,
+                                  _topk_offsets)
 from compress_tpu.ops.common import compact_logshift, floor_log2, route_tiles
 from compress_tpu.zstd import seqs as S
 
@@ -127,78 +129,6 @@ def _ml_code(ml):
 
 def _of_code(ofval):
     return floor_log2(jnp.maximum(ofval, 1))
-
-
-# ---------------------------------------------------------------------------
-# Chain extension: rebuild long matches from LCAP-capped sort candidates
-# ---------------------------------------------------------------------------
-
-
-def _chain_extend(off, L, bs):
-    """Where L[p]==LCAP and off[p+LCAP]==off[p], extend to the full run:
-    L_ext[p] = LCAP*links + L[terminal]. Strided (mod LCAP) segmented
-    scans only — no gathers."""
-    nxt_off = jnp.concatenate([off[LCAP:], jnp.zeros(LCAP, off.dtype)])
-    cont = (L == LCAP) & (nxt_off == off) & (off > 0)
-    # strided lanes: position p = k*LCAP + r  ->  (K, LCAP), scan over k
-    K = bs // LCAP
-    c = cont.reshape(K, LCAP)
-    Ls = L.reshape(K, LCAP)
-    kk = jnp.arange(K, dtype=jnp.int32)[:, None]
-    # nearest terminal (not-cont) at k' >= k
-    term_at = jnp.where(~c, kk, K)
-    k_term = jax.lax.cummin(term_at, axis=0, reverse=True)
-    links = k_term - kk                                   # chain links after p
-    # terminal's own L delivered backward: reverse cummax of packed
-    # ((K-1-k') << 10 | L) at terminals; max picks the nearest k' >= k.
-    packed = jnp.where(~c, ((K - 1 - kk) << 10) | jnp.minimum(Ls, LCAP), -1)
-    filled = jax.lax.cummax(packed, axis=0, reverse=True)
-    L_term = filled & 1023
-    L_ext = links * LCAP + L_term
-    return jnp.where(cont, L_ext.reshape(bs), L)
-
-
-TOPK_OFFSETS = 8
-
-
-def _topk_offsets(off, L, bs, k=TOPK_OFFSETS):
-    """The k most frequent candidate offsets (sampled). Long-range repeats
-    (segment dedup) share one offset across many positions; probing those
-    offsets exactly recovers the long matches the nearest-candidate sort
-    misses (its chains break wherever a closer local match exists)."""
-    stride = 64
-    sample = jnp.where(L[::stride] >= 4, off[::stride], 0)
-    s = jnp.sort(sample)
-    n = s.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    start = jnp.concatenate([jnp.array([True]), s[1:] != s[:-1]])
-    nxt = jax.lax.cummin(jnp.where(start, idx, n), axis=0, reverse=True)
-    # run length at run starts
-    nxt_start = jnp.concatenate([nxt[1:], jnp.array([n], jnp.int32)])
-    run = jnp.where(start, nxt_start - idx, 0)
-    run = jnp.where(s > 0, run, 0)
-    _, top = jax.lax.sort((-run, s), dimension=0, num_keys=1)
-    return top[:k]                                       # (k,) offsets
-
-
-def _probe_offsets(block, offs, bs):
-    """Exact match lengths for each (dynamic scalar) offset via roll +
-    shift-compare; returns best (off, L) across the probes."""
-    bi = block.astype(jnp.int32)
-    idx = jnp.arange(bs, dtype=jnp.int32)
-    best_L = jnp.zeros(bs, jnp.int32)
-    best_o = jnp.zeros(bs, jnp.int32)
-    for j in range(offs.shape[0]):
-        o = offs[j]
-        rolled = jnp.roll(bi, o)
-        m = (bi == rolled) & (idx >= o) & (o > 0)
-        mism = jnp.where(m, bs, idx)
-        nxt = jax.lax.cummin(mism, axis=0, reverse=True)
-        Lj = jnp.where(m, nxt - idx, 0)
-        better = Lj > best_L
-        best_L = jnp.where(better, Lj, best_L)
-        best_o = jnp.where(better, o, best_o)
-    return best_o, jnp.where(best_L >= 4, best_L, 0)
 
 
 # ---------------------------------------------------------------------------

@@ -64,3 +64,27 @@ def test_device_encode_adversarial(kind, twain):
     body = lz.encode_blocks_np(data)[0]
     assert len(body) <= lz.MAX_OUT
     assert _decode_body(body) == data
+
+
+def test_device_encode_level2_better(twain):
+    """level 2 (chain extension + offset probing) must roundtrip and beat
+    level 1 on long-range-redundant data."""
+    import jax.numpy as jnp
+
+    seg = twain[: lz.B // 2]
+    data = seg + seg  # second half repeats at offset 32K
+    arr = jnp.asarray(np.frombuffer(data, np.uint8).reshape(1, lz.B))
+    out1, len1 = lz.s2_encode_blocks(arr, level=1)
+    out2, len2 = lz.s2_encode_blocks(arr, level=2)
+    for out, lens in ((out1, len1), (out2, len2)):
+        body = np.asarray(out[0])[: int(lens[0])]
+        assert _decode_body(body) == data
+    assert int(len2[0]) < int(len1[0])
+
+
+def test_device_encode_long_match_repeat_tags(twain):
+    """Matches longer than one copy tag split into copy + repeat tags."""
+    data = (twain[:701] * (lz.B // 701 + 1))[: lz.B]  # 701-byte period
+    bodies = lz.encode_blocks_np(data)
+    assert _decode_body(bodies[0]) == data
+    assert len(bodies[0]) < lz.B // 12
