@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from compress_tpu import s2
-from compress_tpu.ops import lz
+from compress_tpu.ops import lz2 as lz
 from compress_tpu.s2 import block as s2block
 from compress_tpu.utils.varint import put_uvarint
 
@@ -62,7 +62,7 @@ def test_device_encode_adversarial(kind, twain):
         half = lz.B // 2
         data = twain[:half] + rng.integers(0, 256, lz.B - half, dtype=np.uint8).tobytes()
     body = lz.encode_blocks_np(data)[0]
-    assert len(body) <= lz.MAX_OUT
+    assert len(body) <= lz._max_out(lz.B)
     assert _decode_body(body) == data
 
 
@@ -84,7 +84,18 @@ def test_device_encode_level2_better(twain):
 
 def test_device_encode_long_match_repeat_tags(twain):
     """Matches longer than one copy tag split into copy + repeat tags."""
-    data = (twain[:701] * (lz.B // 701 + 1))[: lz.B]  # 701-byte period
+    import jax.numpy as jnp
+
+    # period 4: the RLE probe sees the full run length even at level 1
+    data = (b"abcd" * (lz.B // 4))[: lz.B]
     bodies = lz.encode_blocks_np(data)
     assert _decode_body(bodies[0]) == data
-    assert len(bodies[0]) < lz.B // 12
+    assert len(bodies[0]) < lz.B // 40
+
+    # long period needs level 2 (chain extension) for full-length matches
+    data = (twain[:701] * (lz.B // 701 + 1))[: lz.B]
+    arr = jnp.asarray(np.frombuffer(data, np.uint8).reshape(1, lz.B))
+    out, lens = lz.s2_encode_blocks(arr, level=2)
+    body = np.asarray(out[0])[: int(lens[0])]
+    assert _decode_body(body) == data
+    assert len(body) < lz.B // 12
