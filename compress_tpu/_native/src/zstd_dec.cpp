@@ -1,0 +1,678 @@
+// zstd block decoder — host-side native core (RFC 8878).
+//
+// Decodes the compressed-block payloads (literals section: raw/RLE/
+// huff0 1X/4X/treeless; sequences: predefined/RLE/FSE/repeat tables;
+// 3-state interleaved decode; sequence execution with repeat offsets).
+// Frame/ block headers, skippable frames, and checksums stay in Python
+// (compress_tpu/zstd/__init__.py) — they are cheap and branchy.
+//
+// Format parity studied from RFC 8878 and the reference's behavior
+// (zstd/blockdec.go, zstd/seqdec.go); the pure-Python decoder in
+// compress_tpu/zstd/block.py is the differential oracle (the suite runs
+// both modes, like the reference's noasm CI).
+//
+// Every length is validated before use; corrupt input returns a negative
+// error code and the Python wrapper falls back / raises (the reference's
+// hostile-input contract, zstd/blockdec.go:141-189).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// backwards bit reader (stream read back-to-front, top bit of last byte
+// marks the start)
+// ---------------------------------------------------------------------------
+
+struct BitRev {
+  const uint8_t* p;
+  long long bitpos;  // bits remaining below the cursor
+  bool ok;
+};
+
+static bool br_init(BitRev* b, const uint8_t* p, long long n) {
+  b->p = p;
+  b->ok = true;
+  if (n <= 0 || n > (1 << 30)) return false;
+  uint8_t last = p[n - 1];
+  if (last == 0) return false;  // no start marker
+  int hb = 31 - __builtin_clz((uint32_t)last);
+  b->bitpos = (n - 1) * 8 + hb;
+  return true;
+}
+
+static inline uint32_t br_read(BitRev* b, int nb) {
+  if (nb == 0) return 0;
+  if (nb < 0 || nb > 31 || b->bitpos < nb) {
+    b->ok = false;
+    return 0;
+  }
+  b->bitpos -= nb;
+  long long byte = b->bitpos >> 3;
+  int shift = (int)(b->bitpos & 7);
+  uint64_t v;  // callers pass 16-byte-padded buffers (over-read is safe)
+  memcpy(&v, b->p + byte, 8);
+  return (uint32_t)((v >> shift) & ((1u << nb) - 1));
+}
+
+// ---------------------------------------------------------------------------
+// FSE decode table
+// ---------------------------------------------------------------------------
+
+struct FseDT {
+  uint8_t sym[1 << 9];
+  uint8_t nb[1 << 9];
+  uint16_t base[1 << 9];
+  int log = -1;        // -1 = unset; 0 = RLE
+  uint8_t rle_sym = 0;
+};
+
+// read NCount header (mirrors fse/core.py read_ncount exactly).
+// returns bytes consumed or -1.
+static int fse_read_ncount(const uint8_t* p, long long n, int16_t* norm,
+                           int* max_sym, int* log, int max_log) {
+  if (n < 1) return -1;
+  uint64_t bit_stream = 0;
+  int bit_count = 0;
+  long long pp = 0;
+  auto fill = [&]() {
+    while (bit_count <= 16 && pp < n) {
+      bit_stream |= (uint64_t)p[pp] << bit_count;
+      bit_count += 8;
+      pp++;
+    }
+  };
+  auto take = [&](int nb) -> int {
+    fill();
+    int v = (int)(bit_stream & ((1u << nb) - 1));
+    bit_stream >>= nb;
+    bit_count -= nb;
+    return v;
+  };
+  int tlog = take(4) + 5;
+  if (tlog > max_log || tlog > 9) return -1;
+  int table_size = 1 << tlog;
+  int remaining = table_size + 1;
+  int threshold = table_size;
+  int nb_bits = tlog + 1;
+  for (int s = 0; s < 256; s++) norm[s] = 0;
+  int s = 0;
+  bool previous0 = false;
+  while (remaining > 1) {
+    if (s > 255) return -1;
+    if (previous0) {
+      int run = take(2);
+      int total = run;
+      while (run == 3) {
+        run = take(2);
+        total += run;
+        if (total > 512) return -1;
+      }
+      s += total;
+      if (s > 256) return -1;
+      previous0 = false;
+      continue;
+    }
+    int mx = (2 * threshold - 1) - remaining;
+    fill();
+    int count;
+    int low = (int)(bit_stream & ((1u << (nb_bits - 1)) - 1));
+    if (low < mx) {
+      count = low;
+      bit_stream >>= (nb_bits - 1);
+      bit_count -= (nb_bits - 1);
+    } else {
+      count = (int)(bit_stream & ((1u << nb_bits) - 1));
+      bit_stream >>= nb_bits;
+      bit_count -= nb_bits;
+      if (count >= threshold) count -= mx;
+    }
+    count -= 1;
+    remaining -= count >= 0 ? count : -count;
+    norm[s] = (int16_t)count;
+    s++;
+    previous0 = count == 0;
+    while (remaining < threshold && remaining > 1) {
+      nb_bits--;
+      threshold >>= 1;
+    }
+  }
+  if (remaining != 1 || bit_count < 0) return -1;
+  *max_sym = s - 1;
+  *log = tlog;
+  return (int)(pp - (bit_count >> 3));
+}
+
+static bool fse_build_dt(FseDT* dt, const int16_t* norm, int max_sym,
+                         int log) {
+  if (log < 0 || log > 9) return false;
+  int size = 1 << log;
+  dt->log = log;
+  // spread: -1 symbols fill the tail; rest walk the co-prime step
+  int high = size - 1;
+  int16_t counts[256];
+  for (int s = 0; s <= max_sym; s++) counts[s] = norm[s];
+  for (int s = 0; s <= max_sym; s++) {
+    if (norm[s] == -1) {
+      dt->sym[high] = (uint8_t)s;
+      high--;
+    }
+  }
+  int step = (size >> 1) + (size >> 3) + 3;
+  int mask = size - 1;
+  int pos = 0;
+  for (int s = 0; s <= max_sym; s++) {
+    for (int i = 0; i < norm[s]; i++) {
+      dt->sym[pos] = (uint8_t)s;
+      do {
+        pos = (pos + step) & mask;
+      } while (pos > high);
+    }
+  }
+  if (pos != 0) return false;
+  // per-state nb/base: rank within symbol
+  uint16_t next[256];
+  for (int s = 0; s <= max_sym; s++)
+    next[s] = (uint16_t)(norm[s] == -1 ? 1 : (norm[s] < 0 ? 0 : norm[s]));
+  for (int u = 0; u < size; u++) {
+    uint8_t s = dt->sym[u];
+    uint16_t nx = next[s]++;
+    int nb = log - (nx ? (31 - __builtin_clz((uint32_t)nx)) : 0);
+    // canonical: nb = log - highbit(next); base = (next << nb) - size
+    if (nb > log) nb = log;
+    dt->nb[u] = (uint8_t)nb;
+    dt->base[u] = (uint16_t)((nx << nb) - size);
+  }
+  return true;
+}
+
+static inline void fse_dt_rle(FseDT* dt, uint8_t sym) {
+  dt->log = 0;
+  dt->rle_sym = sym;
+  dt->sym[0] = sym;
+  dt->nb[0] = 0;
+  dt->base[0] = 0;
+}
+
+// ---------------------------------------------------------------------------
+// huff0 decode table
+// ---------------------------------------------------------------------------
+
+struct HufDT {
+  uint8_t sym[1 << 11];
+  uint8_t nb[1 << 11];
+  int max_bits = -1;
+};
+
+// parse weights (raw nibbles or FSE-compressed) -> build table.
+// returns header bytes consumed or -1.
+static int huf_read_table(HufDT* ht, const uint8_t* p, long long n) {
+  if (n < 1) return -1;
+  uint8_t w[256];
+  int nw = 0;
+  int used;
+  if (p[0] >= 128) {
+    nw = p[0] - 127;
+    used = 1 + (nw + 1) / 2;
+    if (used > n || nw > 255) return -1;
+    for (int i = 0; i < nw; i++) {
+      uint8_t b = p[1 + i / 2];
+      w[i] = (i & 1) ? (b & 0xF) : (b >> 4);
+    }
+  } else {
+    int blen = p[0];
+    if (1 + blen > n) return -1;
+    // FSE-decode weights: 2 interleaved states, accuracy <= 6, terminated
+    // by stream exhaustion (mirrors huff0/decode_weights_fse: emit, then
+    // reload; reload overflow => the OTHER state emits and we stop)
+    int16_t norm[256];
+    int max_sym, log;
+    int hdr = fse_read_ncount(p + 1, blen, norm, &max_sym, &log, 6);
+    if (hdr < 0 || hdr > blen) return -1;
+    FseDT dt;
+    if (!fse_build_dt(&dt, norm, max_sym, log)) return -1;
+    BitRev br;
+    if (!br_init(&br, p + 1 + hdr, blen - hdr)) return -1;
+    uint32_t s1 = br_read(&br, log), s2 = br_read(&br, log);
+    if (!br.ok) return -1;
+    bool done = false;
+    for (int it = 0; it < 255 && !done; it++) {
+      if (nw > 253) return -1;
+      w[nw++] = dt.sym[s1];
+      if (br.bitpos < dt.nb[s1]) {
+        w[nw++] = dt.sym[s2];
+        done = true;
+        break;
+      }
+      s1 = dt.base[s1] + br_read(&br, dt.nb[s1]);
+      w[nw++] = dt.sym[s2];
+      if (br.bitpos < dt.nb[s2]) {
+        if (nw > 254) return -1;
+        w[nw++] = dt.sym[s1];
+        done = true;
+        break;
+      }
+      s2 = dt.base[s2] + br_read(&br, dt.nb[s2]);
+    }
+    if (!done) return -1;
+    used = 1 + blen;
+  }
+  // implied last weight: total must reach a power of two
+  uint64_t ksum = 0;
+  for (int i = 0; i < nw; i++) {
+    if (w[i] > 11) return -1;
+    if (w[i]) ksum += 1ull << (w[i] - 1);
+  }
+  if (ksum < 1) return -1;
+  int max_bits = 64 - __builtin_clzll(ksum);
+  uint64_t rest = (1ull << max_bits) - ksum;
+  if (rest == 0 || (rest & (rest - 1))) return -1;
+  int last_w = 64 - __builtin_clzll(rest);
+  if (nw > 255) return -1;
+  w[nw++] = (uint8_t)last_w;
+  if (max_bits > 11) return -1;
+  ht->max_bits = max_bits;
+  // fill table weight-ascending
+  int posn = 0;
+  for (int wv = 1; wv <= max_bits; wv++) {
+    int nb = max_bits + 1 - wv;
+    int span = 1 << (wv - 1);
+    for (int s = 0; s < nw; s++) {
+      if (w[s] != wv) continue;
+      if (posn + span > (1 << max_bits)) return -1;
+      memset(ht->sym + posn, s, span);
+      memset(ht->nb + posn, nb, span);
+      posn += span;
+    }
+  }
+  if (posn != (1 << max_bits)) return -1;
+  return used;
+}
+
+static bool huf_decode_stream(const HufDT* ht, const uint8_t* p, long long n,
+                              uint8_t* out, long long out_len) {
+  BitRev br;
+  if (!br_init(&br, p, n)) return false;
+  int mb = ht->max_bits;
+  for (long long i = 0; i < out_len; i++) {
+    // peek mb bits (tolerate partial at the very end: pad with zeros)
+    uint32_t idx;
+    if (br.bitpos >= mb) {
+      long long bp = br.bitpos - mb;
+      uint64_t v;
+      memcpy(&v, br.p + (bp >> 3), 8);
+      idx = (uint32_t)((v >> (bp & 7)) & ((1u << mb) - 1));
+    } else {
+      if (br.bitpos <= 0) return false;
+      uint64_t v;
+      memcpy(&v, br.p, 8);
+      idx = (uint32_t)((v << (mb - br.bitpos)) & ((1u << mb) - 1));
+    }
+    out[i] = ht->sym[idx];
+    int nb = ht->nb[idx];
+    if (nb > br.bitpos) nb = (int)br.bitpos;  // final symbol may drain
+    br.bitpos -= nb;
+  }
+  return br.bitpos == 0;
+}
+
+// ---------------------------------------------------------------------------
+// sequence code tables
+// ---------------------------------------------------------------------------
+
+static const uint32_t LL_BASE[36] = {
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 18,
+    20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048, 4096,
+    8192, 16384, 32768, 65536};
+static const uint8_t LL_BITS[36] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                    0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3,
+                                    4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+static const uint32_t ML_BASE[53] = {
+    3,  4,  5,  6,  7,  8,  9,  10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 37, 39, 41,
+    43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027, 2051, 4099, 8195,
+    16387, 32771, 65539};
+static const uint8_t ML_BITS[53] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                    0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3,
+                                    3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14,
+                                    15, 16};
+
+static const int16_t PRE_LL[36] = {4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+                                   2, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2,
+                                   2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1};
+static const int16_t PRE_OF[29] = {1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1,
+                                   1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1,
+                                   -1, -1};
+static const int16_t PRE_ML[53] = {1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1,
+                                   1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                                   1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                                   1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1};
+
+// ---------------------------------------------------------------------------
+// persistent per-frame decoder state
+// ---------------------------------------------------------------------------
+
+struct ZState {
+  uint8_t* win;          // rolling history
+  long long win_cap;     // allocation (2x window)
+  long long win_len;     // valid bytes
+  long long window;      // nominal window size
+  uint32_t rep[3];
+  HufDT huf;             // previous huff table (treeless)
+  FseDT t_ll, t_of, t_ml;
+  uint8_t lits[1 << 17]; // literals scratch
+  uint8_t tmp[(1 << 17) + 64];
+};
+
+void* ct_zstd_state_new(long long window) {
+  if (window < 0 || window > (64ll << 20)) return nullptr;
+  ZState* s = (ZState*)calloc(1, sizeof(ZState));
+  if (!s) return nullptr;
+  s->window = window < 1024 ? 1024 : window;
+  s->win_cap = 2 * s->window + (1 << 17);
+  s->win = (uint8_t*)malloc(s->win_cap);
+  if (!s->win) {
+    free(s);
+    return nullptr;
+  }
+  s->win_len = 0;
+  s->rep[0] = 1;
+  s->rep[1] = 4;
+  s->rep[2] = 8;
+  s->huf.max_bits = -1;
+  s->t_ll.log = -1;
+  s->t_of.log = -1;
+  s->t_ml.log = -1;
+  return s;
+}
+
+void ct_zstd_state_free(void* sp) {
+  ZState* s = (ZState*)sp;
+  if (!s) return;
+  free(s->win);
+  free(s);
+}
+
+static void win_append(ZState* s, const uint8_t* p, long long n) {
+  if (n >= s->window) {
+    memcpy(s->win, p + n - s->window, s->window);
+    s->win_len = s->window;
+    return;
+  }
+  if (s->win_len + n > s->win_cap) {
+    long long keep = s->window;
+    memmove(s->win, s->win + s->win_len - keep, keep);
+    s->win_len = keep;
+  }
+  memcpy(s->win + s->win_len, p, n);
+  s->win_len += n;
+}
+
+void ct_zstd_state_append(void* sp, const uint8_t* p, long long n) {
+  win_append((ZState*)sp, p, n);
+}
+
+// error codes
+enum {
+  E_CORRUPT = -1,
+  E_UNSUPPORTED = -2,  // caller falls back to Python
+};
+
+// decode one compressed block body; returns decoded size or error.
+long long ct_zstd_decode_block(void* sp, const uint8_t* src, long long n,
+                               uint8_t* dst, long long cap) {
+  ZState* s = (ZState*)sp;
+  if (!s || n < 2 || cap < (1 << 17)) return E_CORRUPT;
+  long long pos = 0;
+
+  // ---- literals section ---------------------------------------------------
+  uint8_t b0 = src[0];
+  int lit_type = b0 & 3;
+  long long regen = 0, comp = 0;
+  int streams = 1;
+  if (lit_type == 0 || lit_type == 1) {
+    int sf = (b0 >> 2) & 3;
+    if (sf == 0 || sf == 2) {
+      regen = b0 >> 3;
+      pos = 1;
+    } else if (sf == 1) {
+      if (n < 2) return E_CORRUPT;
+      regen = (b0 >> 4) | ((long long)src[1] << 4);
+      pos = 2;
+    } else {
+      if (n < 3) return E_CORRUPT;
+      regen = (b0 >> 4) | ((long long)src[1] << 4) | ((long long)src[2] << 12);
+      pos = 3;
+    }
+  } else {
+    int sf = (b0 >> 2) & 3;
+    if (sf == 0 || sf == 1) {
+      if (n < 3) return E_CORRUPT;
+      uint32_t v = b0 | ((uint32_t)src[1] << 8) | ((uint32_t)src[2] << 16);
+      regen = (v >> 4) & 0x3FF;
+      comp = (v >> 14) & 0x3FF;
+      streams = sf == 0 ? 1 : 4;
+      pos = 3;
+    } else if (sf == 2) {
+      if (n < 4) return E_CORRUPT;
+      uint64_t v = b0 | ((uint64_t)src[1] << 8) | ((uint64_t)src[2] << 16) |
+                   ((uint64_t)src[3] << 24);
+      regen = (v >> 4) & 0x3FFF;
+      comp = (v >> 18) & 0x3FFF;
+      streams = 4;
+      pos = 4;
+    } else {
+      if (n < 5) return E_CORRUPT;
+      uint64_t v = b0 | ((uint64_t)src[1] << 8) | ((uint64_t)src[2] << 16) |
+                   ((uint64_t)src[3] << 24) | ((uint64_t)src[4] << 32);
+      regen = (v >> 4) & 0x3FFFF;
+      comp = (v >> 22) & 0x3FFFF;
+      streams = 4;
+      pos = 5;
+    }
+  }
+  if (regen > (1 << 17)) return E_CORRUPT;
+
+  if (lit_type == 0) {  // raw
+    if (pos + regen > n) return E_CORRUPT;
+    memcpy(s->lits, src + pos, regen);
+    pos += regen;
+  } else if (lit_type == 1) {  // RLE
+    if (pos + 1 > n) return E_CORRUPT;
+    memset(s->lits, src[pos], regen);
+    pos += 1;
+  } else {  // compressed / treeless
+    if (pos + comp > n) return E_CORRUPT;
+    const uint8_t* lp = src + pos;
+    long long ln = comp;
+    if (lit_type == 2) {
+      int used = huf_read_table(&s->huf, lp, ln);
+      if (used < 0) return E_CORRUPT;
+      lp += used;
+      ln -= used;
+    } else if (s->huf.max_bits < 0) {
+      return E_CORRUPT;  // treeless without a table
+    }
+    if (streams == 1) {
+      if (!huf_decode_stream(&s->huf, lp, ln, s->lits, regen)) return E_CORRUPT;
+    } else {
+      if (ln < 6) return E_CORRUPT;
+      long long l1 = lp[0] | (lp[1] << 8);
+      long long l2 = lp[2] | (lp[3] << 8);
+      long long l3 = lp[4] | (lp[5] << 8);
+      long long l4 = ln - 6 - l1 - l2 - l3;
+      if (l4 < 0) return E_CORRUPT;
+      long long seg = (regen + 3) / 4;
+      long long last = regen - 3 * seg;
+      if (last < 0) return E_CORRUPT;
+      const uint8_t* q = lp + 6;
+      if (!huf_decode_stream(&s->huf, q, l1, s->lits, seg)) return E_CORRUPT;
+      if (!huf_decode_stream(&s->huf, q + l1, l2, s->lits + seg, seg))
+        return E_CORRUPT;
+      if (!huf_decode_stream(&s->huf, q + l1 + l2, l3, s->lits + 2 * seg, seg))
+        return E_CORRUPT;
+      if (!huf_decode_stream(&s->huf, q + l1 + l2 + l3, l4, s->lits + 3 * seg,
+                             last))
+        return E_CORRUPT;
+    }
+    pos += comp;
+  }
+
+  // ---- sequences section --------------------------------------------------
+  if (pos >= n) return E_CORRUPT;
+  long long nseq = src[pos];
+  pos++;
+  if (nseq >= 128) {
+    if (nseq == 255) {
+      if (pos + 2 > n) return E_CORRUPT;
+      nseq = (src[pos] | (src[pos + 1] << 8)) + 0x7F00;
+      pos += 2;
+    } else {
+      if (pos + 1 > n) return E_CORRUPT;
+      nseq = ((nseq - 128) << 8) | src[pos];
+      pos += 1;
+    }
+  }
+  if (nseq == 0) {
+    if ((long long)regen > cap) return E_CORRUPT;
+    memcpy(dst, s->lits, regen);
+    win_append(s, dst, regen);
+    return regen;
+  }
+  if (pos >= n) return E_CORRUPT;
+  uint8_t modes = src[pos];
+  pos++;
+
+  auto setup = [&](FseDT* dt, int mode, const int16_t* pre, int pre_n,
+                   int pre_log, int max_log) -> bool {
+    if (mode == 0) {
+      int16_t norm[256];
+      for (int i = 0; i < pre_n; i++) norm[i] = pre[i];
+      return fse_build_dt(dt, norm, pre_n - 1, pre_log);
+    }
+    if (mode == 1) {
+      if (pos >= n) return false;
+      fse_dt_rle(dt, src[pos]);
+      pos++;
+      return true;
+    }
+    if (mode == 2) {
+      int16_t norm[256];
+      int ms, lg;
+      int used = fse_read_ncount(src + pos, n - pos, norm, &ms, &lg, max_log);
+      if (used < 0) return false;
+      pos += used;
+      return fse_build_dt(dt, norm, ms, lg);
+    }
+    return dt->log >= 0;  // repeat
+  };
+  if (!setup(&s->t_ll, (modes >> 6) & 3, PRE_LL, 36, 6, 9)) return E_CORRUPT;
+  if (!setup(&s->t_of, (modes >> 4) & 3, PRE_OF, 29, 5, 8)) return E_CORRUPT;
+  if (!setup(&s->t_ml, (modes >> 2) & 3, PRE_ML, 53, 6, 9)) return E_CORRUPT;
+
+  BitRev br;
+  if (!br_init(&br, src + pos, n - pos)) return E_CORRUPT;
+  uint32_t st_ll = br_read(&br, s->t_ll.log);
+  uint32_t st_of = br_read(&br, s->t_of.log);
+  uint32_t st_ml = br_read(&br, s->t_ml.log);
+  if (!br.ok) return E_CORRUPT;
+
+  long long d = 0;       // bytes written to dst
+  long long lit_pos = 0;
+  uint32_t rep[3] = {s->rep[0], s->rep[1], s->rep[2]};
+
+  for (long long i = 0; i < nseq; i++) {
+    uint8_t of_c = s->t_of.sym[st_of];
+    uint8_t ml_c = s->t_ml.sym[st_ml];
+    uint8_t ll_c = s->t_ll.sym[st_ll];
+    if (of_c > 31 || ml_c > 52 || ll_c > 35) return E_CORRUPT;
+    uint32_t of_val = of_c ? ((1u << of_c) + br_read(&br, of_c)) : 1;
+    uint32_t ml = ML_BASE[ml_c] + br_read(&br, ML_BITS[ml_c]);
+    uint32_t ll = LL_BASE[ll_c] + br_read(&br, LL_BITS[ll_c]);
+    if (!br.ok) return E_CORRUPT;
+
+    // repeat-offset resolution
+    uint32_t off;
+    if (of_val > 3) {
+      off = of_val - 3;
+      rep[2] = rep[1];
+      rep[1] = rep[0];
+      rep[0] = off;
+    } else {
+      uint32_t code = of_val - 1 + (ll == 0 ? 1 : 0);
+      if (code == 0) {
+        off = rep[0];
+      } else if (code == 1) {
+        off = rep[1];
+        rep[1] = rep[0];
+        rep[0] = off;
+      } else if (code == 2) {
+        off = rep[2];
+        rep[2] = rep[1];
+        rep[1] = rep[0];
+        rep[0] = off;
+      } else {
+        off = rep[0] - 1;
+        if (off == 0) return E_CORRUPT;
+        rep[2] = rep[1];
+        rep[1] = rep[0];
+        rep[0] = off;
+      }
+    }
+
+    // FSE state updates happen before the copies on all but the last seq
+    if (i < nseq - 1) {
+      st_ll = (s->t_ll.base[st_ll] + br_read(&br, s->t_ll.nb[st_ll])) & 511;
+      st_ml = (s->t_ml.base[st_ml] + br_read(&br, s->t_ml.nb[st_ml])) & 511;
+      st_of = (s->t_of.base[st_of] + br_read(&br, s->t_of.nb[st_of])) & 511;
+      if (!br.ok) return E_CORRUPT;
+    }
+
+    // literals copy
+    if (lit_pos + ll > regen || d + ll + ml > cap) return E_CORRUPT;
+    memcpy(dst + d, s->lits + lit_pos, ll);
+    lit_pos += ll;
+    d += ll;
+
+    // match copy (may reach into window history)
+    if ((long long)off > d + s->win_len) return E_CORRUPT;
+    long long m = ml;
+    long long srcpos = d - (long long)off;
+    while (srcpos < 0 && m > 0) {  // from history window
+      long long hidx = s->win_len + srcpos;
+      long long take = -srcpos < m ? -srcpos : m;
+      memcpy(dst + d, s->win + hidx, take);
+      d += take;
+      srcpos += take;
+      m -= take;
+    }
+    if (m > 0) {
+      if (off >= (uint32_t)m) {
+        memcpy(dst + d, dst + srcpos, m);
+        d += m;
+      } else {
+        for (long long k = 0; k < m; k++) {
+          dst[d] = dst[d - off];
+          d++;
+        }
+      }
+    }
+  }
+  if (br.bitpos != 0) return E_CORRUPT;
+  // trailing literals
+  long long tail = regen - lit_pos;
+  if (tail < 0 || d + tail > cap) return E_CORRUPT;
+  memcpy(dst + d, s->lits + lit_pos, tail);
+  d += tail;
+
+  s->rep[0] = rep[0];
+  s->rep[1] = rep[1];
+  s->rep[2] = rep[2];
+  win_append(s, dst, d);
+  return d;
+}
+
+}  // extern "C"

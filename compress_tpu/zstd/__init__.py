@@ -64,6 +64,30 @@ def decompress(data, max_size: int = MAX_DECODED_SIZE,
             raise ZstdError("window size exceeds limit")
         if h.frame_content_size is not None and h.frame_content_size > max_size:
             raise ZstdError("decoded size exceeds limit")
+        # native fast path (dictionary-less frames); any rejection falls
+        # back to the pure-Python decoder below
+        if not h.dict_id and not dict_map:
+            from compress_tpu.zstd import native_dec
+
+            res = native_dec.decode_frame_body(
+                data, pos, max(h.window_size, 1024), max_size - len(out_all))
+            if res is not None:
+                frame_out, pos = res
+                if (h.frame_content_size is not None
+                        and len(frame_out) != h.frame_content_size):
+                    raise ZstdError("frame content size mismatch")
+                if h.has_checksum:
+                    if pos + 4 > len(data):
+                        raise ZstdError("truncated checksum")
+                    if not ignore_checksum:
+                        want = int.from_bytes(data[pos : pos + 4], "little")
+                        got = xxh64(bytes(frame_out)) & 0xFFFFFFFF
+                        if want != got:
+                            raise ZstdError("checksum mismatch")
+                    pos += 4
+                out_all += frame_out
+                continue
+
         hist = History(window_size=max(h.window_size, 1024))
         if h.dict_id:
             d = dict_map.get(h.dict_id)

@@ -1,0 +1,101 @@
+"""Native-core zstd frame-body decoder (ctypes over _native/src/zstd_dec.cpp).
+
+Drop-in fast path for dictionary-less frames: the Python wrapper keeps all
+frame/header/checksum logic and calls the native block decoder with a
+persistent per-frame state (window + rep offsets + treeless/repeat tables).
+Any native error returns None and the caller re-runs the pure-Python
+decoder (which produces the precise error) — the reference's asm/Go
+dual-path convention.
+
+Block payloads are passed with 16 bytes of zero slack so the native bit
+readers may over-read harmlessly (the reference's compressedBlockOverAlloc
+convention, zstd/blockdec.go:42).
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+from compress_tpu.zstd import block as B
+
+_proto_done = False
+
+
+def _lib():
+    global _proto_done
+    from compress_tpu import _native
+
+    lib = _native.raw()
+    if lib is None:
+        return None
+    if not hasattr(lib, "ct_zstd_decode_block"):
+        return None
+    if not _proto_done:
+        lib.ct_zstd_state_new.restype = ctypes.c_void_p
+        lib.ct_zstd_state_new.argtypes = [ctypes.c_longlong]
+        lib.ct_zstd_state_free.argtypes = [ctypes.c_void_p]
+        lib.ct_zstd_state_append.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong]
+        lib.ct_zstd_decode_block.restype = ctypes.c_longlong
+        lib.ct_zstd_decode_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_longlong]
+        _proto_done = True
+    return lib
+
+
+def decode_frame_body(data: bytes, pos: int, window_size: int,
+                      max_out: int):
+    """Decode the block sequence of one frame starting at `pos`.
+
+    Returns (frame_bytes, new_pos) with new_pos at the checksum field, or
+    None when the native path is unavailable or rejects the input."""
+    lib = _lib()
+    if lib is None or window_size > (64 << 20):
+        return None
+    st = lib.ct_zstd_state_new(window_size)
+    if not st:
+        return None
+    dst = ctypes.create_string_buffer((1 << 17) + 64)
+    out = bytearray()
+    try:
+        while True:
+            if pos + 3 > len(data):
+                return None
+            bh = int.from_bytes(data[pos : pos + 3], "little")
+            pos += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 0:
+                if pos + bsize > len(data):
+                    return None
+                blk = data[pos : pos + bsize]
+                lib.ct_zstd_state_append(st, blk, len(blk))
+                out += blk
+                pos += bsize
+            elif btype == 1:
+                if pos >= len(data) or bsize > B.MAX_BLOCK_SIZE:
+                    return None
+                blk = bytes([data[pos]]) * bsize
+                lib.ct_zstd_state_append(st, blk, len(blk))
+                out += blk
+                pos += 1
+            elif btype == 2:
+                if bsize > B.MAX_BLOCK_SIZE or pos + bsize > len(data):
+                    return None
+                body = data[pos : pos + bsize] + b"\x00" * 16
+                r = lib.ct_zstd_decode_block(st, body, bsize, dst,
+                                             len(dst))
+                if r < 0:
+                    return None
+                out += dst.raw[:r]
+                pos += bsize
+            else:
+                return None
+            if len(out) > max_out:
+                return None
+            if last:
+                return bytes(out), pos
+    finally:
+        lib.ct_zstd_state_free(st)
