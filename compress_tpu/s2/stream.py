@@ -262,3 +262,67 @@ class Reader:
                 continue
             if not self._next_chunk():
                 raise EOFError("skip past end of stream")
+
+
+def decode_concurrent(data, workers: int = 4, max_block_size: int = MAX_BLOCK_SIZE) -> bytes:
+    """Decode a whole framed stream with a worker pool over independent
+    chunks (reference: s2.DecodeConcurrent, s2/reader.go:413).
+
+    Chunks are fully independent in S2 streams (offsets reset per block),
+    so parsing walks the chunk headers serially and the block decodes +
+    CRC checks run on a thread pool — the native core releases the GIL,
+    so this scales like the reference's goroutine fan-in."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from compress_tpu.s2 import block as s2block
+    from compress_tpu.utils.crc import crc32c_masked
+
+    data = bytes(data)
+    pos = 0
+    jobs = []  # (kind, payload) in stream order
+    seen_id = False
+    while pos < len(data):
+        if pos + 4 > len(data):
+            raise StreamError("truncated chunk header")
+        ctype = data[pos]
+        clen = int.from_bytes(data[pos + 1 : pos + 4], "little")
+        body = data[pos + 4 : pos + 4 + clen]
+        if len(body) != clen:
+            raise StreamError("truncated chunk")
+        pos += 4 + clen
+        if ctype == CHUNK_STREAM_ID:
+            if body not in (MAGIC_CHUNK[4:], MAGIC_CHUNK_SNAPPY[4:]):
+                raise StreamError("bad stream identifier")
+            seen_id = True
+            continue
+        if not seen_id:
+            raise StreamError("stream does not start with an identifier")
+        if ctype in (CHUNK_COMPRESSED, CHUNK_UNCOMPRESSED):
+            if clen < 4:
+                raise StreamError("chunk too small")
+            jobs.append((ctype, body))
+        elif 0x80 <= ctype <= 0xFD:
+            continue  # skippable
+        elif ctype == CHUNK_PADDING:
+            continue
+        else:
+            raise StreamError(f"unknown unskippable chunk 0x{ctype:02x}")
+
+    def work(job):
+        ctype, body = job
+        want_crc = int.from_bytes(body[:4], "little")
+        payload = body[4:]
+        if ctype == CHUNK_COMPRESSED:
+            out = s2block.decode(payload)
+            if len(out) > max_block_size:
+                raise StreamError("block exceeds max block size")
+        else:
+            out = payload
+        if crc32c_masked(out) != want_crc:
+            raise StreamError("crc mismatch")
+        return out
+
+    if workers <= 1 or len(jobs) <= 1:
+        return b"".join(work(j) for j in jobs)
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        return b"".join(ex.map(work, jobs))

@@ -120,3 +120,45 @@ def test_writer_add_index_and_index_stream():
     r = s2stream.Reader(sub, ignore_stream_id=True)
     r.skip((1 << 20) - u)
     assert r.read(100) == data[1 << 20 : (1 << 20) + 100]
+
+
+def _twain():
+    return open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()
+
+
+def test_decode_concurrent_matches_reader():
+    twain = _twain()
+    """Thread-pool whole-stream decode == serial Reader (P5 equivalent)."""
+    import io
+
+    from compress_tpu.s2 import stream as s2s
+
+    data = (twain * 3)[: 700_000]
+    buf = io.BytesIO()
+    w = s2s.Writer(buf)
+    w.write(data)
+    w.close()
+    st = buf.getvalue()
+    assert s2s.decode_concurrent(st, workers=4) == data
+    assert s2s.decode_concurrent(st, workers=1) == data
+
+
+def test_decode_concurrent_speedup():
+    twain = _twain()
+    """With the GIL released in native decode, workers should not be
+    slower than serial (smoke check, not a strict perf assertion)."""
+    import io
+    import time
+
+    from compress_tpu.s2 import stream as s2s
+
+    data = (twain * 12)[: 4 << 20]
+    buf = io.BytesIO()
+    w = s2s.Writer(buf)
+    w.write(data)
+    w.close()
+    st = buf.getvalue()
+    t0 = time.time(); s2s.decode_concurrent(st, workers=1); t1 = time.time()
+    s2s.decode_concurrent(st, workers=4)
+    t2 = time.time()
+    assert (t2 - t1) < (t1 - t0) * 1.5
