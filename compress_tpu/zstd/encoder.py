@@ -337,6 +337,31 @@ def encode_sequences_section(lls, mls, ofvals) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def _native_compress(data: bytes, checksum: bool):
+    """Native enc_fast path (level 1, no dict). Returns bytes or None."""
+    import ctypes
+
+    from compress_tpu import _native
+
+    lib = _native.raw()
+    if lib is None or not hasattr(lib, "ct_zstd_compress"):
+        return None
+    if not getattr(lib, "_zenc_proto", False):
+        lib.ct_zstd_compress.restype = ctypes.c_longlong
+        lib.ct_zstd_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_ulonglong]
+        lib._zenc_proto = True
+    cap = len(data) + len(data) // 8 + 256
+    dst = ctypes.create_string_buffer(cap)
+    xx = (xxh64(data) & 0xFFFFFFFF) if checksum else 0
+    r = lib.ct_zstd_compress(data, len(data), dst, cap,
+                             1 if checksum else 0, xx)
+    if r < 0:
+        return None
+    return dst.raw[:r]
+
+
 def compress(data, level: int = 2, checksum: bool = False,
              window_log: int | None = None, dict_=None) -> bytes:
     """Encode data as one zstd frame (reference: Encoder.EncodeAll).
@@ -345,6 +370,10 @@ def compress(data, level: int = 2, checksum: bool = False,
     offsets come from the dictionary, and the frame carries its ID."""
     data = bytes(data)
     n = len(data)
+    if level <= 1 and dict_ is None and window_log is None and n > 16:
+        out = _native_compress(data, checksum)
+        if out is not None:
+            return out
     single = n <= (1 << 20) and dict_ is None
     window = n if single else min(1 << (window_log or 23),
                                   max(n + (len(dict_.content) if dict_ else 0), 1024))
