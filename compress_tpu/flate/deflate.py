@@ -180,10 +180,59 @@ def _emit_block(bw: H.BitWriterLSB, src: bytes, ops, final: bool,
 BLOCK_TOKENS = 1 << 16  # input bytes per emitted block
 
 
+def _native_deflate(data: bytes):
+    """Native greedy path (levels 1-6 quality class). Returns bytes/None."""
+    import ctypes
+
+    from compress_tpu import _native
+
+    lib = _native.raw()
+    if lib is None or not hasattr(lib, "ct_deflate"):
+        return None
+    if not getattr(lib, "_fl_proto", False):
+        lib.ct_deflate.restype = ctypes.c_longlong
+        lib.ct_deflate.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                                   ctypes.c_char_p, ctypes.c_longlong]
+        lib.ct_inflate.restype = ctypes.c_longlong
+        lib.ct_inflate.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                                   ctypes.c_char_p, ctypes.c_longlong]
+        lib._fl_proto = True
+    cap = len(data) + len(data) // 8 + 64
+    dst = ctypes.create_string_buffer(cap)
+    r = lib.ct_deflate(data, len(data), dst, cap)
+    return dst.raw[:r] if r >= 0 else None
+
+
+def native_inflate(data: bytes, max_size: int):
+    """Native inflate; returns bytes or None (caller falls back)."""
+    import ctypes
+
+    from compress_tpu import _native
+
+    lib = _native.raw()
+    if lib is None or not hasattr(lib, "ct_inflate"):
+        return None
+    _native_deflate(b"")  # ensure prototypes registered
+    cap = min(max_size, max(1 << 20, len(data) * 40))
+    while True:
+        dst = ctypes.create_string_buffer(cap)
+        r = lib.ct_inflate(data + b"\x00" * 8, len(data), dst, cap)
+        if r >= 0:
+            return dst.raw[:r]
+        if cap < max_size and cap < (1 << 30):
+            cap = min(max_size, cap * 8)  # retry bigger (cap-limited fail)
+            continue
+        return None
+
+
 def deflate(data, level: int = DEFAULT_COMPRESSION, window: int = MAX_OFFSET) -> bytes:
     """Raw DEFLATE stream (no zlib/gzip wrapper)."""
     data = bytes(data)
     n = len(data)
+    if 1 <= level <= 6 and window >= MAX_OFFSET and n > 32:
+        out = _native_deflate(data)
+        if out is not None:
+            return out
     bw = H.BitWriterLSB()
     if n == 0:
         bw.add(1, 1)

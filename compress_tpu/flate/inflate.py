@@ -174,6 +174,12 @@ def inflate(data, max_size: int = 1 << 31, eob_callback=None,
     WithEobCallback); resume_from continues from a checkpoint (reference:
     WithResumeFrom); prefix seeds the window (dictionary)."""
     data = bytes(data)
+    if eob_callback is None and resume_from is None and not prefix:
+        from compress_tpu.flate.deflate import native_inflate
+
+        out = native_inflate(data, max_size)
+        if out is not None:
+            return out
     if resume_from is not None:
         br = _BitReader(data, resume_from.compressed_offset, resume_from.bit_offset)
         out = bytearray()
