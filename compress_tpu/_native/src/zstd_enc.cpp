@@ -369,12 +369,13 @@ struct Seq {
   uint32_t ll, ml, ofv;
 };
 
-// encode src as one zstd frame into dst; returns frame length or -1.
-// dst capacity must be >= n + n/8 + 256.
-long long ct_zstd_compress(const uint8_t* src, long long n, uint8_t* dst,
-                           long long cap, int checksum,
-                           unsigned long long xxh) {
-  if (n <= 16 || n > (1ll << 31) - (1 << 20)) return -1;
+// encode the block sequence covering src[start, n) into dst (no frame
+// header). Matches may reach back into [0, start) (overlap prefix).
+// mark_last sets the last-block flag on the final block.
+static long long encode_blocks_(const uint8_t* src, long long n,
+                                long long start, uint8_t* dst, long long cap,
+                                int mark_last) {
+  if (n - start <= 0 || n > (1ll << 31) - (1 << 20)) return -1;
   if (!g_init) {
     ctab_build(PRE_LL, 36, 6, &g_ll);
     ctab_build(PRE_OF, 29, 5, &g_of);
@@ -398,29 +399,18 @@ long long ct_zstd_compress(const uint8_t* src, long long n, uint8_t* dst,
   }
 
   long long d = 0;
-  // frame header: magic + FHD (single segment off, FCS 4 bytes, window)
-  memcpy(dst + d, "\x28\xb5\x2f\xfd", 4);
-  d += 4;
-  // window descriptor for min(n, 8MB); FCS_Field_Size code 2 (4 bytes)
   long long window = n < (8ll << 20) ? n : (8ll << 20);
   if (window < 1024) window = 1024;
-  int wlog = 10;
-  while ((1ll << (wlog + 1)) <= window) wlog++;
-  long long wbase = 1ll << wlog;
-  int mantissa = (int)((window - wbase) / (wbase >> 3));
-  if (wbase + (long long)mantissa * (wbase >> 3) < window) mantissa++;
-  if (mantissa > 7) { mantissa = 0; wlog++; }
-  dst[d++] = (uint8_t)((2 << 6) | (checksum ? 4 : 0));  // FHD
-  dst[d++] = (uint8_t)(((wlog - 10) << 3) | mantissa);
-  memcpy(dst + d, &n, 4);
-  d += 4;
 
   uint32_t rep1 = 1;
-  long long pos = 0;
+  long long pos = start;
+  // seed the hash table with some prefix positions
+  for (long long q = start > 32768 ? start - 32768 : 0; q + 8 < start; q += 2)
+    table[zhash(ld64(src + q), HBITS)] = (int32_t)q;
   while (pos < n) {
     long long bend = pos + (1 << 17) < n ? pos + (1 << 17) : n;
     long long regen = bend - pos;
-    int last = bend == n;
+    int last = mark_last && bend == n;
 
     // ---- greedy match search over [pos, bend) --------------------------
     long long nseq = 0, lit_n = 0;
@@ -634,14 +624,48 @@ long long ct_zstd_compress(const uint8_t* src, long long n, uint8_t* dst,
     }
     pos = bend;
   }
+  free(table); free(seqs); free(lits); free(scratch); free(stage);
+  free(lc_s);
+  return d;
+}
+
+// full single frame (header + blocks + optional checksum)
+long long ct_zstd_compress(const uint8_t* src, long long n, uint8_t* dst,
+                           long long cap, int checksum,
+                           unsigned long long xxh) {
+  if (n <= 16) return -1;
+  long long d = 0;
+  memcpy(dst + d, "\x28\xb5\x2f\xfd", 4);
+  d += 4;
+  long long window = n < (8ll << 20) ? n : (8ll << 20);
+  if (window < 1024) window = 1024;
+  int wlog = 10;
+  while ((1ll << (wlog + 1)) <= window) wlog++;
+  long long wbase = 1ll << wlog;
+  int mantissa = (int)((window - wbase) / (wbase >> 3));
+  if (wbase + (long long)mantissa * (wbase >> 3) < window) mantissa++;
+  if (mantissa > 7) { mantissa = 0; wlog++; }
+  dst[d++] = (uint8_t)((2 << 6) | (checksum ? 4 : 0));
+  dst[d++] = (uint8_t)(((wlog - 10) << 3) | mantissa);
+  memcpy(dst + d, &n, 4);
+  d += 4;
+  long long b = encode_blocks_(src, n, 0, dst + d, cap - d - 8, 1);
+  if (b < 0) return -1;
+  d += b;
   if (checksum) {
     uint32_t c = (uint32_t)xxh;
     memcpy(dst + d, &c, 4);
     d += 4;
   }
-  free(table); free(seqs); free(lits); free(scratch); free(stage);
-  free(lc_s);
   return d;
+}
+
+// job entry for host-parallel frames (reference enc_jobs): encodes
+// src[start, n) as non-final blocks, matching into the prefix [0, start)
+long long ct_zstd_compress_blocks(const uint8_t* src, long long n,
+                                  long long start, uint8_t* dst,
+                                  long long cap) {
+  return encode_blocks_(src, n, start, dst, cap, 0);
 }
 
 }  // extern "C"

@@ -161,10 +161,11 @@ def decompress(data, max_size: int = MAX_DECODED_SIZE,
 
 
 # encoder lives in encoder.py; re-exported here
-from compress_tpu.zstd.encoder import compress  # noqa: E402
+from compress_tpu.zstd.encoder import compress, compress_concurrent  # noqa: E402
 
 __all__ = [
-    "compress", "decompress", "Header", "parse_frame_header",
+    "compress", "compress_concurrent", "decompress", "Header",
+    "parse_frame_header",
     "ZstdError", "FrameError", "BlockError", "History",
     "SpeedFastest", "SpeedDefault", "SpeedBetter", "SpeedBest",
     "MAX_DECODED_SIZE",

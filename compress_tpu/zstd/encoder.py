@@ -440,3 +440,58 @@ def compress(data, level: int = 2, checksum: bool = False,
     if checksum:
         out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
+
+
+def compress_concurrent(data, workers: int = 4, job_size: int = 1 << 20,
+                        checksum: bool = False) -> bytes:
+    """Host-parallel single-frame encode (reference: WithConcurrentBlocks,
+    zstd/enc_jobs.go): the input splits into jobs, each job gets the
+    previous job's tail as overlap prefix, workers encode block sequences
+    concurrently (the native core releases the GIL), and the frame is
+    assembled in job order. Output is one valid frame."""
+    import ctypes
+    from concurrent.futures import ThreadPoolExecutor
+
+    from compress_tpu import _native
+
+    data = bytes(data)
+    n = len(data)
+    lib = _native.raw()
+    if n <= job_size or workers <= 1 or lib is None \
+            or not hasattr(lib, "ct_zstd_compress_blocks"):
+        return compress(data, level=1, checksum=checksum)
+    if not getattr(lib, "_zjob_proto", False):
+        lib.ct_zstd_compress_blocks.restype = ctypes.c_longlong
+        lib.ct_zstd_compress_blocks.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_longlong]
+        lib._zjob_proto = True
+
+    pre = job_size // 8  # overlap (reference overlapSize default class)
+    bounds = list(range(0, n, job_size))
+
+    def job(lo):
+        hi = min(lo + job_size, n)
+        p = max(0, lo - pre)
+        seg = data[p:hi]
+        cap = (hi - lo) + (hi - lo) // 8 + 4096
+        dst = ctypes.create_string_buffer(cap)
+        r = lib.ct_zstd_compress_blocks(seg, len(seg), lo - p, dst, cap)
+        if r < 0:
+            raise RuntimeError("native job encode failed")
+        return dst.raw[:r]
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        parts = list(ex.map(job, bounds))
+
+    from compress_tpu.zstd import frame as F
+
+    window = min(n, (8 << 20)) if n else 1024
+    out = bytearray(F.write_frame_header(n, max(window, job_size + pre),
+                                         False, checksum))
+    for part in parts:
+        out += part
+    out += (1).to_bytes(3, "little")  # final empty raw block carries `last`
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

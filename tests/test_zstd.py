@@ -170,3 +170,28 @@ def test_good_corpus_bit_exact():
             assert Z.decompress(blob, max_size=1 << 26) == want, info.filename
             for_count += 1
     assert for_count > 0
+
+
+def test_compress_concurrent_jobs():
+    """Host-parallel job engine (enc_jobs equivalent): one valid frame,
+    jobs with overlap prefixes, order-preserving assembly."""
+    import numpy as np
+
+    from compress_tpu import zstd
+
+    rng = np.random.default_rng(2)
+    tw = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt", "rb").read()
+    perm = rng.permutation(256).astype(np.uint8)
+    data = (tw + perm[np.frombuffer(tw, np.uint8)].tobytes())[: 700_000]
+    frame = zstd.compress_concurrent(data, workers=3, job_size=1 << 18,
+                                     checksum=True)
+    assert zstd.decompress(frame) == data
+    try:
+        import zstandard
+        assert zstandard.ZstdDecompressor().decompress(
+            frame, max_output_size=len(data) + 16) == data
+    except ImportError:
+        pass
+    # sub-job input falls back to the single-shot path
+    small = zstd.compress_concurrent(data[:1000], workers=3)
+    assert zstd.decompress(small) == data[:1000]
