@@ -198,6 +198,19 @@ class Reader:
         return True
 
     def read(self, n: int = -1) -> bytes:
+        # full-drain fast path on a fresh reader: decode the remaining
+        # source in one native pass (DecodeAll semantics)
+        if (n < 0 and self._frame is None and not self._pending
+                and not self.dicts and not self._eof):
+            rest = self.src.read()
+            self._eof = True
+            if not rest:
+                return b""
+            out = decompress(rest, max_size=self.max_memory,
+                             max_window=self.max_window,
+                             ignore_checksum=self.ignore_checksum)
+            self._total_out += len(out)
+            return out
         out = bytearray()
         while n < 0 or len(out) < n:
             if self._ppos >= len(self._pending):
