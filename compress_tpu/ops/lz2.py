@@ -149,6 +149,62 @@ def _parse(off, L, bs, tile, cap=L_EMIT_CAP):
     return take, lit, L_t, off
 
 
+def _merge_tile_chains(take, lit, L_t, off, bs, tile):
+    """Merge op chains across tile boundaries: an op ending exactly at a
+    tile end absorbs the next tile's base op when the offsets match
+    (transitively through full-tile ops). Long runs then emit as ONE
+    copy+repeat pair instead of one per tile (zeros: ~900B -> ~30B/64K)."""
+    nb = take.shape[0]
+    nt = bs // tile
+    r = jnp.arange(bs, dtype=jnp.int32) % tile
+
+    def t3(x):
+        return x.reshape(nb, nt, tile)
+
+    ends_at_end = take & ((r[None, :] + L_t) == tile)
+    eoff = jnp.max(jnp.where(t3(ends_at_end), t3(off), -1), axis=2)
+    rr = jnp.broadcast_to(r, take.shape)
+    epos_r = jnp.max(jnp.where(t3(ends_at_end), t3(rr), -1), axis=2)
+    op0 = t3(take)[:, :, 0]
+    off0 = t3(off)[:, :, 0]
+    L0 = t3(L_t)[:, :, 0]
+    full = op0 & (L0 == tile)
+    prev_eoff = jnp.concatenate(
+        [jnp.full((nb, 1), -1, jnp.int32), eoff[:, :-1]], axis=1)
+    a = op0 & (off0 == prev_eoff) & (prev_eoff > 0)
+    c = a & full                                   # chain middles
+
+    tt = jnp.arange(nt, dtype=jnp.int32)[None, :]
+    term_at = jnp.where(~c, tt, nt)
+    k_term = jax.lax.cummin(term_at, axis=1, reverse=True)  # first !c >= t
+    # packed reverse fill of the terminal tile's absorbed length
+    packed = jnp.where(~c, ((nt - 1 - tt) << 10)
+                       | jnp.where(a, jnp.minimum(L0, 1023), 0), -1)
+    filled = jax.lax.cummax(packed, axis=1, reverse=True)
+    L_term = jnp.where(filled >= 0, filled & 1023, 0)  # chain may hit block end
+
+    # evaluated from the receiver tile s at index s+1
+    def nxt(x, fill):
+        return jnp.concatenate(
+            [x[:, 1:], jnp.full((nb, 1), fill, x.dtype)], axis=1)
+
+    links = nxt(k_term, nt) - (tt + 1)             # consecutive c from s+1
+    W = links * tile + nxt(L_term, 0)
+
+    def per_pos(x):  # (nb, nt) -> (nb, bs) broadcast over tile positions
+        return jnp.broadcast_to(x[:, :, None], (nb, nt, tile)).reshape(nb, bs)
+
+    next_absorbed = nxt(a.astype(jnp.int32), 0) > 0
+    is_receiver_tile = next_absorbed & ~c          # chain start, not middle
+    receiver = (ends_at_end & per_pos(is_receiver_tile)
+                & (rr == per_pos(epos_r)))
+    addW = jnp.where(receiver, per_pos(W), 0)
+    absorbed = per_pos(a) & (rr == 0)
+    take2 = take & ~absorbed
+    L2 = L_t + addW
+    return take2, lit, L2, off
+
+
 def _tile_out(tile: int) -> int:
     """Per-tile output bound: worst case is one all-literal run
     (tile + 3 header bytes); padded up to a lane multiple."""
@@ -293,6 +349,7 @@ def s2_encode_blocks(blocks, tile: int = TILE, level: int = 1):
     bs = blocks.shape[-1]
     take, lit, L_t, off = jax.vmap(
         lambda b: _find_parse(b, bs, tile, level))(blocks)
+    take, lit, L_t, off = _merge_tile_chains(take, lit, L_t, off, bs, tile)
     return _emit_batched(blocks, take, lit, L_t, off, bs, tile)
 
 
