@@ -217,7 +217,10 @@ def fse_encode_blocks(blocks, log: int = FSE_LOG):
     cum = jnp.cumsum(items_n, axis=1)
     dest = cum - items_n
     total_bits = cum[:, -1]
+    # one item = two state writes (<= 2*log bits): 256-item tiles bound
+    # the per-tile span at 256*18/16 + 2 = 290 halves
     halves, n_halves = _bitpack_rows(items_v, items_n, dest, 384,
-                                     region_end=(total_bits + 16) >> 4)
+                                     region_end=(total_bits + 16) >> 4,
+                                     T=256)
     return dict(norm=norm, total_bits=total_bits, halves=halves,
                 n_halves=n_halves, hist=hist)

@@ -208,15 +208,15 @@ def _canonical_codes_dev(nbits, max_bits):
 # ---------------------------------------------------------------------------
 
 
-def _bitpack_rows(values, nbits, dest_bit, to, region_end=None):
+def _bitpack_rows(values, nbits, dest_bit, to, region_end=None, T=512):
     """values/nbits/dest_bit: (R, I) with dest_bit monotone non-decreasing
-    per row; values < 2^21, nbits <= 21. region_end: (R,) total half count
+    per row; values < 2^26, nbits <= 26. region_end: (R,) total half count
     of the output region — tiles claim gap/slack halves (e.g. the EOS half
     when a stream's bit count is a multiple of 16) so the compacted stream
-    keeps them as zero padding. Returns (halves (R, ntiles*to) int32
-    compacted to the row front, n_halves (R,))."""
+    keeps them as zero padding. T = items per tile; callers must ensure
+    T * max_bits_per_item / 16 + 2 <= to. Returns (halves (R, ntiles*to)
+    int32 compacted to the row front, n_halves (R,))."""
     R, I = values.shape
-    T = 512
     nt = I // T
     v = values.astype(jnp.uint32)
     s = (dest_bit & 15).astype(jnp.uint32)
@@ -686,9 +686,11 @@ def zstd_encode_jobs(jobs, job: int = JOB, block: int = BLOCK,
         [items_n, fl_n, jnp.zeros((R, pad), jnp.int32)], axis=1)
     seq_bits_cum = jnp.cumsum(items_n, axis=1)
     seq_dest = seq_bits_cum - items_n
+    # 3 items/seq, worst ~68 bits/seq -> 256-item tiles bound at 362 halves
     seq_total_bits = seq_bits_cum[:, -1]
     seq_halves, seq_nh = _bitpack_rows(items_v, items_n, seq_dest, SEQ_TO,
-                                       region_end=(seq_total_bits + 16) >> 4)
+                                       region_end=(seq_total_bits + 16) >> 4,
+                                       T=256)
 
     extra = {}
     if debug:

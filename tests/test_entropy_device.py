@@ -58,3 +58,21 @@ def test_huff0_batch_matches_host_sizes(corpus):
         except Exception:
             continue
         assert len(blob) <= int(len(host) * 1.03) + 8
+
+
+def test_fse_batch_high_entropy_bitpack_bound():
+    """Near-worst per-item bit widths (dense 8-9 bit state writes) must not
+    overflow the bit-pack tile window (regression: T=512 tiles clipped)."""
+    rng = np.random.default_rng(0)
+    p = np.ones(201)
+    p[0] = 220.0
+    p /= p.sum()
+    blocks = rng.choice(201, size=(8, 4096), p=p).astype(np.uint8)
+    outs = fse.compress_batch(blocks)
+    n_ok = 0
+    for blob, row in zip(outs, blocks):
+        if blob is None:
+            continue
+        n_ok += 1
+        assert fse.decompress(blob) == row.tobytes()
+    assert n_ok >= 6
