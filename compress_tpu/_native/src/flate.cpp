@@ -1,11 +1,17 @@
 // DEFLATE (RFC 1951) — host-side native core.
 //
-// Encoder: greedy hash matcher (32 KiB window, min match 3) + dynamic
-// canonical Huffman blocks with the code-length RLE header; stored-block
-// fallback. Decoder: table-driven canonical decode for stored/fixed/
-// dynamic blocks. The Python implementations (flate/deflate.py,
-// flate/inflate.py) remain the full-featured paths (levels -2..9, custom
+// Encoder: real per-level ladder (reference flate/deflate.go level classes,
+// flate/level1-6.go + deflateLazy at 7-9): levels 1-3 are greedy hash-chain
+// matchers with increasing chain depth, levels 4-9 add lazy (one-position
+// lookahead) evaluation with zlib-style good/lazy/nice/chain parameters.
+// Code lengths are optimal length-limited (package-merge), blocks choose
+// dynamic/stored by exact cost. Decoder: table-driven canonical decode for
+// stored/fixed/dynamic blocks. The Python implementations (flate/deflate.py,
+// flate/inflate.py) remain the full-featured paths (HUFFMAN_ONLY, custom
 // windows, checkpoints) and the differential oracles.
+//
+// ct_inflate error codes: -1 corrupt input, -2 output capacity exceeded
+// (caller may retry -2 with a larger buffer; -1 must not be retried).
 
 #include <cstdint>
 #include <cstdlib>
@@ -88,52 +94,105 @@ static inline int dst_code(int d) {  // d in [1, 32768]
   return hb * 2 + (((d - 1) >> (hb - 1)) & 1);
 }
 
-// ---- canonical huffman lengths (Kraft greedy, limit <= maxlen) ------------
+// ---- optimal length-limited code lengths (package-merge) -------------------
+//
+// Deliberate divergence from the reference's heap Huffman + setMaxHeight
+// (flate/huffman_code.go role): package-merge is optimal under the length
+// limit and trivially fits nsym<=286 / limit 15.
+
+struct PMN {
+  uint64_t w;
+  int16_t sym;   // >=0 for a leaf
+  int16_t a, b;  // package children: indices into the previous level
+};
+
+static void pm_expand(const PMN* const* lvl, int level, int idx, uint8_t* lens) {
+  const PMN& nd = lvl[level][idx];
+  if (nd.sym >= 0) {
+    lens[nd.sym]++;
+  } else {
+    pm_expand(lvl, level - 1, nd.a, lens);
+    pm_expand(lvl, level - 1, nd.b, lens);
+  }
+}
 
 static bool build_lengths(const uint32_t* hist, int nsym, int maxlen,
                           uint8_t* lens) {
-  long long total = 0;
-  int present = 0;
+  int leaf_sym[320];
+  uint64_t leaf_w[320];
+  int nl = 0;
   for (int s = 0; s < nsym; s++) {
     lens[s] = 0;
-    total += hist[s];
-    if (hist[s]) present++;
+    if (hist[s]) {
+      leaf_sym[nl] = s;
+      leaf_w[nl] = hist[s];
+      nl++;
+    }
   }
-  if (present == 0) return false;
-  if (present == 1) {  // degenerate: give it length 1
-    for (int s = 0; s < nsym; s++)
-      if (hist[s]) lens[s] = 1;
+  if (nl == 0) return false;
+  if (nl == 1) {
+    lens[leaf_sym[0]] = 1;
     return true;
   }
-  int l[320];
-  for (int s = 0; s < nsym; s++) {
-    l[s] = 0;
-    if (!hist[s]) continue;
-    int v = 1;
-    while (v < maxlen && ((uint64_t)hist[s] << v) < (uint64_t)total) v++;
-    l[s] = v;
-  }
-  long long kraft = 0;
-  for (int s = 0; s < nsym; s++)
-    if (l[s]) kraft += 1ll << (maxlen - l[s]);
-  long long d = (1ll << maxlen) - kraft;
-  if (d < 0) return false;
-  while (d > 0) {
-    int best = -1;
-    double bs = -1;
-    for (int s = 0; s < nsym; s++) {
-      if (l[s] <= 1) continue;
-      long long cost = 1ll << (maxlen - l[s]);
-      if (cost > d) continue;
-      double sc = (double)hist[s] / (double)cost;
-      if (sc > bs) { bs = sc; best = s; }
+  if ((1ll << maxlen) < nl) return false;
+  // sort leaves by weight ascending (stable insertion; nl <= 286)
+  for (int i = 1; i < nl; i++) {
+    uint64_t w = leaf_w[i];
+    int sy = leaf_sym[i];
+    int j = i - 1;
+    while (j >= 0 && leaf_w[j] > w) {
+      leaf_w[j + 1] = leaf_w[j];
+      leaf_sym[j + 1] = leaf_sym[j];
+      j--;
     }
-    if (best < 0) break;  // leave the code incomplete-but-valid? no: pad
-    d -= 1ll << (maxlen - l[best]);
-    l[best]--;
+    leaf_w[j + 1] = w;
+    leaf_sym[j + 1] = sy;
   }
-  if (d != 0) return false;
-  for (int s = 0; s < nsym; s++) lens[s] = (uint8_t)l[s];
+  int cap = 2 * nl + 2;
+  PMN* store = (PMN*)malloc(sizeof(PMN) * (size_t)cap * (size_t)maxlen);
+  if (!store) return false;
+  PMN* lvl[16];
+  int lsz[16];
+  for (int L = 0; L < maxlen; L++) lvl[L] = store + (size_t)L * cap;
+  // level 0 (deepest, cost 2^-maxlen): leaves only
+  for (int i = 0; i < nl; i++) {
+    lvl[0][i].w = leaf_w[i];
+    lvl[0][i].sym = (int16_t)leaf_sym[i];
+    lvl[0][i].a = lvl[0][i].b = -1;
+  }
+  lsz[0] = nl;
+  for (int L = 1; L < maxlen; L++) {
+    // merge leaves with packages of pairs from level L-1
+    int np = lsz[L - 1] / 2;
+    int i = 0, p = 0, o = 0;
+    while (i < nl || p < np) {
+      uint64_t pw = p < np ? lvl[L - 1][2 * p].w + lvl[L - 1][2 * p + 1].w
+                           : ~0ull;
+      if (i < nl && leaf_w[i] <= pw) {
+        lvl[L][o].w = leaf_w[i];
+        lvl[L][o].sym = (int16_t)leaf_sym[i];
+        lvl[L][o].a = lvl[L][o].b = -1;
+        i++;
+      } else {
+        lvl[L][o].w = pw;
+        lvl[L][o].sym = -1;
+        lvl[L][o].a = (int16_t)(2 * p);
+        lvl[L][o].b = (int16_t)(2 * p + 1);
+        p++;
+      }
+      o++;
+    }
+    lsz[L] = o;
+  }
+  int need = 2 * (nl - 1);
+  if (lsz[maxlen - 1] < need) {
+    free(store);
+    return false;
+  }
+  const PMN* clvl[16];
+  for (int L = 0; L < maxlen; L++) clvl[L] = lvl[L];
+  for (int k = 0; k < need; k++) pm_expand(clvl, maxlen - 1, k, lens);
+  free(store);
   return true;
 }
 
@@ -161,211 +220,395 @@ struct Tok {  // literal: dist=0, val=byte; match: val=len, dist=distance
 
 #define FHB 15
 #define FBLOCK (1 << 16)
+#define FSPAN (1 << 17)  // max input bytes per block (checkpoint granularity)
+#define FWIN 32768
 
-long long ct_deflate(const uint8_t* src, long long n, uint8_t* dst,
-                     long long cap) {
-  if (n < 0 || cap < n + n / 8 + 64) return -1;
-  int32_t* table = (int32_t*)malloc(sizeof(int32_t) << FHB);
-  Tok* toks = (Tok*)malloc(sizeof(Tok) * (FBLOCK + 16));
-  if (!table || !toks) {
-    free(table);
+// Emit one block of tokens covering src[pos, bend). Chooses dynamic vs
+// stored by exact bit cost. Returns false only on internal failure.
+static void emit_tok_block(FW* w, const Tok* toks, long long ntok,
+                           const uint8_t* src, long long pos, long long bend,
+                           int last) {
+  uint32_t h_lit[288] = {0}, h_dst[32] = {0};
+  long long extra_bits = 0;
+  for (long long i = 0; i < ntok; i++) {
+    if (toks[i].dist == 0) {
+      h_lit[toks[i].val]++;
+    } else {
+      int lc = len_code(toks[i].val);
+      int dc = dst_code(toks[i].dist);
+      h_lit[257 + lc]++;
+      h_dst[dc]++;
+      extra_bits += LEN_XB[lc] + DST_XB[dc];
+    }
+  }
+  h_lit[256]++;  // EOB
+  uint8_t l_lit[288] = {0}, l_dst[32] = {0};
+  uint16_t c_lit[288], c_dst[32];
+  bool okl = build_lengths(h_lit, 286, 15, l_lit);
+  if (!build_lengths(h_dst, 30, 15, l_dst)) {
+    l_dst[0] = 1;
+    l_dst[1] = 1;  // two dummy dist codes (legal: unused)
+  }
+  long long stored_bits = 8 * (bend - pos) + 5 * 8;  // hdr+len+nlen, aligned
+  bool wrote = false;
+  if (okl) {
+    canon_codes(l_lit, 286, c_lit);
+    canon_codes(l_dst, 30, c_dst);
+    int hlit = 286;
+    while (hlit > 257 && l_lit[hlit - 1] == 0) hlit--;
+    int hdist = 30;
+    while (hdist > 1 && l_dst[hdist - 1] == 0) hdist--;
+    uint8_t seq[320];
+    int ns = 0;
+    for (int i = 0; i < hlit; i++) seq[ns++] = l_lit[i];
+    for (int i = 0; i < hdist; i++) seq[ns++] = l_dst[i];
+    // RLE the code-length sequence into CL symbols
+    uint8_t cls[320], clx[320];
+    int ncl = 0;
+    uint32_t h_cl[19] = {0};
+    for (int i = 0; i < ns;) {
+      int v = seq[i];
+      int run = 1;
+      while (i + run < ns && seq[i + run] == v) run++;
+      if (v == 0) {
+        int r = run;
+        while (r >= 11) {
+          int take = r > 138 ? 138 : r;
+          cls[ncl] = 18;
+          clx[ncl++] = (uint8_t)(take - 11);
+          h_cl[18]++;
+          r -= take;
+        }
+        if (r >= 3) {
+          cls[ncl] = 17;
+          clx[ncl++] = (uint8_t)(r - 3);
+          h_cl[17]++;
+          r = 0;
+        }
+        while (r-- > 0) {
+          cls[ncl] = 0;
+          clx[ncl++] = 0;
+          h_cl[0]++;
+        }
+      } else {
+        cls[ncl] = (uint8_t)v;
+        clx[ncl++] = 0;
+        h_cl[v]++;
+        int r = run - 1;
+        while (r >= 3) {
+          int take = r > 6 ? 6 : r;
+          cls[ncl] = 16;
+          clx[ncl++] = (uint8_t)(take - 3);
+          h_cl[16]++;
+          r -= take;
+        }
+        while (r-- > 0) {
+          cls[ncl] = (uint8_t)v;
+          clx[ncl++] = 0;
+          h_cl[v]++;
+        }
+      }
+      i += run;
+    }
+    uint8_t l_cl[19];
+    uint16_t c_cl[19];
+    if (build_lengths(h_cl, 19, 7, l_cl)) {
+      canon_codes(l_cl, 19, c_cl);
+      static const uint8_t ORD[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                                      11, 4, 12, 3, 13, 2, 14, 1, 15};
+      int hclen = 19;
+      while (hclen > 4 && l_cl[ORD[hclen - 1]] == 0) hclen--;
+      // exact dynamic cost for the stored-vs-dynamic choice
+      long long dyn_bits = 3 + 14 + 3 * hclen;
+      for (int i = 0; i < ncl; i++) {
+        dyn_bits += l_cl[cls[i]];
+        if (cls[i] == 16) dyn_bits += 2;
+        else if (cls[i] == 17) dyn_bits += 3;
+        else if (cls[i] == 18) dyn_bits += 7;
+      }
+      for (int s = 0; s < 286; s++) dyn_bits += (long long)h_lit[s] * l_lit[s];
+      for (int s = 0; s < 30; s++) dyn_bits += (long long)h_dst[s] * l_dst[s];
+      dyn_bits += extra_bits;
+      if (dyn_bits < stored_bits || bend - pos > 65535) {
+        fw_bits(w, last ? 1 : 0, 1);
+        fw_bits(w, 2, 2);  // dynamic
+        fw_bits(w, hlit - 257, 5);
+        fw_bits(w, hdist - 1, 5);
+        fw_bits(w, hclen - 4, 4);
+        for (int i = 0; i < hclen; i++) fw_bits(w, l_cl[ORD[i]], 3);
+        for (int i = 0; i < ncl; i++) {
+          fw_bits(w, c_cl[cls[i]], l_cl[cls[i]]);
+          if (cls[i] == 16) fw_bits(w, clx[i], 2);
+          else if (cls[i] == 17) fw_bits(w, clx[i], 3);
+          else if (cls[i] == 18) fw_bits(w, clx[i], 7);
+        }
+        for (long long i = 0; i < ntok; i++) {
+          if (toks[i].dist == 0) {
+            fw_bits(w, c_lit[toks[i].val], l_lit[toks[i].val]);
+          } else {
+            int lc = len_code(toks[i].val);
+            fw_bits(w, c_lit[257 + lc], l_lit[257 + lc]);
+            fw_bits(w, toks[i].val - LEN_BASE[lc], LEN_XB[lc]);
+            int dc = dst_code(toks[i].dist);
+            fw_bits(w, c_dst[dc], l_dst[dc]);
+            fw_bits(w, toks[i].dist - DST_BASE[dc], DST_XB[dc]);
+          }
+        }
+        fw_bits(w, c_lit[256], l_lit[256]);  // EOB
+        wrote = true;
+      }
+    }
+  }
+  if (!wrote) {
+    // stored block(s)
+    long long p = pos;
+    do {
+      long long len = bend - p;
+      if (len > 65535) len = 65535;
+      int lb = (p + len == bend) ? last : 0;
+      fw_bits(w, lb, 1);
+      fw_bits(w, 0, 2);
+      fw_align(w);
+      w->out[w->n++] = (uint8_t)len;
+      w->out[w->n++] = (uint8_t)(len >> 8);
+      w->out[w->n++] = (uint8_t)~len;
+      w->out[w->n++] = (uint8_t)(~len >> 8);
+      memcpy(w->out + w->n, src + p, len);
+      w->n += len;
+      p += len;
+    } while (p < bend);
+  }
+}
+
+// per-level matcher parameters (reference flate/deflate.go levels[] role)
+struct FCfg {
+  int good, lazy, nice, chain;
+};
+static const FCfg FCFG[10] = {
+    {0, 0, 0, 0},        // 0: store (handled in Python)
+    {4, 0, 8, 4},        // 1: greedy, shallow
+    {4, 0, 16, 8},       // 2: greedy
+    {4, 0, 32, 32},      // 3: greedy, deeper
+    {4, 4, 16, 16},      // 4: lazy begins
+    {8, 16, 32, 32},     // 5
+    {8, 16, 128, 128},   // 6: default
+    {8, 32, 128, 256},   // 7
+    {32, 128, 258, 1024}, // 8
+    {32, 258, 258, 4096}, // 9: best
+};
+
+static inline long long fmatch_len(const uint8_t* src, long long c,
+                                   long long s, long long maxm) {
+  long long m = 0;
+  while (m + 8 <= maxm) {
+    uint64_t x = fld64(src + c + m) ^ fld64(src + s + m);
+    if (x) return m + (__builtin_ctzll(x) >> 3);
+    m += 8;
+  }
+  while (m < maxm && src[c + m] == src[s + m]) m++;
+  return m;
+}
+
+// chain-walk longest match at s, starting from candidate c (callers pass
+// prev[s]: the head value from before s itself was inserted). Returns
+// length (0 if none), sets *dist.
+static inline int find_match(const uint8_t* src, const int32_t* prev,
+                             long long s, long long n, long long c,
+                             int chain, int nice, int* dist) {
+  long long maxm = n - s;
+  if (maxm > 258) maxm = 258;
+  if (maxm < 4) return 0;
+  int best = 3;  // require >= 4
+  long long bc = -1;
+  uint32_t v = fld32(src + s);
+  long long lo = s - FWIN;
+  while (c >= 0 && c > lo && chain-- > 0) {
+    if (src[c + best] == src[s + best] && fld32(src + c) == v) {
+      long long m = fmatch_len(src, c + 4, s + 4, maxm - 4) + 4;
+      if (m > best) {
+        best = (int)m;
+        bc = c;
+        if (best >= nice || best >= (int)maxm) break;
+      }
+    }
+    c = prev[c];
+  }
+  if (bc < 0) return 0;
+  *dist = (int)(s - bc);
+  return best;
+}
+
+static long long deflate_chain(const uint8_t* src, long long n, uint8_t* dst,
+                               long long cap, int level) {
+  const FCfg cfg = FCFG[level];
+  int32_t* head = (int32_t*)malloc(sizeof(int32_t) << FHB);
+  int32_t* prev = (int32_t*)malloc(sizeof(int32_t) * (size_t)(n > 0 ? n : 1));
+  Tok* toks = (Tok*)malloc(sizeof(Tok) * (FBLOCK + 512));
+  if (!head || !prev || !toks) {
+    free(head);
+    free(prev);
     free(toks);
     return -1;
   }
-  memset(table, -1, sizeof(int32_t) << FHB);
+  memset(head, -1, sizeof(int32_t) << FHB);
   FW w;
   w.out = dst;
   w.n = 0;
   w.acc = 0;
   w.bits = 0;
 
-  long long pos = 0;
-  while (true) {
-    long long bend = pos + FBLOCK < n ? pos + FBLOCK : n;
-    int last = bend == n;
-    // tokenize [pos, bend)
-    long long ntok = 0;
-    long long s = pos;
-    if (bend - pos >= 16) {
-      long long limit = bend - 12;
-      while (s < limit) {
-        uint32_t v = fld32(src + s);
-        uint32_t h = fhash(v, FHB);
-        long long c = table[h];
-        table[h] = (int32_t)s;
-        if (c >= 0 && s - c <= 32768 &&
-            (fld32(src + c) & 0xFFFFFF) == (v & 0xFFFFFF)) {
-          long long m = 3;
-          long long maxm = bend - s;
-          if (maxm > 258) maxm = 258;
-          while (m + 8 <= maxm) {
-            uint64_t x = fld64(src + c + m) ^ fld64(src + s + m);
-            if (x) { m += __builtin_ctzll(x) >> 3; goto fext; }
-            m += 8;
-          }
-          while (m < maxm && src[c + m] == src[s + m]) m++;
-        fext:
-          if (m > maxm) m = maxm;
-          toks[ntok].val = (uint16_t)m;
-          toks[ntok].dist = (uint16_t)(s - c);
-          ntok++;
-          // insert a few positions inside the match
-          if (m > 2 && s + m + 8 < bend) {
-            uint32_t v2 = fld32(src + s + 1);
-            table[fhash(v2, FHB)] = (int32_t)(s + 1);
-            uint32_t v3 = fld32(src + s + m - 2);
-            table[fhash(v3, FHB)] = (int32_t)(s + m - 2);
-          }
-          s += m;
-        } else {
-          toks[ntok].val = src[s];
-          toks[ntok].dist = 0;
-          ntok++;
-          s++;
-        }
+  long long ntok = 0;
+  long long blk_start = 0;
+
+  // flush a token block once enough input is covered
+  auto flush = [&](long long upto, int last) {
+    emit_tok_block(&w, toks, ntok, src, blk_start, upto, last);
+    ntok = 0;
+    blk_start = upto;
+  };
+
+#define FINSERT(pos)                                     \
+  do {                                                   \
+    uint32_t hh = fhash(fld32(src + (pos)), FHB);        \
+    prev[pos] = head[hh];                                \
+    head[hh] = (int32_t)(pos);                           \
+  } while (0)
+
+  long long s = 0;
+  long long limit = n - 12;  // safe 8-byte loads in matcher
+  const bool lazy = cfg.lazy > 0;
+
+  int prev_len = 0, prev_dist = 0;
+  long long prev_pos = -1;
+
+  while (s < limit) {
+    FINSERT(s);
+    int dist = 0;
+    int chain = cfg.chain;
+    if (lazy && prev_len >= cfg.good) chain >>= 2;
+    int mlen = find_match(src, prev, s, n, prev[s], chain, cfg.nice, &dist);
+    // drop far-away minimum matches (zlib TOO_FAR analogue)
+    if (mlen == 4 && dist > 16384) mlen = 0;
+
+    if (!lazy) {
+      if (mlen >= 4) {
+        toks[ntok].val = (uint16_t)mlen;
+        toks[ntok].dist = (uint16_t)dist;
+        ntok++;
+        long long e = s + mlen;
+        if (e > limit) e = limit;
+        for (long long p2 = s + 1; p2 < e; p2++) FINSERT(p2);
+        s += mlen;
+      } else {
+        toks[ntok].val = src[s];
+        toks[ntok].dist = 0;
+        ntok++;
+        s++;
       }
-    }
-    while (s < bend) {
-      toks[ntok].val = src[s];
-      toks[ntok].dist = 0;
-      ntok++;
-      s++;
+      if (ntok >= FBLOCK || s - blk_start >= FSPAN) flush(s, 0);
+      continue;
     }
 
-    // histograms (lit/len 286 incl. EOB, dist 30)
-    uint32_t h_lit[288] = {0}, h_dst[32] = {0};
-    for (long long i = 0; i < ntok; i++) {
-      if (toks[i].dist == 0) {
-        h_lit[toks[i].val]++;
-      } else {
-        h_lit[257 + len_code(toks[i].val)]++;
-        h_dst[dst_code(toks[i].dist)]++;
-      }
+    // lazy: compare with the match found at the previous position
+    if (prev_len >= 4 && mlen <= prev_len) {
+      toks[ntok].val = (uint16_t)prev_len;
+      toks[ntok].dist = (uint16_t)prev_dist;
+      ntok++;
+      long long e = prev_pos + prev_len;
+      if (e > limit) e = limit;
+      for (long long p2 = s + 1; p2 < e; p2++) FINSERT(p2);
+      s = prev_pos + prev_len;
+      prev_len = 0;
+      prev_pos = -1;
+      if (ntok >= FBLOCK || s - blk_start >= FSPAN) flush(s, 0);
+      continue;
     }
-    h_lit[256]++;  // EOB
-    uint8_t l_lit[288] = {0}, l_dst[32] = {0};
-    uint16_t c_lit[288], c_dst[32];
-    bool okl = build_lengths(h_lit, 286, 15, l_lit);
-    bool okd = build_lengths(h_dst, 30, 15, l_dst);
-    if (okd) {
-      // RFC: at least one dist code must be described; if none used,
-      // build_lengths with all-zero hist returned false
-    } else {
-      l_dst[0] = 1;
-      l_dst[1] = 1;  // two dummy dist codes (legal: unused)
-      okd = true;
+    if (prev_pos >= 0) {
+      toks[ntok].val = src[prev_pos];
+      toks[ntok].dist = 0;
+      ntok++;
+      if (ntok >= FBLOCK || s - blk_start >= FSPAN) flush(s, 0);
     }
-    long long block_start = w.n;
-    int start_bits = w.bits;
-    bool wrote = false;
-    if (okl) {
-      canon_codes(l_lit, 286, c_lit);
-      canon_codes(l_dst, 30, c_dst);
-      // code-length sequence: l_lit[0..hlit) + l_dst[0..hdist)
-      int hlit = 286;
-      while (hlit > 257 && l_lit[hlit - 1] == 0) hlit--;
-      int hdist = 30;
-      while (hdist > 1 && l_dst[hdist - 1] == 0) hdist--;
-      uint8_t seq[320];
-      int ns = 0;
-      for (int i = 0; i < hlit; i++) seq[ns++] = l_lit[i];
-      for (int i = 0; i < hdist; i++) seq[ns++] = l_dst[i];
-      // RLE the sequence into CL symbols
-      uint8_t cls[320];
-      uint8_t clx[320];
-      int ncl = 0;
-      uint32_t h_cl[19] = {0};
-      for (int i = 0; i < ns;) {
-        int v = seq[i];
-        int run = 1;
-        while (i + run < ns && seq[i + run] == v) run++;
-        if (v == 0) {
-          int r = run;
-          while (r >= 11) {
-            int take = r > 138 ? 138 : r;
-            cls[ncl] = 18; clx[ncl++] = (uint8_t)(take - 11);
-            h_cl[18]++; r -= take;
-          }
-          if (r >= 3) {
-            cls[ncl] = 17; clx[ncl++] = (uint8_t)(r - 3);
-            h_cl[17]++; r = 0;
-          }
-          while (r-- > 0) { cls[ncl] = 0; clx[ncl++] = 0; h_cl[0]++; }
-        } else {
-          cls[ncl] = (uint8_t)v; clx[ncl++] = 0; h_cl[v]++;
-          int r = run - 1;
-          while (r >= 3) {
-            int take = r > 6 ? 6 : r;
-            cls[ncl] = 16; clx[ncl++] = (uint8_t)(take - 3);
-            h_cl[16]++; r -= take;
-          }
-          while (r-- > 0) { cls[ncl] = (uint8_t)v; clx[ncl++] = 0; h_cl[v]++; }
-        }
-        i += run;
-      }
-      uint8_t l_cl[19];
-      uint16_t c_cl[19];
-      if (build_lengths(h_cl, 19, 7, l_cl)) {
-        canon_codes(l_cl, 19, c_cl);
-        static const uint8_t ORD[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
-                                        11, 4, 12, 3, 13, 2, 14, 1, 15};
-        int hclen = 19;
-        while (hclen > 4 && l_cl[ORD[hclen - 1]] == 0) hclen--;
-        fw_bits(&w, last ? 1 : 0, 1);
-        fw_bits(&w, 2, 2);  // dynamic
-        fw_bits(&w, hlit - 257, 5);
-        fw_bits(&w, hdist - 1, 5);
-        fw_bits(&w, hclen - 4, 4);
-        for (int i = 0; i < hclen; i++) fw_bits(&w, l_cl[ORD[i]], 3);
-        for (int i = 0; i < ncl; i++) {
-          fw_bits(&w, c_cl[cls[i]], l_cl[cls[i]]);
-          if (cls[i] == 16) fw_bits(&w, clx[i], 2);
-          else if (cls[i] == 17) fw_bits(&w, clx[i], 3);
-          else if (cls[i] == 18) fw_bits(&w, clx[i], 7);
-        }
-        for (long long i = 0; i < ntok; i++) {
-          if (toks[i].dist == 0) {
-            fw_bits(&w, c_lit[toks[i].val], l_lit[toks[i].val]);
-          } else {
-            int lc = len_code(toks[i].val);
-            fw_bits(&w, c_lit[257 + lc], l_lit[257 + lc]);
-            fw_bits(&w, toks[i].val - LEN_BASE[lc], LEN_XB[lc]);
-            int dc = dst_code(toks[i].dist);
-            fw_bits(&w, c_dst[dc], l_dst[dc]);
-            fw_bits(&w, toks[i].dist - DST_BASE[dc], DST_XB[dc]);
-          }
-        }
-        fw_bits(&w, c_lit[256], l_lit[256]);  // EOB
-        wrote = true;
-      }
+    if (mlen >= cfg.lazy) {
+      // good enough: emit immediately, skip the lazy comparison
+      toks[ntok].val = (uint16_t)mlen;
+      toks[ntok].dist = (uint16_t)dist;
+      ntok++;
+      long long e = s + mlen;
+      if (e > limit) e = limit;
+      for (long long p2 = s + 1; p2 < e; p2++) FINSERT(p2);
+      s += mlen;
+      prev_len = 0;
+      prev_pos = -1;
+      if (ntok >= FBLOCK || s - blk_start >= FSPAN) flush(s, 0);
+      continue;
     }
-    if (!wrote) {
-      // stored block
-      fw_bits(&w, last ? 1 : 0, 1);
-      fw_bits(&w, 0, 2);
-      fw_align(&w);
-      long long len = bend - pos;
-      dst[w.n++] = (uint8_t)len;
-      dst[w.n++] = (uint8_t)(len >> 8);
-      dst[w.n++] = (uint8_t)~len;
-      dst[w.n++] = (uint8_t)(~len >> 8);
-      memcpy(dst + w.n, src + pos, len);
-      w.n += len;
-    }
-    (void)block_start;
-    (void)start_bits;
-    if (w.n + FBLOCK + 64 > cap && bend < n) {
-      free(table);
-      free(toks);
-      return -1;
-    }
-    pos = bend;
-    if (last) break;
+    prev_len = mlen;
+    prev_dist = dist;
+    prev_pos = s;
+    s++;
+  }
+  // pending lazy literal
+  if (prev_pos >= 0) {
+    toks[ntok].val = src[prev_pos];
+    toks[ntok].dist = 0;
+    ntok++;
+  }
+  // trailing literals
+  while (s < n) {
+    toks[ntok].val = src[s];
+    toks[ntok].dist = 0;
+    ntok++;
+    s++;
+    if (ntok >= FBLOCK + 400 || s - blk_start >= FSPAN) flush(s, 0);
+  }
+  if (ntok > 0 || blk_start == 0) {
+    flush(n, 1);
+  } else {
+    // all tokens already flushed: emit an empty final fixed block
+    fw_bits(&w, 1, 1);
+    fw_bits(&w, 1, 2);
+    fw_bits(&w, 0, 7);  // fixed EOB (code 0, 7 bits)
   }
   fw_align(&w);
-  free(table);
+#undef FINSERT
+  free(head);
+  free(prev);
   free(toks);
+  if (w.n > cap) return -1;  // should not happen given caller's cap
   return w.n;
+}
+
+long long ct_deflate_level(const uint8_t* src, long long n, uint8_t* dst,
+                           long long cap, int level) {
+  if (n < 0 || cap < n + n / 8 + 1024) return -1;
+  if (level < 1) level = 1;
+  if (level > 9) level = 9;
+  if (n < 16) {
+    // tiny input: one stored block
+    FW w;
+    w.out = dst;
+    w.n = 0;
+    w.acc = 0;
+    w.bits = 0;
+    fw_bits(&w, 1, 1);
+    fw_bits(&w, 0, 2);
+    fw_align(&w);
+    dst[w.n++] = (uint8_t)n;
+    dst[w.n++] = (uint8_t)(n >> 8);
+    dst[w.n++] = (uint8_t)~n;
+    dst[w.n++] = (uint8_t)(~n >> 8);
+    memcpy(dst + w.n, src, n);
+    w.n += n;
+    return w.n;
+  }
+  return deflate_chain(src, n, dst, cap, level);
+}
+
+// legacy entry (level-6 quality class)
+long long ct_deflate(const uint8_t* src, long long n, uint8_t* dst,
+                     long long cap) {
+  return ct_deflate_level(src, n, dst, cap, 6);
 }
 
 // ---------------------------------------------------------------------------
@@ -461,10 +704,11 @@ long long ct_inflate(const uint8_t* src, long long n, uint8_t* dst,
       if (byte + 4 > n) { d = -1; break; }
       int len = src[byte] | (src[byte + 1] << 8);
       int nlen = src[byte + 2] | (src[byte + 3] << 8);
-      if ((len ^ 0xFFFF) != nlen || byte + 4 + len > n || d + len > cap) {
+      if ((len ^ 0xFFFF) != nlen || byte + 4 + len > n) {
         d = -1;
         break;
       }
+      if (d + len > cap) { d = -2; break; }
       memcpy(dst + d, src + byte + 4, len);
       d += len;
       br.bit = (byte + 4 + len) * 8;
@@ -533,7 +777,7 @@ long long ct_inflate(const uint8_t* src, long long n, uint8_t* dst,
         int s = hufd_read(lit_t, &br);
         if (s < 0) { d = -1; goto out; }
         if (s < 256) {
-          if (d >= cap) { d = -1; goto out; }
+          if (d >= cap) { d = -2; goto out; }
           dst[d++] = (uint8_t)s;
         } else if (s == 256) {
           break;
@@ -544,7 +788,8 @@ long long ct_inflate(const uint8_t* src, long long n, uint8_t* dst,
           int ds = hufd_read(dst_t, &br);
           if (ds < 0 || ds > 29) { d = -1; goto out; }
           int dist = DST_BASE[ds] + (int)fbr_get(&br, DST_XB[ds]);
-          if (dist > d || d + len > cap) { d = -1; goto out; }
+          if (dist > d) { d = -1; goto out; }
+          if (d + len > cap) { d = -2; goto out; }
           if (dist >= len) {
             memcpy(dst + d, dst + d - dist, len);
             d += len;

@@ -180,31 +180,36 @@ def _emit_block(bw: H.BitWriterLSB, src: bytes, ops, final: bool,
 BLOCK_TOKENS = 1 << 16  # input bytes per emitted block
 
 
-def _native_deflate(data: bytes):
-    """Native greedy path (levels 1-6 quality class). Returns bytes/None."""
+def _native_deflate(data: bytes, level: int = 6):
+    """Native per-level path (greedy 1-3, lazy 4-9). Returns bytes/None."""
     import ctypes
 
     from compress_tpu import _native
 
     lib = _native.raw()
-    if lib is None or not hasattr(lib, "ct_deflate"):
+    if lib is None or not hasattr(lib, "ct_deflate_level"):
         return None
     if not getattr(lib, "_fl_proto", False):
-        lib.ct_deflate.restype = ctypes.c_longlong
-        lib.ct_deflate.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
-                                   ctypes.c_char_p, ctypes.c_longlong]
+        lib.ct_deflate_level.restype = ctypes.c_longlong
+        lib.ct_deflate_level.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
+                                         ctypes.c_char_p, ctypes.c_longlong,
+                                         ctypes.c_int]
         lib.ct_inflate.restype = ctypes.c_longlong
         lib.ct_inflate.argtypes = [ctypes.c_char_p, ctypes.c_longlong,
                                    ctypes.c_char_p, ctypes.c_longlong]
         lib._fl_proto = True
-    cap = len(data) + len(data) // 8 + 64
+    cap = len(data) + len(data) // 8 + 2048
     dst = ctypes.create_string_buffer(cap)
-    r = lib.ct_deflate(data, len(data), dst, cap)
+    r = lib.ct_deflate_level(data, len(data), dst, cap, level)
     return dst.raw[:r] if r >= 0 else None
 
 
 def native_inflate(data: bytes, max_size: int):
-    """Native inflate; returns bytes or None (caller falls back)."""
+    """Native inflate; returns bytes or None (caller falls back).
+
+    ct_inflate returns -1 for corrupt input (never retried) and -2 when the
+    output buffer was too small (retried with a larger buffer up to
+    max_size)."""
     import ctypes
 
     from compress_tpu import _native
@@ -219,8 +224,8 @@ def native_inflate(data: bytes, max_size: int):
         r = lib.ct_inflate(data + b"\x00" * 8, len(data), dst, cap)
         if r >= 0:
             return dst.raw[:r]
-        if cap < max_size and cap < (1 << 30):
-            cap = min(max_size, cap * 8)  # retry bigger (cap-limited fail)
+        if r == -2 and cap < max_size:
+            cap = min(max_size, cap * 8)  # output-capacity fail: retry bigger
             continue
         return None
 
@@ -229,8 +234,8 @@ def deflate(data, level: int = DEFAULT_COMPRESSION, window: int = MAX_OFFSET) ->
     """Raw DEFLATE stream (no zlib/gzip wrapper)."""
     data = bytes(data)
     n = len(data)
-    if 1 <= level <= 6 and window >= MAX_OFFSET and n > 32:
-        out = _native_deflate(data)
+    if 1 <= level <= 9 and window >= MAX_OFFSET and n > 32:
+        out = _native_deflate(data, level)
         if out is not None:
             return out
     bw = H.BitWriterLSB()

@@ -153,7 +153,18 @@ def zstd_encode_sharded(data: bytes, mesh: Mesh | None = None,
     n_jobs = n // job
     full = (n_jobs // m) * m  # jobs handled on the mesh
 
-    out = bytearray(F.write_frame_header(n, job + pre, False, checksum))
+    if full == 0:
+        # nothing for the mesh to do (includes n == 0, which must still
+        # produce a valid frame with a last block) — host encoder handles it
+        from compress_tpu.zstd.encoder import compress
+
+        return compress(data, level=1, checksum=checksum)
+
+    # the mesh-remainder tail goes through the host Matcher, which may match
+    # anywhere within `rest` — the declared window must cover it
+    rest_len = n - full * job
+    window = max(job + pre, rest_len)
+    out = bytearray(F.write_frame_header(n, window, False, checksum))
     bodies, regens = [], []
     if full:
         arr = np.frombuffer(data[: full * job], np.uint8).reshape(full, job)

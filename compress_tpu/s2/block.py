@@ -7,7 +7,7 @@ Extensions" repeat-offset table, snappy format_description.txt), via our own
 produce byte-identical output and are differential-tested against each other
 (the reference's asm-vs-Go noasm CI analogue, SURVEY.md §4.5).
 
-The JAX/Pallas device encoder lives in compress_tpu.ops.lz — it may produce
+The JAX/Pallas device encoder lives in compress_tpu.ops.lz2 — it may produce
 different (still valid) bytes; ratio is compared, not bitstreams, matching
 the reference's own stance that encoders never promise bit-identity.
 """

@@ -8,8 +8,11 @@ raw/RLE/compressed per section, writes headers, splices the device
 streams, and appends the end-of-stream marker bits the device leaves to
 the host (one OR per stream).
 
-Rep-offset codes are never emitted (offset values are always offset+3),
-so blocks are assembled without tracking decoder rep state.
+Rep-offset codes ARE emitted (ops/zdev.py applies _rep_offsets), but the
+first 3 sequences of every block are forced plain offset+3 pushes, so each
+block's rep state is self-contained: the assembly never needs to track rep
+state across blocks. Do not remove the first-3-plain invariant in zdev
+without revisiting this module.
 """
 
 from __future__ import annotations
