@@ -1,12 +1,21 @@
-// zstd L1 encoder — host-side native core (RFC 8878).
+// zstd encoder levels 1-4 — host-side native core (RFC 8878).
 //
-// The reference's enc_fast.go role: single hash-table greedy matcher with
-// repeat-offset probe and backward extension; literals as huff0 4X with a
-// raw-nibble weight table; sequences with per-block real FSE tables when
-// there are enough of them, predefined otherwise (the reference's
-// chooseComp role, blockenc.go:633). Output is a complete single frame; the
-// pure-Python encoder (zstd/encoder.py) remains the full-featured path
-// (levels 2-4, dictionaries, custom tables) and the differential oracle.
+// Level ladder (the reference's enc_fast.go / enc_dfast.go / enc_better.go /
+// enc_best.go roles, re-designed rather than translated):
+//   L1: single hash-table greedy with rep1 probe, skip acceleration.
+//   L2: two-table (5-byte short + 8-byte long hash) greedy with full
+//       rep-offset codes.
+//   L3: hash-chain lazy (one-position lookahead), rep codes.
+//   L4: deep hash-chain lazy with a bit-cost score (6*len - offsetbits,
+//       the estBits-lite analogue of enc_best.go:29-60), rep codes.
+// Rep-offset state mirrors the decoder exactly (RFC 8878 repeat offsets,
+// including the ll==0 code shift); when encoding job blocks that join a
+// larger frame, the first 3 sequences are forced plain so the job's rep
+// state is self-contained (same invariant as ops/zdev.py).
+// Literals: huff0 4X with a raw-nibble weight table; sequences use
+// per-stream FSE/RLE/predefined chosen by estimated bit cost (the
+// chooseComp role, blockenc.go:633). The pure-Python encoder
+// (zstd/encoder.py) remains the differential oracle.
 
 #include <cstdint>
 #include <cstdlib>
@@ -26,6 +35,12 @@ static inline uint32_t ld32(const uint8_t* p) {
 }
 static inline uint32_t zhash(uint64_t v, int bits) {
   return (uint32_t)(((v << 32) * 0x9E3779B185EBCA87ULL) >> (64 - bits));
+}
+static inline uint32_t zhash5(uint64_t v, int bits) {
+  return (uint32_t)(((v << 24) * 0x9E3779B185EBCA87ULL) >> (64 - bits));
+}
+static inline uint32_t zhash8(uint64_t v, int bits) {
+  return (uint32_t)((v * 0xCF1BBCDCB7A56463ULL) >> (64 - bits));
 }
 static inline int highbit(uint32_t v) { return 31 - __builtin_clz(v); }
 
@@ -369,22 +384,362 @@ struct Seq {
   uint32_t ll, ml, ofv;
 };
 
+// ---- rep-offset state (mirrors the decoder, RFC 8878 §3.1.1.5) ------------
+
+struct Reps {
+  uint32_t r[3];
+};
+
+// Map actual offset -> offset_value, updating rep state exactly as the
+// decoder will. force_plain bypasses rep codes (still updates state).
+static inline uint32_t rep_ofv(Reps* R, uint32_t off, uint32_t ll,
+                               bool force_plain) {
+  uint32_t r0 = R->r[0], r1 = R->r[1], r2 = R->r[2];
+  if (!force_plain) {
+    if (ll != 0) {
+      if (off == r0) return 1;
+      if (off == r1) {
+        R->r[0] = r1;
+        R->r[1] = r0;
+        return 2;
+      }
+      if (off == r2) {
+        R->r[0] = r2;
+        R->r[1] = r0;
+        R->r[2] = r1;
+        return 3;
+      }
+    } else {
+      if (off == r1) {
+        R->r[0] = r1;
+        R->r[1] = r0;
+        return 1;
+      }
+      if (off == r2) {
+        R->r[0] = r2;
+        R->r[1] = r0;
+        R->r[2] = r1;
+        return 2;
+      }
+      if (r0 > 1 && off == r0 - 1) {
+        R->r[2] = r1;
+        R->r[1] = r0;
+        R->r[0] = r0 - 1;
+        return 3;
+      }
+    }
+  }
+  R->r[2] = r1;
+  R->r[1] = r0;
+  R->r[0] = off;
+  return off + 3;
+}
+
+// shared sequence/literal emitter for the L2-L4 searches
+struct Emit {
+  Seq* seqs;
+  long long nseq;
+  uint8_t* lits;
+  long long lit_n;
+  const uint8_t* src;
+  long long next_emit;
+  Reps R;
+  int force_plain;  // countdown: first N sequences emitted plain
+};
+
+static inline void emit_seq(Emit* E, long long s, long long m, uint32_t off) {
+  long long ll = s - E->next_emit;
+  memcpy(E->lits + E->lit_n, E->src + E->next_emit, ll);
+  E->lit_n += ll;
+  E->seqs[E->nseq].ll = (uint32_t)ll;
+  E->seqs[E->nseq].ml = (uint32_t)m;
+  E->seqs[E->nseq].ofv =
+      rep_ofv(&E->R, off, (uint32_t)ll, E->force_plain > 0);
+  if (E->force_plain > 0) E->force_plain--;
+  E->nseq++;
+  E->next_emit = s + m;
+}
+
+static inline long long zmatch_fwd(const uint8_t* src, long long c,
+                                   long long s, long long maxm) {
+  long long m = 0;
+  while (m + 8 <= maxm) {
+    uint64_t x = ld64(src + c + m) ^ ld64(src + s + m);
+    if (x) return m + (__builtin_ctzll(x) >> 3);
+    m += 8;
+  }
+  while (m < maxm && src[c + m] == src[s + m]) m++;
+  return m;
+}
+
+// ---- L2: two-table greedy (enc_dfast.go role) ------------------------------
+
+#define LBITS 17
+#define SBITS 16
+
+static void search_dfast(Emit* E, const uint8_t* src, long long pos,
+                         long long bend, long long window, int32_t* tlong,
+                         int32_t* tshort) {
+  long long s = pos == 0 ? 1 : pos;
+  long long limit = bend - 16;
+  while (s < limit) {
+    uint64_t v = ld64(src + s);
+    uint32_t hl = zhash8(v, LBITS), hs = zhash5(v, SBITS);
+    long long cl = tlong[hl], cs = tshort[hs];
+    tlong[hl] = (int32_t)s;
+    tshort[hs] = (int32_t)s;
+    long long cand = -1;
+    uint32_t r0 = E->R.r[0];
+    // rep-first probe (cheapest code)
+    if (s >= (long long)r0 && r0 > 0 &&
+        ld32(src + s) == ld32(src + s - r0)) {
+      cand = s - r0;
+    } else if (cl >= 0 && s - cl <= window && ld64(src + cl) == v) {
+      cand = cl;
+    } else if (cs >= 0 && s - cs <= window &&
+               ld32(src + cs) == (uint32_t)v) {
+      // short hit: prefer a long-table hit at s+1 when it is longer
+      cand = cs;
+      uint64_t v1 = ld64(src + s + 1);
+      long long cl1 = tlong[zhash8(v1, LBITS)];
+      if (cl1 >= 0 && s + 1 - cl1 <= window && ld64(src + cl1) == v1) {
+        long long m0 = 4 + zmatch_fwd(src, cand + 4, s + 4, bend - s - 4);
+        long long m1 =
+            8 + zmatch_fwd(src, cl1 + 8, s + 1 + 8, bend - s - 1 - 8);
+        if (m1 > m0 + 1) {
+          s += 1;
+          cand = cl1;
+          tshort[zhash5(v1, SBITS)] = (int32_t)s;
+        }
+      }
+    }
+    if (cand < 0) {
+      s += 1 + ((s - E->next_emit) >> 7);
+      continue;
+    }
+    while (s > E->next_emit && cand > 0 && src[s - 1] == src[cand - 1]) {
+      s--;
+      cand--;
+    }
+    long long m = 4 + zmatch_fwd(src, cand + 4, s + 4, bend - s - 4);
+    emit_seq(E, s, m, (uint32_t)(s - cand));
+    s += m;
+    if (s + 16 > bend || E->nseq >= MAXSEQ_PER_BLOCK - 2) break;
+    // insert interior anchors in both tables
+    uint64_t v1 = ld64(src + s - 2);
+    tlong[zhash8(v1, LBITS)] = (int32_t)(s - 2);
+    tshort[zhash5(v1, SBITS)] = (int32_t)(s - 2);
+    uint64_t v2 = ld64(src + s - 1);
+    tlong[zhash8(v2, LBITS)] = (int32_t)(s - 1);
+    tshort[zhash5(v2, SBITS)] = (int32_t)(s - 1);
+  }
+}
+
+// ---- L3/L4: hash-chain lazy with bit-cost score (enc_better/enc_best) ------
+
+struct ZCfg {
+  int chain, nice, lazy_thresh;
+};
+
+// best candidate at s: walks the chain from `c0` (pre-insert head) and
+// probes all 3 reps; score = 6*len - offset_bits (estBits-lite)
+static inline int zfind(const uint8_t* src, const int32_t* prev, long long s,
+                        long long bend, long long c0, long long window,
+                        const Reps* R, int chain, int nice, long long* out_off,
+                        int* out_score) {
+  long long maxm = bend - s;
+  if (maxm > (1 << 17)) maxm = 1 << 17;
+  if (maxm < 4) return 0;
+  int best_len = 0, best_score = 0;
+  long long best_off = 0;
+  // rep probes (match length >= 4); generous score: offset bits ~0
+  for (int k = 0; k < 3; k++) {
+    uint32_t rk = R->r[k];
+    if (rk == 0 || s < (long long)rk) continue;
+    if (ld32(src + s) != ld32(src + s - rk)) continue;
+    long long m = 4 + zmatch_fwd(src, s - rk + 4, s + 4, maxm - 4);
+    int sc = (int)(6 * m) + 8 - k;
+    if (sc > best_score) {
+      best_score = sc;
+      best_len = (int)m;
+      best_off = rk;
+    }
+  }
+  uint32_t v = ld32(src + s);
+  long long lo = s - window;
+  long long c = c0;
+  int qlen = best_len > 3 ? best_len : 3;
+  while (c >= 0 && c > lo && chain-- > 0) {
+    if (s + qlen < bend && src[c + qlen] == src[s + qlen] &&
+        ld32(src + c) == v) {
+      long long m = 4 + zmatch_fwd(src, c + 4, s + 4, maxm - 4);
+      if (m >= 4) {
+        int sc = (int)(6 * m) - highbit((uint32_t)(s - c) + 3);
+        if (sc > best_score && m > best_len) {
+          best_score = sc;
+          best_len = (int)m;
+          best_off = s - c;
+          qlen = best_len;
+          if (best_len >= nice || s + qlen >= bend) break;
+        }
+      }
+    }
+    c = prev[c];
+  }
+  *out_off = best_off;
+  *out_score = best_score;
+  return best_len;
+}
+
+static void search_lazy(Emit* E, const uint8_t* src, long long pos,
+                        long long bend, long long window, int32_t* head,
+                        int32_t* prev, const ZCfg* cfg) {
+  long long s = pos == 0 ? 1 : pos;
+  long long limit = bend - 16;
+#define ZINS(p)                                   \
+  do {                                            \
+    uint32_t hh = zhash5(ld64(src + (p)), HBITS); \
+    prev[p] = head[hh];                           \
+    head[hh] = (int32_t)(p);                      \
+  } while (0)
+  int prev_len = 0, prev_score = 0;
+  long long prev_off = 0, prev_pos = -1;
+  while (s < limit) {
+    ZINS(s);
+    long long off = 0;
+    int score = 0;
+    int chain = cfg->chain;
+    if (prev_len >= cfg->lazy_thresh) chain >>= 2;
+    int mlen = zfind(src, prev, s, bend, prev[s], window, &E->R, chain,
+                     cfg->nice, &off, &score);
+    if (prev_len >= 4 && score <= prev_score + 6) {
+      // previous position's match wins (6 = one literal's bits)
+      long long mp = prev_pos;
+      while (mp > E->next_emit && mp - prev_off > 0 &&
+             src[mp - 1] == src[mp - prev_off - 1]) {
+        mp--;
+        prev_len++;
+      }
+      emit_seq(E, mp, prev_len, (uint32_t)prev_off);
+      long long e = prev_pos + prev_len;
+      if (e > limit) e = limit;
+      for (long long p2 = s + 1; p2 < e; p2++) ZINS(p2);
+      s = prev_pos + prev_len;
+      prev_len = 0;
+      prev_pos = -1;
+      if (E->nseq >= MAXSEQ_PER_BLOCK - 2) return;
+      continue;
+    }
+    if (mlen >= 4) {
+      prev_len = mlen;
+      prev_off = off;
+      prev_score = score;
+      prev_pos = s;
+    } else {
+      prev_len = 0;
+      prev_pos = -1;
+    }
+    s++;
+  }
+  if (prev_len >= 4 && prev_pos >= 0) {
+    long long mp = prev_pos;
+    while (mp > E->next_emit && mp - prev_off > 0 &&
+           src[mp - 1] == src[mp - prev_off - 1]) {
+      mp--;
+      prev_len++;
+    }
+    if (E->nseq < MAXSEQ_PER_BLOCK - 2) emit_seq(E, mp, prev_len,
+                                                 (uint32_t)prev_off);
+  }
+#undef ZINS
+}
+
+// ---- estimated-bit-cost table choice (chooseComp / estBits analogue) ------
+
+static long long fse_cost(const uint32_t* hist, int maxc, const int16_t* norm,
+                          int nnorm, int log) {
+  long long bits = 0;
+  for (int c = 0; c <= maxc; c++) {
+    if (!hist[c]) continue;
+    int nv = c < nnorm ? (norm[c] == -1 ? 1 : norm[c]) : 0;
+    if (nv <= 0) return -1;
+    bits += (long long)hist[c] * (log - highbit((uint32_t)nv));
+  }
+  return bits;
+}
+
+// returns the table mode (0 predefined, 1 RLE, 2 custom FSE); on 1/2 fills
+// *ctab (and *ncl / ncb for mode 2, *rle_sym for mode 1)
+static int choose_tab(const uint32_t* hist, int maxc, long long nseq,
+                      const int16_t* pnorm, int pn, const CTab* ptab, int log,
+                      CTab* ctab, uint8_t* ncb, int* ncl, uint8_t* rle_sym) {
+  int distinct = 0, sym = 0;
+  for (int c = 0; c <= maxc; c++)
+    if (hist[c]) { distinct++; sym = c; }
+  if (distinct == 1) {
+    int16_t nrm[64];
+    memset(nrm, 0, sizeof nrm);
+    nrm[sym] = 1;
+    ctab_build(nrm, sym + 1, 0, ctab);
+    *rle_sym = (uint8_t)sym;
+    return 1;
+  }
+  long long pcost = fse_cost(hist, maxc, pnorm, pn, ptab->log);
+  int16_t nrm[64];
+  if (nseq >= 32 && normalize_c(hist, maxc + 1, nseq, log, nrm)) {
+    int len = write_ncount_c(nrm, maxc, log, ncb);
+    long long ccost = fse_cost(hist, maxc, nrm, maxc + 1, log) + 8ll * len;
+    if (pcost < 0 || ccost < pcost) {
+      *ncl = len;
+      ctab_build(nrm, maxc + 1, log, ctab);
+      return 2;
+    }
+  }
+  return 0;
+}
+
+// per-level lazy configs (enc_better/enc_best knobs)
+static const ZCfg ZCFG3 = {48, 192, 96};
+static const ZCfg ZCFG4 = {1024, 1024, 512};
+
 // encode the block sequence covering src[start, n) into dst (no frame
 // header). Matches may reach back into [0, start) (overlap prefix).
 // mark_last sets the last-block flag on the final block.
 static long long encode_blocks_(const uint8_t* src, long long n,
                                 long long start, uint8_t* dst, long long cap,
-                                int mark_last) {
+                                int mark_last, int level) {
   if (n - start <= 0 || n > (1ll << 31) - (1 << 20)) return -1;
+  if (level < 1) level = 1;
+  if (level > 4) level = 4;
   if (!g_init) {
     ctab_build(PRE_LL, 36, 6, &g_ll);
     ctab_build(PRE_OF, 29, 5, &g_of);
     ctab_build(PRE_ML, 53, 6, &g_ml);
     g_init = true;
   }
-  int32_t* table = (int32_t*)malloc(sizeof(int32_t) << HBITS);
-  if (!table) return -1;
-  memset(table, -1, sizeof(int32_t) << HBITS);
+  int32_t* table = nullptr;   // L1 single table
+  int32_t* tlong = nullptr;   // L2 tables
+  int32_t* tshort = nullptr;
+  int32_t* head = nullptr;    // L3/L4 chains
+  int32_t* prev = nullptr;
+  bool alloc_ok = true;
+  if (level <= 1) {
+    table = (int32_t*)malloc(sizeof(int32_t) << HBITS);
+    alloc_ok = table && (memset(table, -1, sizeof(int32_t) << HBITS), true);
+  } else if (level == 2) {
+    tlong = (int32_t*)malloc(sizeof(int32_t) << LBITS);
+    tshort = (int32_t*)malloc(sizeof(int32_t) << SBITS);
+    alloc_ok = tlong && tshort;
+    if (alloc_ok) {
+      memset(tlong, -1, sizeof(int32_t) << LBITS);
+      memset(tshort, -1, sizeof(int32_t) << SBITS);
+    }
+  } else {
+    head = (int32_t*)malloc(sizeof(int32_t) << HBITS);
+    prev = (int32_t*)malloc(sizeof(int32_t) * (size_t)n);
+    alloc_ok = head && prev;
+    if (alloc_ok) memset(head, -1, sizeof(int32_t) << HBITS);
+  }
   Seq* seqs = (Seq*)malloc(sizeof(Seq) * MAXSEQ_PER_BLOCK);
   uint8_t* lc_s = (uint8_t*)malloc(3 * MAXSEQ_PER_BLOCK);
   uint8_t* mc_s = lc_s ? lc_s + MAXSEQ_PER_BLOCK : nullptr;
@@ -392,9 +747,9 @@ static long long encode_blocks_(const uint8_t* src, long long n,
   uint8_t* lits = (uint8_t*)malloc(1 << 17);
   uint8_t* scratch = (uint8_t*)malloc(1 << 20);  // block body (worst case)
   uint8_t* stage = (uint8_t*)malloc(1 << 19);    // 4X stream staging
-  if (!seqs || !lits || !scratch || !stage || !lc_s) {
-    free(table); free(seqs); free(lits); free(scratch); free(stage);
-    free(lc_s);
+  if (!seqs || !lits || !scratch || !stage || !lc_s || !alloc_ok) {
+    free(table); free(tlong); free(tshort); free(head); free(prev);
+    free(seqs); free(lits); free(scratch); free(stage); free(lc_s);
     return -1;
   }
 
@@ -402,21 +757,59 @@ static long long encode_blocks_(const uint8_t* src, long long n,
   long long window = n < (8ll << 20) ? n : (8ll << 20);
   if (window < 1024) window = 1024;
 
+  Emit E;
+  E.seqs = seqs;
+  E.lits = lits;
+  E.src = src;
+  E.R.r[0] = 1;
+  E.R.r[1] = 4;
+  E.R.r[2] = 8;
+  // job blocks join a frame whose decoder carries rep state across the job
+  // boundary: force the first 3 sequences plain so this job's rep state is
+  // self-contained (whole frames start at the decoder's {1,4,8} and need no
+  // forcing)
+  E.force_plain = (level >= 2 && (start > 0 || !mark_last)) ? 3 : 0;
+
   uint32_t rep1 = 1;
   long long pos = start;
-  // seed the hash table with some prefix positions
-  for (long long q = start > 32768 ? start - 32768 : 0; q + 8 < start; q += 2)
-    table[zhash(ld64(src + q), HBITS)] = (int32_t)q;
+  // seed the tables with some prefix positions
+  for (long long q = start > 32768 ? start - 32768 : 0; q + 8 < start; q += 2) {
+    uint64_t v = ld64(src + q);
+    if (level <= 1) {
+      table[zhash(v, HBITS)] = (int32_t)q;
+    } else if (level == 2) {
+      tlong[zhash8(v, LBITS)] = (int32_t)q;
+      tshort[zhash5(v, SBITS)] = (int32_t)q;
+    } else {
+      uint32_t hh = zhash5(v, HBITS);
+      prev[q] = head[hh];
+      head[hh] = (int32_t)q;
+    }
+  }
   while (pos < n) {
     long long bend = pos + (1 << 17) < n ? pos + (1 << 17) : n;
     long long regen = bend - pos;
     int last = mark_last && bend == n;
 
-    // ---- greedy match search over [pos, bend) --------------------------
+    // ---- match search over [pos, bend) ----------------------------------
+    Reps rsnap = E.R;
+    int fsnap = E.force_plain;
+    E.nseq = 0;
+    E.lit_n = 0;
+    E.next_emit = pos;
     long long nseq = 0, lit_n = 0;
-    long long s = pos == 0 ? 1 : pos;
     long long next_emit = pos;
-    if (regen >= 32) {
+    if (regen >= 32 && level >= 2) {
+      if (level == 2)
+        search_dfast(&E, src, pos, bend, window, tlong, tshort);
+      else
+        search_lazy(&E, src, pos, bend, window, head, prev,
+                    level == 3 ? &ZCFG3 : &ZCFG4);
+      nseq = E.nseq;
+      lit_n = E.lit_n;
+      next_emit = E.next_emit;
+    } else if (regen >= 32) {
+      long long s = pos == 0 ? 1 : pos;
       long long limit = bend - 16;
       while (s < limit) {
         // probe
@@ -549,15 +942,30 @@ static long long encode_blocks_(const uint8_t* src, long long n,
         if (mc > max_mc) max_mc = mc;
         if (oc > max_oc) max_oc = oc;
       }
-      // table choice per stream: custom FSE when enough sequences,
-      // else predefined (reference chooseComp, blockenc.go:633)
+      // table choice per stream (reference chooseComp, blockenc.go:633):
+      // L1 keeps the round-1 heuristic (custom FSE at nseq>=300);
+      // L2+ picks predefined / RLE / custom FSE by estimated bit cost.
       CTab c_ll, c_of, c_ml;
       const CTab *t_ll = &g_ll, *t_of = &g_of, *t_ml = &g_ml;
       int m_ll = 0, m_of = 0, m_ml = 0;
       uint8_t nc_buf[3][80];
       int nc_len[3] = {0, 0, 0};
       int16_t norm[64];
-      if (nseq >= 300) {
+      if (level >= 2) {
+        uint8_t rs;
+        m_ll = choose_tab(h_ll, max_lc, nseq, PRE_LL, 36, &g_ll, 9, &c_ll,
+                          nc_buf[0], &nc_len[0], &rs);
+        if (m_ll == 1) { nc_buf[0][0] = rs; nc_len[0] = 1; }
+        if (m_ll) t_ll = &c_ll;
+        m_of = choose_tab(h_of, max_oc, nseq, PRE_OF, 29, &g_of, 8, &c_of,
+                          nc_buf[1], &nc_len[1], &rs);
+        if (m_of == 1) { nc_buf[1][0] = rs; nc_len[1] = 1; }
+        if (m_of) t_of = &c_of;
+        m_ml = choose_tab(h_ml, max_mc, nseq, PRE_ML, 53, &g_ml, 9, &c_ml,
+                          nc_buf[2], &nc_len[2], &rs);
+        if (m_ml == 1) { nc_buf[2][0] = rs; nc_len[2] = 1; }
+        if (m_ml) t_ml = &c_ml;
+      } else if (nseq >= 300) {
         if (normalize_c(h_ll, max_lc + 1, nseq, 9, norm)) {
           nc_len[0] = write_ncount_c(norm, max_lc, 9, nc_buf[0]);
           ctab_build(norm, max_lc + 1, 9, &c_ll);
@@ -574,6 +982,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
           t_ml = &c_ml; m_ml = 2;
         }
       }
+      (void)norm;
       ob[body++] = (uint8_t)((m_ll << 6) | (m_of << 4) | (m_ml << 2));
       memcpy(ob + body, nc_buf[0], nc_len[0]); body += nc_len[0];
       memcpy(ob + body, nc_buf[1], nc_len[1]); body += nc_len[1];
@@ -605,8 +1014,8 @@ static long long encode_blocks_(const uint8_t* src, long long n,
     }
 
     if (d + 3 + (ok ? body : regen) + 8 > cap) {
-      free(table); free(seqs); free(lits); free(scratch); free(stage);
-      free(lc_s);
+      free(table); free(tlong); free(tshort); free(head); free(prev);
+      free(seqs); free(lits); free(scratch); free(stage); free(lc_s);
       return -1;
     }
     if (ok) {
@@ -622,17 +1031,22 @@ static long long encode_blocks_(const uint8_t* src, long long n,
       memcpy(dst + d, src + pos, regen);
       d += regen;
     }
+    if (!ok) {
+      // raw block emitted: the decoder saw no sequences, restore rep state
+      E.R = rsnap;
+      E.force_plain = fsnap;
+    }
     pos = bend;
   }
-  free(table); free(seqs); free(lits); free(scratch); free(stage);
-  free(lc_s);
+  free(table); free(tlong); free(tshort); free(head); free(prev);
+  free(seqs); free(lits); free(scratch); free(stage); free(lc_s);
   return d;
 }
 
 // full single frame (header + blocks + optional checksum)
-long long ct_zstd_compress(const uint8_t* src, long long n, uint8_t* dst,
-                           long long cap, int checksum,
-                           unsigned long long xxh) {
+long long ct_zstd_compress_level(const uint8_t* src, long long n,
+                                 uint8_t* dst, long long cap, int checksum,
+                                 unsigned long long xxh, int level) {
   if (n <= 16) return -1;
   long long d = 0;
   memcpy(dst + d, "\x28\xb5\x2f\xfd", 4);
@@ -649,7 +1063,7 @@ long long ct_zstd_compress(const uint8_t* src, long long n, uint8_t* dst,
   dst[d++] = (uint8_t)(((wlog - 10) << 3) | mantissa);
   memcpy(dst + d, &n, 4);
   d += 4;
-  long long b = encode_blocks_(src, n, 0, dst + d, cap - d - 8, 1);
+  long long b = encode_blocks_(src, n, 0, dst + d, cap - d - 8, 1, level);
   if (b < 0) return -1;
   d += b;
   if (checksum) {
@@ -660,12 +1074,24 @@ long long ct_zstd_compress(const uint8_t* src, long long n, uint8_t* dst,
   return d;
 }
 
+long long ct_zstd_compress(const uint8_t* src, long long n, uint8_t* dst,
+                           long long cap, int checksum,
+                           unsigned long long xxh) {
+  return ct_zstd_compress_level(src, n, dst, cap, checksum, xxh, 1);
+}
+
 // job entry for host-parallel frames (reference enc_jobs): encodes
 // src[start, n) as non-final blocks, matching into the prefix [0, start)
+long long ct_zstd_compress_blocks_level(const uint8_t* src, long long n,
+                                        long long start, uint8_t* dst,
+                                        long long cap, int level) {
+  return encode_blocks_(src, n, start, dst, cap, 0, level);
+}
+
 long long ct_zstd_compress_blocks(const uint8_t* src, long long n,
                                   long long start, uint8_t* dst,
                                   long long cap) {
-  return encode_blocks_(src, n, start, dst, cap, 0);
+  return encode_blocks_(src, n, start, dst, cap, 0, 1);
 }
 
 }  // extern "C"

@@ -337,26 +337,30 @@ def encode_sequences_section(lls, mls, ofvals) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _native_compress(data: bytes, checksum: bool):
-    """Native enc_fast path (level 1, no dict). Returns bytes or None."""
+def _native_compress(data: bytes, checksum: bool, level: int = 1):
+    """Native ladder path (levels 1-4, no dict). Returns bytes or None.
+
+    Reference roles: enc_fast.go (L1), enc_dfast.go (L2), enc_better.go
+    (L3), enc_best.go (L4) — re-designed in _native/src/zstd_enc.cpp."""
     import ctypes
 
     from compress_tpu import _native
 
     lib = _native.raw()
-    if lib is None or not hasattr(lib, "ct_zstd_compress"):
+    if lib is None or not hasattr(lib, "ct_zstd_compress_level"):
         return None
     if not getattr(lib, "_zenc_proto", False):
-        lib.ct_zstd_compress.restype = ctypes.c_longlong
-        lib.ct_zstd_compress.argtypes = [
+        lib.ct_zstd_compress_level.restype = ctypes.c_longlong
+        lib.ct_zstd_compress_level.argtypes = [
             ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
-            ctypes.c_longlong, ctypes.c_int, ctypes.c_ulonglong]
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_ulonglong,
+            ctypes.c_int]
         lib._zenc_proto = True
     cap = len(data) + len(data) // 8 + 256
     dst = ctypes.create_string_buffer(cap)
     xx = (xxh64(data) & 0xFFFFFFFF) if checksum else 0
-    r = lib.ct_zstd_compress(data, len(data), dst, cap,
-                             1 if checksum else 0, xx)
+    r = lib.ct_zstd_compress_level(data, len(data), dst, cap,
+                                   1 if checksum else 0, xx, level)
     if r < 0:
         return None
     return dst.raw[:r]
@@ -370,11 +374,11 @@ def compress(data, level: int = 2, checksum: bool = False,
     offsets come from the dictionary, and the frame carries its ID."""
     data = bytes(data)
     n = len(data)
-    # levels 1-2 ride the native fast encoder: its ratio matches the
-    # Python greedy L2 within ~0.5% at ~1000x the speed; levels 3-4 keep
-    # the deeper Python search
-    if level <= 2 and dict_ is None and window_log is None and n > 16:
-        out = _native_compress(data, checksum)
+    # levels 1-4 ride the native ladder (greedy / dfast / lazy / deep-lazy,
+    # zstd_enc.cpp); the Python Matcher below stays for dictionaries and
+    # custom windows and as the differential oracle
+    if level <= 4 and dict_ is None and window_log is None and n > 16:
+        out = _native_compress(data, checksum, max(level, 1))
         if out is not None:
             return out
     single = n <= (1 << 20) and dict_ is None
@@ -446,7 +450,7 @@ def compress(data, level: int = 2, checksum: bool = False,
 
 
 def compress_concurrent(data, workers: int = 4, job_size: int = 1 << 20,
-                        checksum: bool = False) -> bytes:
+                        checksum: bool = False, level: int = 1) -> bytes:
     """Host-parallel single-frame encode (reference: WithConcurrentBlocks,
     zstd/enc_jobs.go): the input splits into jobs, each job gets the
     previous job's tail as overlap prefix, workers encode block sequences
@@ -461,13 +465,13 @@ def compress_concurrent(data, workers: int = 4, job_size: int = 1 << 20,
     n = len(data)
     lib = _native.raw()
     if n <= job_size or workers <= 1 or lib is None \
-            or not hasattr(lib, "ct_zstd_compress_blocks"):
-        return compress(data, level=1, checksum=checksum)
+            or not hasattr(lib, "ct_zstd_compress_blocks_level"):
+        return compress(data, level=level, checksum=checksum)
     if not getattr(lib, "_zjob_proto", False):
-        lib.ct_zstd_compress_blocks.restype = ctypes.c_longlong
-        lib.ct_zstd_compress_blocks.argtypes = [
+        lib.ct_zstd_compress_blocks_level.restype = ctypes.c_longlong
+        lib.ct_zstd_compress_blocks_level.argtypes = [
             ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
-            ctypes.c_char_p, ctypes.c_longlong]
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int]
         lib._zjob_proto = True
 
     pre = job_size // 8  # overlap (reference overlapSize default class)
@@ -479,7 +483,8 @@ def compress_concurrent(data, workers: int = 4, job_size: int = 1 << 20,
         seg = data[p:hi]
         cap = (hi - lo) + (hi - lo) // 8 + 4096
         dst = ctypes.create_string_buffer(cap)
-        r = lib.ct_zstd_compress_blocks(seg, len(seg), lo - p, dst, cap)
+        r = lib.ct_zstd_compress_blocks_level(seg, len(seg), lo - p, dst,
+                                              cap, level)
         if r < 0:
             raise RuntimeError("native job encode failed")
         return dst.raw[:r]

@@ -85,6 +85,42 @@ def test_encode_ratio_vs_reference_numbers():
     assert len(ours) <= len(lib) * 1.25, (len(ours), len(lib))
 
 
+def test_level_ladder_monotone_and_distinct():
+    """The native ladder (enc_fast/dfast/better/best roles) must produce
+    genuinely different encoders: sizes monotone non-increasing, L2 != L1
+    bytes, and L3/L4 competitive with libzstd -3/-11 (VERDICT r1 item 3)."""
+    data = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+                "rb").read()[: 1 << 19]
+    d = zstandard.ZstdDecompressor()
+    outs = {}
+    for lvl in (1, 2, 3, 4):
+        blob = Z.compress(data, level=lvl)
+        assert d.decompress(blob, max_output_size=len(data) + 16) == data
+        outs[lvl] = blob
+    assert outs[1] != outs[2]
+    assert len(outs[1]) > len(outs[2]) > len(outs[3]) >= len(outs[4])
+    lib3 = zstandard.ZstdCompressor(level=3).compress(data)
+    lib11 = zstandard.ZstdCompressor(level=11).compress(data)
+    assert len(outs[3]) <= len(lib3) * 1.02, (len(outs[3]), len(lib3))
+    assert len(outs[4]) <= len(lib11) * 1.02, (len(outs[4]), len(lib11))
+
+
+@pytest.mark.parametrize("lvl", [2, 3, 4])
+def test_concurrent_jobs_levels(lvl):
+    """Job blocks at L2+ emit rep codes; the first-3-plain invariant must
+    keep each job self-contained across job boundaries."""
+    from compress_tpu.zstd.encoder import compress_concurrent
+
+    tw = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+              "rb").read()
+    data = (tw * 4)[: 3 * (1 << 20) + 12345]
+    blob = compress_concurrent(data, workers=3, job_size=1 << 20,
+                               checksum=True, level=lvl)
+    d = zstandard.ZstdDecompressor()
+    assert d.decompress(blob, max_output_size=len(data) + 16) == data
+    assert Z.decompress(blob) == data
+
+
 def test_roundtrip_own_decoder(corpus_file):
     data = corpus_file.read_bytes()[: 1 << 17]
     for lvl in (1, 2):
