@@ -12,6 +12,7 @@
 // output (differential-tested, like the reference's asm-vs-Go CI).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 
 extern "C" {
@@ -270,6 +271,263 @@ remainder:
   if (next_emit < n)
     di += emit_literal(dst + di, src + next_emit, (uint32_t)(n - next_emit));
   return di;
+}
+
+// ---------------------------------------------------------------------------
+// Better / Best block encoders (reference roles: s2/encode_better.go,
+// s2/encode_best.go — re-designed: two-table greedy for better, hash-chain
+// lazy with a byte-cost score for best; shared emitters above)
+// ---------------------------------------------------------------------------
+
+static inline uint32_t hash8b(uint64_t v, int bits) {
+  return (uint32_t)((v * 0xCF1BBCDCB7A56463ULL) >> (64 - bits));
+}
+static inline uint32_t hash5b(uint64_t v, int bits) {
+  return (uint32_t)(((v << 24) * 0x9E3779B185EBCA87ULL) >> (64 - bits));
+}
+
+// approximate emit cost in bytes of one copy op
+static inline int s2_copy_cost(uint32_t off, uint32_t len, uint32_t rep,
+                               int snappy) {
+  int c;
+  if (!snappy && off == rep)
+    c = len <= 8 ? 2 : (len <= 263 ? 3 : 4);
+  else if (off < 2048 && len <= 11)
+    c = 2;
+  else if (off < 65536)
+    c = 3;
+  else
+    c = 5;
+  if (len > 64) c += 3;  // continuation op
+  return c;
+}
+
+static inline int64_t emit_match(uint8_t* dst, const uint8_t* src,
+                                 uint64_t next_emit, uint64_t s, uint32_t off,
+                                 uint32_t len, uint32_t* repeat, int snappy) {
+  int64_t di = emit_literal(dst, src + next_emit, (uint32_t)(s - next_emit));
+  if (!snappy && off == *repeat)
+    di += emit_repeat(dst + di, len);
+  else if (snappy)
+    di += emit_copy_snappy(dst + di, off, len);
+  else
+    di += emit_copy_s2(dst + di, off, len);
+  *repeat = off;
+  return di;
+}
+
+// level 2: two-table greedy — 8-byte hash into a large table for long
+// matches, 4-byte hash into a small table for short ones; repeat-first
+// probe; short hits can be upgraded by a long-table hit one byte later.
+static int64_t s2_encode_better(uint8_t* dst, const uint8_t* src, uint64_t n,
+                                int snappy) {
+  const int lbits = table_bits(n) + 1 > 17 ? 17 : table_bits(n) + 1;
+  const int sbits = table_bits(n) > 14 ? 14 : table_bits(n);
+  static thread_local int32_t tlong[1 << 17];
+  static thread_local int32_t tshort[1 << 14];
+  for (uint32_t i = 0; i < (1u << lbits); i++) tlong[i] = -1;
+  for (uint32_t i = 0; i < (1u << sbits); i++) tshort[i] = -1;
+
+  int64_t di = 0;
+  uint64_t s = 1, next_emit = 0;
+  uint32_t repeat = 0;
+  for (;;) {
+    uint64_t cand;
+    for (;;) {
+      if (s + 16 > n) goto remainder;
+      uint64_t v = s2_load64(src + s);
+      uint32_t hl = hash8b(v, lbits), hs = hash4(v, sbits);
+      int32_t cl = tlong[hl], cs = tshort[hs];
+      tlong[hl] = (int32_t)s;
+      tshort[hs] = (int32_t)s;
+      if (!snappy && repeat > 0 && s >= repeat &&
+          s2_load32(src + s) == s2_load32(src + s - repeat)) {
+        cand = s - repeat;
+        break;
+      }
+      if (cl >= 0 && s2_load64(src + cl) == v) {
+        cand = (uint64_t)cl;
+        break;
+      }
+      if (cs >= 0 && s2_load32(src + cs) == (uint32_t)v) {
+        cand = (uint64_t)cs;
+        // upgrade: a long-table hit at s+1 that matches 8 bytes beats a
+        // 4-byte-verified short hit when it extends further
+        uint64_t v1 = s2_load64(src + s + 1);
+        int32_t cl1 = tlong[hash8b(v1, lbits)];
+        if (cl1 >= 0 && s2_load64(src + cl1) == v1) {
+          uint32_t m0 = 4 + match_len(src + cand + 4, src + s + 4,
+                                      (uint32_t)(n - s - 4));
+          uint32_t m1 = 8 + match_len(src + cl1 + 8, src + s + 1 + 8,
+                                      (uint32_t)(n - s - 1 - 8));
+          if (m1 > m0 + 1) {
+            s += 1;
+            cand = (uint64_t)cl1;
+            tshort[hash4(v1, sbits)] = (int32_t)s;
+          }
+        }
+        break;
+      }
+      s += 1 + ((s - next_emit) >> 7);
+    }
+    while (s > next_emit && cand > 0 && src[s - 1] == src[cand - 1]) {
+      s--;
+      cand--;
+    }
+    {
+      uint32_t offset = (uint32_t)(s - cand);
+      uint32_t length =
+          4 + match_len(src + cand + 4, src + s + 4, (uint32_t)(n - s - 4));
+      di += emit_match(dst + di, src, next_emit, s, offset, length, &repeat,
+                       snappy);
+      s += length;
+      next_emit = s;
+    }
+    if (s + 16 > n) goto remainder;
+    for (int d = 1; d <= 6; d++) {
+      uint64_t v = s2_load64(src + s - d);
+      tlong[hash8b(v, lbits)] = (int32_t)(s - d);
+      tshort[hash4(v, sbits)] = (int32_t)(s - d);
+    }
+  }
+remainder:
+  if (next_emit < n)
+    di += emit_literal(dst + di, src + next_emit, (uint32_t)(n - next_emit));
+  return di;
+}
+
+// level 3: hash-chain search with one-position lazy lookahead; candidates
+// scored by bytes-saved (match length minus op cost), repeat offsets
+// probed at every position.
+struct S2Best {
+  uint32_t len, off;
+  int score;
+};
+
+static inline S2Best s2_find_best(const uint8_t* src, uint64_t n,
+                                  const int32_t* prev, uint64_t s, int64_t c0,
+                                  uint32_t repeat, int snappy, int chain) {
+  S2Best b = {0, 0, 0};
+  uint64_t maxm = n - s;
+  if (!snappy && repeat > 0 && s >= repeat &&
+      s2_load32(src + s) == s2_load32(src + s - repeat)) {
+    uint32_t m =
+        4 + match_len(src + s - repeat + 4, src + s + 4, (uint32_t)(maxm - 4));
+    b.len = m;
+    b.off = repeat;
+    b.score = (int)m - s2_copy_cost(repeat, m, repeat, snappy);
+  }
+  uint32_t v = s2_load32(src + s);
+  int64_t c = c0;
+  uint32_t qlen = b.len > 3 ? b.len : 3;
+  while (c >= 0 && chain-- > 0) {
+    if (s + qlen < n && src[c + qlen] == src[s + qlen] &&
+        s2_load32(src + c) == v) {
+      uint32_t m =
+          4 + match_len(src + c + 4, src + s + 4, (uint32_t)(maxm - 4));
+      uint32_t off = (uint32_t)(s - c);
+      int sc = (int)m - s2_copy_cost(off, m, repeat, snappy);
+      if (sc > b.score) {
+        b.score = sc;
+        b.len = m;
+        b.off = off;
+        qlen = m;
+        if (m >= 512) break;  // long enough: stop searching
+      }
+    }
+    c = prev[c];
+  }
+  return b;
+}
+
+static int64_t s2_encode_best(uint8_t* dst, const uint8_t* src, uint64_t n,
+                              int snappy) {
+  const int hbits = table_bits(n) + 2 > 18 ? 18 : table_bits(n) + 2;
+  int32_t* head = (int32_t*)malloc(sizeof(int32_t) << hbits);
+  int32_t* prev = (int32_t*)malloc(sizeof(int32_t) * n);
+  if (!head || !prev) {
+    free(head);
+    free(prev);
+    return -1;
+  }
+  memset(head, -1, sizeof(int32_t) << hbits);
+  const int CHAIN = 192;
+
+  int64_t di = 0;
+  uint64_t s = 1, next_emit = 0;
+  uint32_t repeat = 0;
+// 4-byte hash: the chain must see minimum-length (4-byte) matches — a
+// wider hash would hide the cheap close-range copy1 matches entirely
+#define S2INS(p)                                      \
+  do {                                                \
+    uint32_t hh = hash4(s2_load64(src + (p)), hbits); \
+    prev[p] = head[hh];                               \
+    head[hh] = (int32_t)(p);                          \
+  } while (0)
+  S2Best pb = {0, 0, 0};
+  uint64_t pb_pos = 0;
+  while (s + 16 <= n) {
+    S2INS(s);
+    S2Best cur =
+        s2_find_best(src, n, prev, s, prev[s], repeat, snappy,
+                     pb.len >= 64 ? CHAIN / 4 : CHAIN);
+    if (pb.len >= 4 && cur.score <= pb.score + 1) {
+      // previous position wins: extend backwards, emit
+      uint64_t mp = pb_pos;
+      while (mp > next_emit && mp > pb.off &&
+             src[mp - 1] == src[mp - pb.off - 1]) {
+        mp--;
+        pb.len++;
+      }
+      di += emit_match(dst + di, src, next_emit, mp, pb.off, pb.len, &repeat,
+                       snappy);
+      uint64_t e = mp + pb.len;  // invariant under backward extension
+      next_emit = e;
+      if (e + 16 > n) {
+        s = e;
+        pb.len = 0;
+        break;
+      }
+      for (uint64_t p2 = s + 1; p2 < e; p2++) S2INS(p2);
+      s = e;
+      pb.len = 0;
+      continue;
+    }
+    // require score > 1: taking a match splits the literal run, costing
+    // one extra literal-header byte, so +1-byte matches are net losses
+    if (cur.len >= 4 && cur.score > 1) {
+      pb = cur;
+      pb_pos = s;
+    } else {
+      pb.len = 0;
+    }
+    s++;
+  }
+  if (pb.len >= 4) {
+    uint64_t mp = pb_pos;
+    while (mp > next_emit && mp > pb.off &&
+           src[mp - 1] == src[mp - pb.off - 1]) {
+      mp--;
+      pb.len++;
+    }
+    di += emit_match(dst + di, src, next_emit, mp, pb.off, pb.len, &repeat,
+                     snappy);
+    next_emit = pb_pos + pb.len;
+  }
+#undef S2INS
+  free(head);
+  free(prev);
+  if (next_emit < n)
+    di += emit_literal(dst + di, src + next_emit, (uint32_t)(n - next_emit));
+  return di;
+}
+
+// level: 1 fast, 2 better, 3 best. mode: 0 s2, 1 snappy.
+int64_t ct_s2_encode_block_level(uint8_t* dst, const uint8_t* src, uint64_t n,
+                                 int mode, int level) {
+  if (n < 16 || level <= 1) return ct_s2_encode_block(dst, src, n, mode);
+  if (level == 2) return s2_encode_better(dst, src, n, mode == 1);
+  return s2_encode_best(dst, src, n, mode == 1);
 }
 
 // ---------------------------------------------------------------------------

@@ -621,10 +621,10 @@ static void search_lazy(Emit* E, const uint8_t* src, long long pos,
         prev_len++;
       }
       emit_seq(E, mp, prev_len, (uint32_t)prev_off);
-      long long e = prev_pos + prev_len;
-      if (e > limit) e = limit;
-      for (long long p2 = s + 1; p2 < e; p2++) ZINS(p2);
-      s = prev_pos + prev_len;
+      long long e = mp + prev_len;  // match end: invariant under back-ext
+      long long ei = e > limit ? limit : e;
+      for (long long p2 = s + 1; p2 < ei; p2++) ZINS(p2);
+      s = e;
       prev_len = 0;
       prev_pos = -1;
       if (E->nseq >= MAXSEQ_PER_BLOCK - 2) return;

@@ -13,7 +13,11 @@ from compress_tpu.s2.block import (  # noqa: F401
     decode,
     decoded_len,
     encode,
+    encode_better,
+    encode_best,
     encode_snappy,
+    encode_snappy_better,
+    encode_snappy_best,
     max_encoded_len,
 )
 
@@ -24,7 +28,11 @@ __all__ = [
     "decode",
     "decoded_len",
     "encode",
+    "encode_better",
+    "encode_best",
     "estimate_block_size",
     "encode_snappy",
+    "encode_snappy_better",
+    "encode_snappy_best",
     "max_encoded_len",
 ]

@@ -63,6 +63,11 @@ def _native_lib():
             ctypes.c_char_p, ctypes.c_uint64, ctypes.c_char_p, ctypes.c_uint64,
             ctypes.c_int,
         ]
+        lib.ct_s2_encode_block_level.restype = ctypes.c_int64
+        lib.ct_s2_encode_block_level.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint64, ctypes.c_int,
+            ctypes.c_int,
+        ]
         _proto_done = True
     return lib
 
@@ -352,19 +357,27 @@ def _decode_block_py(dst_len: int, src: bytes, mode: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _encode_body(src: bytes, mode: int) -> bytes:
+def _encode_body(src: bytes, mode: int, level: int = 1) -> bytes:
     lib = _native_lib()
     if lib is not None:
         dst = ctypes.create_string_buffer(max_encoded_len(len(src)))
-        m = lib.ct_s2_encode_block(dst, bytes(src), len(src), mode)
+        if level <= 1:
+            m = lib.ct_s2_encode_block(dst, bytes(src), len(src), mode)
+        else:
+            m = lib.ct_s2_encode_block_level(dst, bytes(src), len(src), mode,
+                                             level)
+        if m < 0:
+            raise MemoryError("native s2 encode failed")
         return dst.raw[:m]
+    # pure-Python fallback implements the fast tier only; output is valid
+    # S2/snappy at every level, just without the deeper search
     return _encode_block_py(bytes(src), mode)
 
 
-def _wrap(src: bytes, mode: int) -> bytes:
+def _wrap(src: bytes, mode: int, level: int = 1) -> bytes:
     out = bytearray()
     put_uvarint(out, len(src))
-    return bytes(out) + _encode_body(src, mode)
+    return bytes(out) + _encode_body(src, mode, level)
 
 
 def encode(src) -> bytes:
@@ -372,9 +385,33 @@ def encode(src) -> bytes:
     return _wrap(bytes(src), _MODE_S2)
 
 
+def encode_better(src) -> bytes:
+    """S2 block encode, better tier: two-table (8-byte + 4-byte hash)
+    greedy search. Reference: s2.EncodeBetter, s2/encode.go:109."""
+    return _wrap(bytes(src), _MODE_S2, 2)
+
+
+def encode_best(src) -> bytes:
+    """S2 block encode, best tier: hash-chain lazy search with byte-cost
+    scoring. Reference: s2.EncodeBest, s2/encode.go:157."""
+    return _wrap(bytes(src), _MODE_S2, 3)
+
+
 def encode_snappy(src) -> bytes:
     """Snappy-compatible block encode. Reference: s2.EncodeSnappy."""
     return _wrap(bytes(src), _MODE_SNAPPY)
+
+
+def encode_snappy_better(src) -> bytes:
+    """Snappy-compatible better-tier encode. Reference:
+    s2.EncodeSnappyBetter, s2/encode.go:243."""
+    return _wrap(bytes(src), _MODE_SNAPPY, 2)
+
+
+def encode_snappy_best(src) -> bytes:
+    """Snappy-compatible best-tier encode. Reference: s2.EncodeSnappyBest,
+    s2/encode.go:284."""
+    return _wrap(bytes(src), _MODE_SNAPPY, 3)
 
 
 def decoded_len(block) -> int:

@@ -64,6 +64,50 @@ def test_compression_beats_upstream_snappy_on_twain():
     assert len(ours_s2) < len(golden)
 
 
+def test_better_best_tiers():
+    """encode_better/encode_best must give a real ratio ladder and decode
+    back exactly — both S2 and strict-snappy flavors (reference:
+    s2/encode.go EncodeBetter/EncodeBest + Snappy variants)."""
+    if not _native_on():
+        pytest.skip("native disabled (fallback has fast tier only)")
+    data = pathlib.Path(
+        "/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt").read_bytes()
+    fast = s2.encode(data)
+    better = s2.encode_better(data)
+    best = s2.encode_best(data)
+    assert s2.decode(better) == data
+    assert s2.decode(best) == data
+    assert len(best) < len(better) < len(fast)
+    # reference tiers on its corpus: better ~-9%, best ~-15% vs default
+    assert len(better) <= len(fast) * 0.96
+    assert len(best) <= len(fast) * 0.88
+    sn_b = s2.encode_snappy_better(data)
+    sn_x = s2.encode_snappy_best(data)
+    assert s2.decode(sn_b, allow_repeat=False) == data
+    assert s2.decode(sn_x, allow_repeat=False) == data
+    assert len(sn_x) < len(sn_b) < len(s2.encode_snappy(data))
+
+
+@pytest.mark.parametrize("n", [16, 17, 100, 4096, 65536, (1 << 18) + 13])
+def test_better_best_sizes(n):
+    if not _native_on():
+        pytest.skip("native disabled")
+    rng = np.random.default_rng(n * 7 + 1)
+    motif = rng.integers(0, 6, 113, dtype=np.uint8).tobytes()
+    data = (motif * (n // len(motif) + 1))[: n // 2] + rng.integers(
+        0, 256, n - n // 2, dtype=np.uint8
+    ).tobytes()
+    for fn, rep in [
+        (s2.encode_better, True),
+        (s2.encode_best, True),
+        (s2.encode_snappy_better, False),
+        (s2.encode_snappy_best, False),
+    ]:
+        enc = fn(data)
+        assert len(enc) <= s2.max_encoded_len(len(data))
+        assert s2.decode(enc, allow_repeat=rep) == data
+
+
 def test_native_python_encoder_identity():
     """Both implementations of the encoder spec must emit identical bytes."""
     if not _native_on():
