@@ -160,12 +160,91 @@ def decompress(data, max_size: int = MAX_DECODED_SIZE,
     return bytes(out_all)
 
 
+def _frame_extent(data: bytes, pos: int):
+    """End offset (past checksum) of the frame at pos, plus skippable flag.
+
+    A cheap structural walk — 3 header bytes per block, no decoding
+    (reference role: Decoder frame splitting for DecodeAllParallel)."""
+    try:
+        h = parse_frame_header(data, pos)
+    except FrameError as e:
+        raise ZstdError(str(e)) from e
+    if h.skippable:
+        end = pos + h.header_size + h.skippable_size
+        if end > len(data):
+            raise ZstdError("skippable frame overruns input")
+        return end, True
+    p = pos + h.header_size
+    while True:
+        if p + 3 > len(data):
+            raise ZstdError("truncated block header")
+        bh = int.from_bytes(data[p : p + 3], "little")
+        p += 3
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        if btype == 3:
+            raise ZstdError("reserved block type")
+        p += 1 if btype == B.BLOCK_RLE else bsize
+        if p > len(data):
+            raise ZstdError("truncated block")
+        if bh & 1:
+            break
+    if h.has_checksum:
+        p += 4
+        if p > len(data):
+            raise ZstdError("truncated checksum")
+    return p, False
+
+
+def split_frames(data) -> list:
+    """Byte spans [(start, end), ...] of the non-skippable frames in data."""
+    data = bytes(data)
+    spans = []
+    pos = 0
+    while pos < len(data):
+        end, skippable = _frame_extent(data, pos)
+        if not skippable:
+            spans.append((pos, end))
+        pos = end
+    return spans
+
+
+def decode_concurrent(data, workers: int = 4,
+                      max_size: int = MAX_DECODED_SIZE,
+                      max_window: int = 1 << 31,
+                      ignore_checksum: bool = False) -> bytes:
+    """Decode a multi-frame stream with a thread pool, one frame per task
+    (reference: Decoder.DecodeAll used concurrently — the
+    BenchmarkDecoder_DecodeAllParallel pattern; the native block decoder
+    releases the GIL so frames decode in true parallel)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    data = bytes(data)
+    spans = split_frames(data)
+    if len(spans) <= 1 or workers <= 1:
+        return decompress(data, max_size=max_size, max_window=max_window,
+                          ignore_checksum=ignore_checksum)
+
+    def one(span):
+        lo, hi = span
+        return decompress(data[lo:hi], max_size=max_size,
+                          max_window=max_window,
+                          ignore_checksum=ignore_checksum)
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        parts = list(ex.map(one, spans))
+    total = sum(len(p) for p in parts)
+    if total > max_size:
+        raise ZstdError("decoded size exceeds limit")
+    return b"".join(parts)
+
+
 # encoder lives in encoder.py; re-exported here
 from compress_tpu.zstd.encoder import compress, compress_concurrent  # noqa: E402
 
 __all__ = [
-    "compress", "compress_concurrent", "decompress", "Header",
-    "parse_frame_header",
+    "compress", "compress_concurrent", "decompress", "decode_concurrent",
+    "split_frames", "Header", "parse_frame_header",
     "ZstdError", "FrameError", "BlockError", "History",
     "SpeedFastest", "SpeedDefault", "SpeedBetter", "SpeedBest",
     "MAX_DECODED_SIZE",
