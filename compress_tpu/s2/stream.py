@@ -52,7 +52,8 @@ class Writer:
     def __init__(self, dst, block_size: int = DEFAULT_BLOCK_SIZE,
                  snappy: bool = False, padding: int = 0,
                  uncompressed: bool = False, custom_encoder=None,
-                 add_index: bool = False):
+                 add_index: bool = False, workers: int = 1,
+                 level: int = 1):
         if not MIN_BLOCK_SIZE <= block_size <= MAX_BLOCK_SIZE:
             raise ValueError("invalid block size")
         if snappy:
@@ -66,6 +67,13 @@ class Writer:
         self.uncompressed_mode = uncompressed
         self.custom_encoder = custom_encoder
         self.add_index = add_index
+        # level 1/2/3 = fast/better/best (reference WriterBetterCompression
+        # / WriterBestCompression); workers>1 = fan-out block encode with
+        # ordered emission (reference s2/writer.go:518-563 concurrency)
+        self.level = level
+        self.workers = max(1, int(workers))
+        self._pool = None
+        self._futs = None
         self._buf = bytearray()
         self._wrote_header = False
         self._written = 0
@@ -94,9 +102,9 @@ class Writer:
             self._emit(MAGIC_CHUNK_SNAPPY if self.snappy else MAGIC_CHUNK)
             self._wrote_header = True
 
-    def _write_block(self, blk: bytes):
-        self._write_header()
-        self._index.append((self._uncomp_written, self._written))
+    def _encode_chunk(self, blk: bytes) -> tuple[bytes, int]:
+        """Encode one block to its framed chunk (thread-safe: the native
+        core releases the GIL, so worker threads overlap for real)."""
         crc = crc32c_masked(blk)
         body = None
         if not self.uncompressed_mode:
@@ -106,7 +114,9 @@ class Writer:
                 payload = bytearray()
                 put_uvarint(payload, len(blk))
                 payload += s2block._encode_body(
-                    blk, s2block._MODE_SNAPPY if self.snappy else s2block._MODE_S2
+                    blk,
+                    s2block._MODE_SNAPPY if self.snappy else s2block._MODE_S2,
+                    self.level,
                 )
                 body = bytes(payload)
         if body is None or len(body) >= len(blk):
@@ -115,8 +125,33 @@ class Writer:
         else:
             chunk = bytes([CHUNK_COMPRESSED]) + (len(body) + 4).to_bytes(3, "little")
             chunk += crc.to_bytes(4, "little") + body
+        return chunk, len(blk)
+
+    def _emit_chunk(self, chunk: bytes, blk_len: int):
+        self._index.append((self._uncomp_written, self._written))
         self._emit(chunk)
-        self._uncomp_written += len(blk)
+        self._uncomp_written += blk_len
+
+    def _drain(self, keep: int = 0):
+        while self._futs and len(self._futs) > keep:
+            chunk, blk_len = self._futs.popleft().result()
+            self._emit_chunk(chunk, blk_len)
+
+    def _write_block(self, blk: bytes):
+        self._write_header()
+        if self.workers > 1:
+            if self._pool is None:
+                from collections import deque
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(max_workers=self.workers)
+                self._futs = deque()
+            self._futs.append(self._pool.submit(self._encode_chunk, blk))
+            # backpressure: bound in-flight blocks, draining in order
+            self._drain(keep=2 * self.workers)
+            return
+        chunk, blk_len = self._encode_chunk(blk)
+        self._emit_chunk(chunk, blk_len)
 
     def flush(self):
         """Compress and emit buffered data now (partial block)."""
@@ -124,6 +159,7 @@ class Writer:
             blk = bytes(self._buf)
             self._buf.clear()
             self._write_block(blk)
+        self._drain()
         self._write_header()
 
     def add_skippable_block(self, chunk_id: int, data: bytes):
@@ -152,6 +188,9 @@ class Writer:
                 body_len = pad - 4
                 self._emit(bytes([CHUNK_PADDING]) + body_len.to_bytes(3, "little")
                            + bytes(body_len))
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
         self._closed = True
 
 

@@ -1,6 +1,7 @@
 """S2 framed stream + index tests."""
 
 import io
+import pathlib
 
 import numpy as np
 import pytest
@@ -24,6 +25,30 @@ def test_stream_roundtrip_corpus(corpus_file):
     stream = _roundtrip(data)
     r = s2stream.Reader(io.BytesIO(stream))
     assert r.read() == data
+
+
+def test_stream_concurrent_writer_identical(corpus_file):
+    """workers>1 must emit byte-identical streams to serial (deterministic
+    encode + ordered drain; reference s2/writer.go fan-out)."""
+    data = corpus_file.read_bytes()
+    for lvl in (1, 2):
+        serial = _roundtrip(data, block_size=1 << 16, level=lvl,
+                            add_index=True)
+        conc = _roundtrip(data, block_size=1 << 16, level=lvl,
+                          add_index=True, workers=4)
+        assert serial == conc
+        r = s2stream.Reader(io.BytesIO(conc))
+        assert r.read() == data
+
+
+def test_stream_writer_levels_ladder():
+    data = (pathlib.Path("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt")
+            .read_bytes())
+    sizes = [len(_roundtrip(data, level=lvl)) for lvl in (1, 2, 3)]
+    assert sizes[0] > sizes[1] > sizes[2]
+    for lvl in (2, 3):
+        r = s2stream.Reader(io.BytesIO(_roundtrip(data, level=lvl)))
+        assert r.read() == data
 
 
 def test_stream_snappy_mode(corpus_file):
