@@ -1,0 +1,286 @@
+"""Device LZ execute — the decode-side core (reference roles:
+zstd/seqdec_amd64.s sequence execution and s2/decode_amd64.s, re-designed
+for TPU as batched op-space routing instead of a sequential byte loop).
+
+Architecture (measured rationale in docs/tpu_design_notes.md and
+experiments/):
+
+- Each 64KB block decodes inside a (1024, 128) byte **arena**: rows
+  0..511 hold the block's literal bytes (pre-resolved by the entropy
+  stage), rows 512..1023 receive the output.
+- The op stream is prepared ON THE ENCODE SIDE (we own the encoder; the
+  plan ships in a skippable side-channel frame, foreign frames use the
+  native host decoder). `plan_block_ops` turns decode-order LZ ops
+  (literal runs + copies) into dst-row-aligned **pieces** with a
+  precomputed execution **round**, using per-byte effective-source
+  substitution: a copy whose source region is already resolvable at
+  round <= r reads the transitive source directly. `max_rounds=1`
+  fully flattens (every piece reads the literal arena, one round);
+  larger budgets trade side-channel size for rounds.
+- On device, each round is three fused batched stages, all
+  route_tiles-class einsums chunked to keep one-hots small (measured:
+  unchunked one-hot einsums are pathological, chunked run at MXU speed):
+    1. gather each piece's 2-row source strip from the arena,
+    2. rotate strip lanes by (src - dst) mod 128 via DFT phase shift
+       (two static 128x128 cos/sin matmuls — no per-op rotation
+       matrices),
+    3. mask to the piece's dst lanes and one-hot sum-route into the
+       arena (each output byte is covered by exactly one piece, so
+       sum-routing is exact).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+ARENA_ROWS = 1024      # 512 literal rows + 512 output rows
+OUT_BASE = 512 * 128   # arena byte where output begins
+BLOCK = 1 << 16
+
+
+# ---------------------------------------------------------------------------
+# Host-side planner (encode side; ships in the side channel)
+# ---------------------------------------------------------------------------
+
+
+def plan_block_ops(kinds, lens, offs, max_rounds=4):
+    """Plan decode-order ops into round-annotated dst-row-aligned pieces.
+
+    kinds: 0 = literal run (consumes the next `len` literal bytes),
+           1 = copy at offset `off` (into the output written so far).
+    Returns dict of np arrays: src (arena byte), dst (arena byte), length,
+    round; plus n_rounds. Every output byte is covered by exactly one
+    piece. max_rounds >= 1; deeper dependencies are rewritten through
+    transitive sources (growing the piece count instead of the depth).
+    """
+    kinds = np.asarray(kinds)
+    lens = np.asarray(lens, np.int64)
+    offs = np.asarray(offs, np.int64)
+    total = int(lens.sum())
+    if total > BLOCK:
+        raise ValueError("block too large")
+    # per OUTPUT byte: effective arena source byte + earliest readable round
+    esrc = np.zeros(total, np.int64)
+    ernd = np.zeros(total, np.int16)
+    pieces_src = []
+    pieces_dst = []
+    pieces_len = []
+    pieces_rnd = []
+
+    def emit(d0, s_arr, r_arr):
+        """Emit pieces for dst range starting at d0 with per-byte arena
+        sources s_arr (round r_arr), splitting at non-contiguous source
+        bytes, round changes, and dst row boundaries."""
+        L = len(s_arr)
+        if L == 0:
+            return
+        cut = np.flatnonzero(
+            (np.diff(s_arr) != 1) | (np.diff(r_arr) != 0)) + 1
+        bounds = np.concatenate([[0], cut, [L]])
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            d = d0 + int(a)
+            s = int(s_arr[a])
+            ln = int(b - a)
+            r = int(r_arr[a])
+            while ln > 0:
+                room = 128 - ((OUT_BASE + d) & 127)
+                take = min(ln, room)
+                pieces_src.append(s)
+                pieces_dst.append(OUT_BASE + d)
+                pieces_len.append(take)
+                pieces_rnd.append(r)
+                d += take
+                s += take
+                ln -= take
+
+    pos = 0       # output cursor
+    lit_pos = 0   # literal buffer cursor
+    for k in range(len(kinds)):
+        L = int(lens[k])
+        if kinds[k] == 0:
+            # literal run: source the literal arena rows (round 0)
+            src_bytes = np.arange(lit_pos, lit_pos + L, dtype=np.int64)
+            rr = np.zeros(L, np.int16)
+            emit(pos, src_bytes, rr)
+            esrc[pos : pos + L] = src_bytes
+            ernd[pos : pos + L] = 0
+            lit_pos += L
+            pos += L
+        else:
+            off = int(offs[k])
+            if off <= 0 or off > pos:
+                raise ValueError("bad offset")
+            # source positions in output space, with overlap wrap
+            rel = np.arange(L, dtype=np.int64)
+            sp = pos - off + (rel % off if off < L else rel)
+            s_sub = esrc[sp]
+            r_sub = ernd[sp]
+            rnd_direct = int(r_sub.max()) + 1
+            if rnd_direct <= max_rounds:
+                # keep as one piece chain reading the transitive sources
+                # only when that does not fragment; otherwise read the
+                # output bytes directly (contiguous) one round later
+                if off >= L:
+                    frag = (np.diff(s_sub) != 1).any() or (
+                        np.diff(r_sub) != 0).any()
+                    if not frag:
+                        emit(pos, s_sub, np.full(L, rnd_direct - 1, np.int16))
+                        esrc[pos : pos + L] = s_sub
+                        ernd[pos : pos + L] = r_sub
+                        pos += L
+                        continue
+                src_bytes = OUT_BASE + sp
+                rr = np.full(L, rnd_direct, np.int16)
+                emit(pos, src_bytes, rr)
+                esrc[pos : pos + L] = src_bytes
+                ernd[pos : pos + L] = rnd_direct
+                pos += L
+            else:
+                # too deep: substitute transitive sources (flatten)
+                emit(pos, s_sub, r_sub)
+                esrc[pos : pos + L] = s_sub
+                ernd[pos : pos + L] = r_sub
+                pos += L
+    n_rounds = int(max(pieces_rnd)) + 1 if pieces_rnd else 1
+    return {
+        "src": np.array(pieces_src, np.int32),
+        "dst": np.array(pieces_dst, np.int32),
+        "len": np.array(pieces_len, np.int32),
+        "round": np.array(pieces_rnd, np.int32),
+        "n_rounds": n_rounds,
+    }
+
+
+def pack_plans(plans, round_caps=None):
+    """Stack per-block plans into per-round padded tensors.
+
+    Returns (src, dst, length) of shape (R_total_padded, B) laid out
+    round-major with static per-round capacities, plus the caps list.
+    Padded slots get len=0 (masked out on device)."""
+    B = len(plans)
+    n_rounds = max(p["n_rounds"] for p in plans)
+    if round_caps is None:
+        round_caps = []
+        for r in range(n_rounds):
+            cap = max(int((p["round"] == r).sum()) for p in plans)
+            # bucket to limit jit recompilation across inputs
+            cap = max(64, 1 << int(np.ceil(np.log2(max(cap, 1)))))
+            round_caps.append(cap)
+    total = sum(round_caps)
+    src = np.zeros((total, B), np.int32)
+    dst = np.full((total, B), OUT_BASE, np.int32)
+    length = np.zeros((total, B), np.int32)
+    base = 0
+    for r, cap in enumerate(round_caps):
+        for b, p in enumerate(plans):
+            m = p["round"] == r
+            cnt = int(m.sum())
+            if cnt > cap:
+                raise ValueError("round capacity overflow")
+            src[base : base + cnt, b] = p["src"][m]
+            dst[base : base + cnt, b] = p["dst"][m]
+            length[base : base + cnt, b] = p["len"][m]
+        base += cap
+    return src, dst, length, tuple(round_caps)
+
+
+# ---------------------------------------------------------------------------
+# Device kernel
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_tables():
+    # numpy constants (safe to cache across jit traces; jnp conversion
+    # happens at use so each trace gets its own constant)
+    k = np.arange(128)
+    ang = 2.0 * np.pi * np.outer(k, k) / 128.0
+    C = np.cos(ang).astype(np.float32)          # (l, k) forward cos
+    S = np.sin(ang).astype(np.float32)
+    d = np.arange(128)
+    pang = 2.0 * np.pi * np.outer(d, k) / 128.0
+    PC = np.cos(pang).astype(np.float32)        # (delta, k) phase cos
+    PS = np.sin(pang).astype(np.float32)
+    return C, S, PC, PS
+
+
+def _rotate_lanes(rows, delta):
+    """rows: (..., 128) f32; delta: (...) int32 in [0,128).
+    Returns rows rotated left by delta: out[m] = rows[(m+delta) % 128].
+    DFT phase shift: two static 128x128 matmuls + per-item phase."""
+    Cn, Sn, PCn, PSn = _dft_tables()
+    C, S = jnp.asarray(Cn), jnp.asarray(Sn)
+    PC, PS = jnp.asarray(PCn), jnp.asarray(PSn)
+    hp = jax.lax.Precision.HIGHEST
+    a = jnp.matmul(rows, C, precision=hp)   # (..., k)
+    b = jnp.matmul(rows, S, precision=hp)
+    oh = jax.nn.one_hot(delta, 128, dtype=jnp.float32)
+    cph = jnp.matmul(oh, PC, precision=hp)  # cos(2 pi delta k / 128)
+    sph = jnp.matmul(oh, PS, precision=hp)
+    A = a * cph + b * sph
+    Bb = b * cph - a * sph
+    out = (jnp.matmul(A, C.T, precision=hp)
+           + jnp.matmul(Bb, S.T, precision=hp)) / 128.0
+    return jnp.round(out)
+
+
+def _round_step(arena, src, dst, length, chunk):
+    """One execute round. arena (B, 1024, 128) f32. src/dst/len (B, N)."""
+    B, N = src.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    add = jnp.zeros_like(arena)
+    for lo in range(0, N, chunk):
+        hi = min(lo + chunk, N)
+        s = src[:, lo:hi]
+        d = dst[:, lo:hi]
+        ln = length[:, lo:hi]
+        b0 = d & 127
+        g0 = s - b0                     # lane-aligned source base
+        delta = g0 % 128                # jnp: result in [0,128) even g0<0
+        r0 = (g0 - delta) // 128
+        oh0 = jax.nn.one_hot(jnp.clip(r0, 0, ARENA_ROWS - 1), ARENA_ROWS,
+                             dtype=jnp.bfloat16)
+        oh1 = jax.nn.one_hot(jnp.clip(r0 + 1, 0, ARENA_ROWS - 1),
+                             ARENA_ROWS, dtype=jnp.bfloat16)
+        ab = arena.astype(jnp.bfloat16)
+        row0 = jnp.einsum("bcs,bsl->bcl", oh0, ab,
+                          preferred_element_type=jnp.float32)
+        row1 = jnp.einsum("bcs,bsl->bcl", oh1, ab,
+                          preferred_element_type=jnp.float32)
+        rot0 = _rotate_lanes(row0, delta)
+        rot1 = _rotate_lanes(row1, delta)
+        # lane m of the aligned strip: from row0 while m + delta < 128
+        use0 = (lane + delta[..., None]) < 128
+        strip = jnp.where(use0, rot0, rot1)
+        mask = (lane >= b0[..., None]) & (lane < (b0 + ln)[..., None])
+        strip = jnp.where(mask, strip, 0.0)
+        ohd = jax.nn.one_hot(d >> 7, ARENA_ROWS, dtype=jnp.bfloat16)
+        add = add + jnp.einsum("bcs,bcl->bsl", ohd,
+                               strip.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+    return arena + add
+
+
+def execute_rounds(lit_rows, src, dst, length, round_caps, chunk=512):
+    """Run the planned rounds. lit_rows (B, 512, 128) f32 byte values.
+    src/dst/length: (total, B) round-major per pack_plans.
+    Returns (B, 512, 128) output rows (f32 byte values)."""
+    B = lit_rows.shape[0]
+    arena = jnp.concatenate(
+        [lit_rows, jnp.zeros((B, 512, 128), jnp.float32)], axis=1)
+    base = 0
+    for cap in round_caps:
+        sl = slice(base, base + cap)
+        arena = _round_step(arena,
+                            src[sl].T, dst[sl].T, length[sl].T, chunk)
+        base += cap
+    return arena[:, 512:, :]
+
+
+execute_rounds_jit = jax.jit(execute_rounds, static_argnames=("round_caps",
+                                                              "chunk"))

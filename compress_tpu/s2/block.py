@@ -464,17 +464,21 @@ def concat_blocks(*blocks) -> bytes:
 
 
 def estimate_block_size(src) -> int:
-    """Rough single-pass estimate of encode(src) size (reference:
-    s2.EstimateBlockSize heuristic — sampling-based, not exact)."""
-    from compress_tpu.estimate import estimate as _est
-
+    """Encoder-derived estimate of encode(src) size (reference:
+    s2.EstimateBlockSize, s2/encode.go:389 — runs a light encoding pass;
+    here: the real fast encoder on the input, or on head+middle samples
+    for large inputs, scaled)."""
     src = bytes(src)
     n = len(src)
     if n == 0:
         return 1
     if n > MAX_BLOCK_SIZE:
         raise ValueError("block too large")
-    # order-1 compressibility score in [0,1]; add tag overhead margin
-    score = _est(src[: 64 << 10] if n > (64 << 10) else src)
-    est = int(n * min(1.0, score + 0.05)) + 32
+    sample = 32 << 10
+    if n <= 2 * sample:
+        return len(_encode_body(src, _MODE_S2)) + 8
+    head = len(_encode_body(src[:sample], _MODE_S2))
+    mid_at = (n - sample) // 2
+    mid = len(_encode_body(src[mid_at : mid_at + sample], _MODE_S2))
+    est = int(n * (head + mid) / (2 * sample)) + 32
     return min(est, max_encoded_len(n))

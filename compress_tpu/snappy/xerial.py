@@ -19,24 +19,27 @@ class MalformedError(ValueError):
     """Reference: xerial.ErrMalformed."""
 
 
-def encode(src) -> bytes:
+def _encode_with(src, block_fn) -> bytes:
     src = bytes(src)
     out = bytearray(HEADER + VERSION_INFO)
     for pos in range(0, max(len(src), 1), _BLOCK):
         chunk = src[pos : pos + _BLOCK]
         if not chunk and src:
             break
-        enc = s2block.encode_snappy(chunk)
+        enc = block_fn(chunk)
         out += len(enc).to_bytes(4, "big")
         out += enc
     return bytes(out)
 
 
-def encode_better(src) -> bytes:
-    """Reference: xerial.EncodeBetter — same framing, better effort.
+def encode(src) -> bytes:
+    return _encode_with(src, s2block.encode_snappy)
 
-    (Our snappy encoder has a single effort level for now.)"""
-    return encode(src)
+
+def encode_better(src) -> bytes:
+    """Reference: xerial.EncodeBetter — same framing, two-table better
+    search (s2block.encode_snappy_better)."""
+    return _encode_with(src, s2block.encode_snappy_better)
 
 
 def decode(blob) -> bytes:

