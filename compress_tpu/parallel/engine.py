@@ -201,7 +201,17 @@ def zstd_encode_sharded(data: bytes, mesh: Mesh | None = None,
             jax.device_put(jnp.asarray(arr), sharding),
             jax.device_put(jnp.asarray(prefixes), sharding),
             jax.device_put(jnp.asarray(has_prefix), NamedSharding(mesh, P("data"))))
-        t = {kk: np.asarray(v) for kk, v in t.items()}
+        if jax.process_count() > 1:
+            # DCN path (SURVEY §5.8): shards live on multiple hosts; pull
+            # the full arrays to every host so each can assemble the frame
+            # identically (the reference jobFlusher role, host-side)
+            from jax.experimental import multihost_utils
+
+            t = {kk: np.asarray(
+                multihost_utils.process_allgather(v, tiled=True))
+                for kk, v in t.items()}
+        else:
+            t = {kk: np.asarray(v) for kk, v in t.items()}
         for j in range(full):
             jb = data[j * job : (j + 1) * job]
             for body in _assemble_job(jb, t, j, block):
