@@ -404,13 +404,18 @@ __all__ = [
 ]
 
 
-def compress_4x_batch(blocks) -> list:
+def compress_4x_batch(blocks, return_accel: bool = False):
     """Device-batched Compress4X over equal-length blocks.
 
     blocks: (N, L) uint8 array-like. Returns a list of containers in the
     same [uvarint n][table][jump6][streams] format as compress_4x; entries
     are None where the block is incompressible/RLE (caller falls back,
-    mirroring the reference's error contract)."""
+    mirroring the reference's error contract).
+
+    return_accel=True also returns the decode-accelerator side channel
+    (per-chunk checkpoint bit offsets) consumed by decompress_4x_batch's
+    device path — the zstd-frame integration would carry this in a
+    skippable frame."""
     import jax.numpy as jnp
 
     from compress_tpu.ops import entropy as E
@@ -419,6 +424,7 @@ def compress_4x_batch(blocks) -> list:
     N, L = arr.shape
     t = {k: np.asarray(v) for k, v in
          E.huff0_encode_blocks(jnp.asarray(arr)).items()}
+    accel = {"ckpt": t["ckpt"], "k": E.HUFF_CKPT_K}
     out = []
     cache: dict = {}
     for i in range(N):
@@ -458,4 +464,157 @@ def compress_4x_batch(blocks) -> list:
         for s in streams:
             blob += s
         out.append(bytes(blob) if len(blob) < L else None)
+    if return_accel:
+        return out, accel
+    return out
+
+
+def make_accel(containers, k: int | None = None):
+    """Derive the decode-accelerator checkpoints for existing containers
+    by one host walk (for foreign 4X blobs; device-encoded blocks get
+    this for free from compress_4x_batch(return_accel=True))."""
+    from compress_tpu.fse import core as fse_core
+    from compress_tpu.ops.entropy import HUFF_CKPT_K
+
+    k = k or HUFF_CKPT_K
+    rows = []
+    cmax = 1
+    for blob in containers:
+        if blob is None:
+            rows.append(None)
+            continue
+        blob = bytes(blob)
+        n, pos = read_uvarint(blob)
+        sym_t, nb_t, max_bits, pos = read_table(blob, pos)
+        sizes = [int.from_bytes(blob[pos + 2 * q : pos + 2 * q + 2],
+                                "little") for q in range(3)]
+        pos += 6
+        seg = (n + 3) // 4
+        lens = [seg, seg, seg, n - 3 * seg]
+        qs = []
+        for q in range(4):
+            size = sizes[q] if q < 3 else len(blob) - pos
+            stream = blob[pos : pos + size]
+            pos += size
+            br = fse_core.BitReaderReverse(stream)
+            bitpos = br.bitpos
+            cks = [bitpos]
+            data = stream
+            for j in range(lens[q]):
+                bp = bitpos - max_bits
+                if bp >= 0:
+                    b0 = bp >> 3
+                    chunk = int.from_bytes(data[b0 : b0 + 9], "little")
+                    w = (chunk >> (bp & 7)) & ((1 << max_bits) - 1)
+                else:
+                    chunk = int.from_bytes(data[0:9], "little")
+                    w = (chunk << -bp) & ((1 << max_bits) - 1)
+                bitpos -= int(nb_t[w])
+                if (j + 1) % k == 0:
+                    cks.append(bitpos)
+            qs.append(cks)
+            cmax = max(cmax, len(cks))
+        rows.append(qs)
+    ckpt = np.zeros((len(containers), 4, cmax), np.int32)
+    for i, qs in enumerate(rows):
+        if qs is None:
+            continue
+        for q in range(4):
+            ckpt[i, q, : len(qs[q])] = qs[q]
+    return {"ckpt": ckpt, "k": k}
+
+
+def decompress_4x_batch(containers, accel=None, max_size: int = 64 << 20):
+    """Decode a batch of 4X containers; with `accel` (the encoder's
+    checkpoint side channel) the symbol loop runs on device
+    (ops/entropy_dec.py — the huff0 decompress-asm analogue). Without it,
+    falls back to the host decoder per container. None entries pass
+    through as None."""
+    if accel is None:
+        return [None if c is None else decompress_4x(c, max_size)
+                for c in containers]
+    import jax.numpy as jnp
+
+    from compress_tpu.ops import entropy_dec as ED
+
+    K = int(accel["k"])
+    ckpt = np.asarray(accel["ckpt"])
+    N = len(containers)
+    metas = []
+    cmax = 1
+    for i, blob in enumerate(containers):
+        if blob is None:
+            metas.append(None)
+            continue
+        blob = bytes(blob)
+        n, pos = read_uvarint(blob)
+        if n > max_size:
+            raise ValueError("decoded size exceeds limit")
+        sym_t, nb_t, max_bits, pos = read_table(blob, pos)
+        sizes = [int.from_bytes(blob[pos + 2 * k : pos + 2 * k + 2],
+                                "little") for k in range(3)]
+        pos += 6
+        seg = (n + 3) // 4
+        lens = [seg, seg, seg, n - 3 * seg]
+        table = ED.expand_table(sym_t, nb_t, max_bits)
+        streams = []
+        for q in range(4):
+            size = sizes[q] if q < 3 else len(blob) - pos
+            if pos + size > len(blob) or lens[3] < 0:
+                raise CorruptError("stream truncated")
+            streams.append(blob[pos : pos + size])
+            pos += size
+        wq, lq, nsq = [], [], []
+        for q in range(4):
+            nch = -(-lens[q] // K) if lens[q] else 0
+            w, lb = ED.build_windows(streams[q], ckpt[i, q], max(nch, 1))
+            ns = np.minimum(lens[q] - K * np.arange(max(nch, 1)), K)
+            ns = np.maximum(ns, 0)
+            wq.append(w)
+            lq.append(lb)
+            nsq.append(ns.astype(np.int32))
+        metas.append((n, lens, table, wq, lq, nsq))
+        cmax = max(cmax, max(len(x) for x in lq))
+    # pack the batch: (N, 4*cmax) chunks
+    C = 4 * cmax
+    windows = np.zeros((N, C, ED.WIN), np.uint8)
+    lbit = np.full((N, C), 8 * ED.WIN, np.int32)
+    nsym = np.zeros((N, C), np.int32)
+    tables = np.zeros((N, 64, 32), np.float32)
+    for i, m in enumerate(metas):
+        if m is None:
+            continue
+        _, _, table, wq, lq, nsq = m
+        tables[i] = table
+        for q in range(4):
+            base = q * cmax
+            nc = len(lq[q])
+            windows[i, base : base + nc] = wq[q]
+            lbit[i, base : base + nc] = lq[q]
+            nsym[i, base : base + nc] = nsq[q]
+    syms, endl = ED.huff0_decode_chunks(
+        jnp.asarray(windows), jnp.asarray(lbit), jnp.asarray(nsym),
+        jnp.asarray(tables), k=K)
+    syms = np.asarray(syms, np.int32)
+    endl = np.asarray(endl)
+    out = []
+    for i, m in enumerate(metas):
+        if m is None:
+            out.append(None)
+            continue
+        n, lens, _, wq, lq, nsq = m
+        parts = []
+        for q in range(4):
+            base = q * cmax
+            nc = len(lq[q])
+            s = syms[i, base : base + nc].reshape(-1)[: lens[q]]
+            parts.append(s.astype(np.uint8).tobytes())
+            # consumption check: the last chunk must land exactly on the
+            # end of the bitstream (remaining == 0, window-local
+            # -8*wlo == lbit - ckpt_start)
+            if lens[q]:
+                expected = int(lq[q][nc - 1]) - int(ckpt[i, q][nc - 1])
+                if int(endl[i, base + nc - 1]) != expected:
+                    raise CorruptError("stream not fully consumed")
+        out.append(b"".join(parts))
     return out

@@ -28,6 +28,7 @@ from compress_tpu.ops.zdev import (_bitpack_rows, _canonical_codes_dev,
                                    _huff_build)
 
 FSE_LOG = 9  # fixed accuracy log for the batched device path
+HUFF_CKPT_K = 32  # symbols per decode-checkpoint chunk (side channel)
 
 
 # ---------------------------------------------------------------------------
@@ -79,8 +80,17 @@ def huff0_encode_blocks(blocks):
         jnp.flip(code, axis=1), jnp.flip(nb, axis=1),
         jnp.flip(dest_bit, axis=1), 384,
         region_end=sbase[:, 0] + sh[:, 0])
+    # decode-accelerator checkpoints (side channel for the device decoder,
+    # ops/entropy_dec.py): remaining-bit offset at every HUFF_CKPT_K-th
+    # symbol of each stream. Stream symbol j's consumed-bits-so-far is
+    # c_in_q; remaining = stream_bits - consumed.
+    segN = seg
+    cpad = jnp.pad(c_in_q, ((0, 0), (0, 4 * segN - L)), mode="edge")
+    cq = cpad.reshape(N, 4, segN)
+    body = bq[:, :, None] - cq[:, :, HUFF_CKPT_K - 1 :: HUFF_CKPT_K]
+    ckpt = jnp.concatenate([bq[:, :, None], body], axis=2)
     return dict(nbits=nbits, max_bits=max_bits, ok=ok, stream_bits=bq,
-                halves=halves, n_halves=n_halves)
+                halves=halves, n_halves=n_halves, ckpt=ckpt)
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,61 @@ def test_huff0_batch_roundtrip(corpus):
     assert n_ok >= 4
 
 
+def test_huff0_device_decode_bit_exact(corpus):
+    """Device chunked decode (checkpoint side channel) == host decoder
+    (reference role: huff0/decompress_amd64.s)."""
+    arr, blocks = corpus
+    outs, accel = huff0.compress_4x_batch(arr, return_accel=True)
+    got = huff0.decompress_4x_batch(outs, accel=accel)
+    host = huff0.decompress_4x_batch(outs)  # host fallback path
+    for g, h, blob, orig in zip(got, host, outs, blocks):
+        if blob is None:
+            assert g is None and h is None
+            continue
+        assert g == h == orig
+
+
+@pytest.mark.parametrize("L", [512, 1024, 4096, 16384])
+def test_huff0_device_decode_sizes(L):
+    """Device-encoded blocks at every supported size decode exactly."""
+    tw = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+              "rb").read()
+    arr = np.frombuffer((tw * 2)[: 3 * L], np.uint8).reshape(3, L)
+    outs, accel = huff0.compress_4x_batch(arr, return_accel=True)
+    got = huff0.decompress_4x_batch(outs, accel=accel)
+    for i, blob in enumerate(outs):
+        if blob is not None:
+            assert got[i] == arr[i].tobytes(), (L, i)
+
+
+@pytest.mark.parametrize("L", [97, 333, 1000, 4001])
+def test_huff0_device_decode_foreign_containers(L):
+    """Host-encoded (arbitrary-size) containers with host-derived
+    checkpoints (make_accel): exercises partial chunks and uneven
+    stream splits on the device decoder."""
+    tw = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+              "rb").read()
+    conts = [huff0.compress_4x(tw[i * L : (i + 1) * L]) for i in range(3)]
+    accel = huff0.make_accel(conts)
+    got = huff0.decompress_4x_batch(conts, accel=accel)
+    for i in range(3):
+        assert got[i] == tw[i * L : (i + 1) * L], (L, i)
+
+
+def test_huff0_device_decode_detects_corruption():
+    tw = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+              "rb").read()
+    arr = np.frombuffer(tw[:8192], np.uint8).reshape(1, 8192)
+    outs, accel = huff0.compress_4x_batch(arr, return_accel=True)
+    blob = bytearray(outs[0])
+    blob[-3] ^= 0x5A  # flip bits near the end of the last stream
+    try:
+        got = huff0.decompress_4x_batch([bytes(blob)], accel=accel)
+        assert got[0] != arr[0].tobytes()
+    except huff0.CorruptError:
+        pass
+
+
 def test_fse_batch_roundtrip(corpus):
     arr, blocks = corpus
     outs = fse.compress_batch(arr)
