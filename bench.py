@@ -81,6 +81,28 @@ def main():
     assert z.decompress(frame) == big[: zdev.JOB], "zstd decode mismatch"
     z_ratio = len(frame) / zdev.JOB
 
+    # ---- device huff0 chunked decode (entropy-decode half of P4) ----------
+    hdec_gbps = 0.0
+    try:
+        from compress_tpu import huff0
+        from compress_tpu.ops import entropy_dec as ED
+
+        arr16 = np.frombuffer(big, np.uint8).reshape(-1, 1 << 14)
+        conts, accel = huff0.compress_4x_batch(arr16, return_accel=True)
+        if all(c is not None for c in conts):
+            # isolate the device scan (host prep measured separately in
+            # experiments/exp_huff_dec.py; the scan is the asm-analogue)
+            batch, _, _ = huff0._prep_decode_batch(conts, accel)
+            syms, _ = ED.huff0_decode_chunks(*batch, k=accel["k"])
+            np.asarray(syms.ravel()[0:1])
+            t = time.time()
+            for _ in range(iters):
+                syms, _ = ED.huff0_decode_chunks(*batch, k=accel["k"])
+            np.asarray(syms.ravel()[0:1])
+            hdec_gbps = len(big) / ((time.time() - t) / iters) / 1e9
+    except Exception:
+        hdec_gbps = -1.0  # never fail the bench on the extra metric
+
     print(json.dumps({
         "metric": "s2_block_encode_device",
         "value": round(s2_gbps, 5),
@@ -90,6 +112,7 @@ def main():
         "zstd_l1_encode_gbps": round(z_gbps, 5),
         "zstd_l1_vs_baseline": round(z_gbps / 0.31847, 5),
         "zstd_l1_ratio": round(z_ratio, 4),
+        "huff0_decode_device_gbps": round(hdec_gbps, 5),
         "n_bytes": len(big),
     }))
     return 0

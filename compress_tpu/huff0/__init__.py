@@ -524,15 +524,10 @@ def make_accel(containers, k: int | None = None):
     return {"ckpt": ckpt, "k": k}
 
 
-def decompress_4x_batch(containers, accel=None, max_size: int = 64 << 20):
-    """Decode a batch of 4X containers; with `accel` (the encoder's
-    checkpoint side channel) the symbol loop runs on device
-    (ops/entropy_dec.py — the huff0 decompress-asm analogue). Without it,
-    falls back to the host decoder per container. None entries pass
-    through as None."""
-    if accel is None:
-        return [None if c is None else decompress_4x(c, max_size)
-                for c in containers]
+def _prep_decode_batch(containers, accel, max_size: int = 64 << 20):
+    """Host prep for the device decode: parse containers, expand tables,
+    build per-chunk windows, pack the batch tensors. Returns
+    ((windows, lbit, nsym, tables) jnp arrays, metas, cmax)."""
     import jax.numpy as jnp
 
     from compress_tpu.ops import entropy_dec as ED
@@ -592,9 +587,26 @@ def decompress_4x_batch(containers, accel=None, max_size: int = 64 << 20):
             windows[i, base : base + nc] = wq[q]
             lbit[i, base : base + nc] = lq[q]
             nsym[i, base : base + nc] = nsq[q]
-    syms, endl = ED.huff0_decode_chunks(
-        jnp.asarray(windows), jnp.asarray(lbit), jnp.asarray(nsym),
-        jnp.asarray(tables), k=K)
+    args = (jnp.asarray(windows), jnp.asarray(lbit), jnp.asarray(nsym),
+            jnp.asarray(tables))
+    return args, metas, cmax
+
+
+def decompress_4x_batch(containers, accel=None, max_size: int = 64 << 20):
+    """Decode a batch of 4X containers; with `accel` (the encoder's
+    checkpoint side channel) the symbol loop runs on device
+    (ops/entropy_dec.py — the huff0 decompress-asm analogue). Without it,
+    falls back to the host decoder per container. None entries pass
+    through as None."""
+    if accel is None:
+        return [None if c is None else decompress_4x(c, max_size)
+                for c in containers]
+    from compress_tpu.ops import entropy_dec as ED
+
+    K = int(accel["k"])
+    ckpt = np.asarray(accel["ckpt"])
+    args, metas, cmax = _prep_decode_batch(containers, accel, max_size)
+    syms, endl = ED.huff0_decode_chunks(*args, k=K)
     syms = np.asarray(syms, np.int32)
     endl = np.asarray(endl)
     out = []
