@@ -43,34 +43,57 @@ def huff0_decode_chunks(windows, lbit, nsym, tables, k: int = HUFF_CKPT_K):
         sym*16 + nbits, laid out [hi6][lo5].
     Returns (syms (N, C, k) int32, end_lbit (N, C) int32)."""
     N, C, _ = windows.shape
+    # channel-LAST layout: C rides the 128-lane axis everywhere; the small
+    # dims (NHW=26, 64, 32) sit on sublanes. With C last-dim instead, every
+    # op wastes ~80% of each vector register (measured ~6 ms/step).
     w32 = windows.astype(jnp.int32)
     hw = w32[:, :, 0::2] | (w32[:, :, 1::2] << 8)      # (N, C, NHW)
-    hwi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, NHW), 2)
+    hwf = jnp.moveaxis(hw.astype(jnp.float32), 1, 2)   # (N, NHW, C)
+    hwi = jax.lax.broadcasted_iota(jnp.int32, (1, NHW, 1), 1)
+    # two exact bf16 planes (sym <= 255, nb <= 11) ride the MXU fast path
+    t_sym = jnp.floor_divide(tables.astype(jnp.int32), 16
+                             ).astype(jnp.bfloat16)
+    t_nb = jnp.remainder(tables.astype(jnp.int32), 16).astype(jnp.bfloat16)
+    t2 = jnp.concatenate([t_sym, t_nb], axis=-1)       # (N, 64, 64)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 64, 1), 1)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+
+    def pow2f(e):
+        # exact 2^e for int e >= -126: build the f32 exponent field
+        return jax.lax.bitcast_convert_type((e + 127) << 23, jnp.float32)
+
+    def fmod(x, m: float):
+        return x - jnp.floor(x * (1.0 / m)) * m
 
     def step(carry, i):
-        lbp, = carry
+        # per-element-variable arithmetic in exact f32 with bitcast-built
+        # powers of two (TPU variable int shifts lower poorly)
+        lbp, = carry                                   # (N, C)
         bp = lbp - 11
         bpc = jnp.maximum(bp, 0)
         hsel = bpc >> 4
-        oh0 = (hwi == hsel[:, :, None]).astype(jnp.int32)
-        oh1 = (hwi == jnp.minimum(hsel + 1, NHW - 1)[:, :, None]
-               ).astype(jnp.int32)
-        h0 = jnp.sum(hw * oh0, axis=-1)
-        h1 = jnp.sum(hw * oh1, axis=-1)
-        word = (h0.astype(jnp.uint32)
-                | (h1.astype(jnp.uint32) << 16))
-        val = (word >> (bpc & 15).astype(jnp.uint32)).astype(jnp.int32)
-        val = (val << (bpc - bp)) & 0x7FF
-        hi = val >> 5
-        lo = val & 31
-        ohh = jax.nn.one_hot(hi, 64, dtype=jnp.float32)
-        rows = jnp.einsum("nch,nhl->ncl", ohh, tables,
-                          precision="highest")          # (N, C, 32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2)
-        packed = jnp.sum(jnp.where(lane == lo[:, :, None], rows, 0.0),
-                         axis=-1).astype(jnp.int32)
-        sym = packed >> 4
-        nb = packed & 15
+        h0 = jnp.sum(jnp.where(hwi == hsel[:, None, :], hwf, 0.0), axis=1)
+        h1 = jnp.sum(jnp.where(
+            hwi == jnp.minimum(hsel + 1, NHW - 1)[:, None, :], hwf, 0.0),
+            axis=1)
+        s = bpc & 15
+        part0 = jnp.floor(h0 * pow2f(-s))              # bits [s,16) of h0
+        # h1 mod 2^(s-5), only meaningful when s > 5
+        h1cut = h1 - jnp.floor(h1 * pow2f(5 - s)) * pow2f(s - 5)
+        val = jnp.where(s > 5, part0 + h1cut * pow2f(16 - s),
+                        fmod(part0, 2048.0))
+        val = fmod(val * pow2f(bpc - bp), 2048.0)      # zero-pad shift
+        vi = val.astype(jnp.int32)
+        hi = vi >> 5                                   # (N, C)
+        lo = vi & 31
+        ohh = (hi_iota == hi[:, None, :]).astype(jnp.bfloat16)  # (N,64,C)
+        rows = jnp.einsum("nhc,nhl->nlc", ohh, t2,
+                          preferred_element_type=jnp.float32)  # (N,64,C)
+        pick = lo_iota == lo[:, None, :]
+        sym = jnp.sum(jnp.where(pick, rows[:, :32], 0.0),
+                      axis=1).astype(jnp.int32)
+        nb = jnp.sum(jnp.where(pick, rows[:, 32:], 0.0),
+                     axis=1).astype(jnp.int32)
         active = i < nsym
         lbp = jnp.where(active, lbp - nb, lbp)
         return (lbp,), jnp.where(active, sym, 0)
