@@ -57,6 +57,17 @@ class Writer:
             self._written += len(frame)
             self._buf.clear()
 
+    def read_from(self, src, chunk: int = 1 << 20) -> int:
+        """Pump src (a readable) through the writer (reference:
+        Encoder.ReadFrom, zstd/encoder.go). Returns bytes consumed."""
+        total = 0
+        while True:
+            buf = src.read(chunk)
+            if not buf:
+                break
+            total += self.write(buf)
+        return total
+
     def close(self):
         if self._closed:
             return

@@ -66,6 +66,17 @@ def test_zstd_reader_streams_libzstd_output():
     assert r.read() == data
 
 
+def test_zstd_writer_read_from():
+    data = open("/root/reference/testdata/html.txt", "rb").read() * 3
+    buf = io.BytesIO()
+    w = zstream.Writer(buf, level=2, checksum=True)
+    n = w.read_from(io.BytesIO(data), chunk=10000)
+    w.close()
+    assert n == len(data)
+    assert zstandard.ZstdDecompressor().decompress(
+        buf.getvalue(), max_output_size=len(data) + 16) == data
+
+
 def test_zstd_reader_incremental_native():
     """read(n) loops must ride the native block decoder mid-frame and
     produce identical output for our frames and libzstd frames (VERDICT r1
