@@ -366,6 +366,42 @@ def _native_compress(data: bytes, checksum: bool, level: int = 1):
     return dst.raw[:r]
 
 
+def _native_compress_dict(data: bytes, checksum: bool, level: int, dict_):
+    """Dictionary frame via the native job entry: dict content = overlap
+    prefix; blocks marked non-last + explicit empty last block."""
+    import ctypes
+
+    from compress_tpu import _native
+    from compress_tpu.zstd import frame as F
+
+    lib = _native.raw()
+    if lib is None or not hasattr(lib, "ct_zstd_compress_blocks_level"):
+        return None
+    if not getattr(lib, "_zjobd_proto", False):
+        lib.ct_zstd_compress_blocks_level.restype = ctypes.c_longlong
+        lib.ct_zstd_compress_blocks_level.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int]
+        lib._zjobd_proto = True
+    content = bytes(dict_.content)
+    n = len(data)
+    seg = content + data
+    cap = n + n // 8 + 4096
+    dst = ctypes.create_string_buffer(cap)
+    r = lib.ct_zstd_compress_blocks_level(seg, len(seg), len(content),
+                                          dst, cap, level)
+    if r < 0:
+        return None
+    window = max(n + len(content), 1024)
+    out = bytearray(F.write_frame_header(n, window, False, checksum,
+                                         dict_id=dict_.id))
+    out += dst.raw[:r]
+    out += (1).to_bytes(3, "little")  # empty raw last block carries `last`
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
 def compress(data, level: int = 2, checksum: bool = False,
              window_log: int | None = None, dict_=None) -> bytes:
     """Encode data as one zstd frame (reference: Encoder.EncodeAll).
@@ -379,6 +415,15 @@ def compress(data, level: int = 2, checksum: bool = False,
     # custom windows and as the differential oracle
     if level <= 4 and dict_ is None and window_log is None and n > 16:
         out = _native_compress(data, checksum, max(level, 1))
+        if out is not None:
+            return out
+    # dictionary frames also ride the native ladder: the dict content is
+    # the overlap prefix of the job entry, and the native first-3-plain
+    # rep invariant makes the dict's initial rep offsets irrelevant (our
+    # blocks also never reference dict entropy tables, which RFC 8878
+    # permits). Python Matcher remains the oracle below.
+    if level <= 4 and dict_ is not None and window_log is None and n > 16:
+        out = _native_compress_dict(data, checksum, max(level, 1), dict_)
         if out is not None:
             return out
     single = n <= (1 << 20) and dict_ is None

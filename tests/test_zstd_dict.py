@@ -54,6 +54,20 @@ def test_encode_with_dict_decoded_by_libzstd(trained_dict):
         assert Z.decompress(blob, dicts=[d]) == sample
 
 
+def test_encode_with_dict_all_levels(trained_dict):
+    """The native ladder handles dictionary frames at every level
+    (dict content as overlap prefix; libzstd must accept the frames)."""
+    d = load_dict(trained_dict)
+    zd = zstandard.ZstdCompressionDict(trained_dict)
+    dec = zstandard.ZstdDecompressor(dict_data=zd)
+    sample = _samples()[0] * 30  # > 16 bytes so the native path engages
+    for lvl in (1, 2, 3, 4):
+        blob = Z.compress(sample, level=lvl, dict_=d, checksum=True)
+        assert dec.decompress(blob, max_output_size=len(sample) + 16) == sample
+        assert Z.decompress(blob, dicts=[d]) == sample
+        assert len(blob) < len(Z.compress(sample, level=lvl))
+
+
 def test_dict_improves_ratio(trained_dict):
     d = load_dict(trained_dict)
     samples = _samples()[:50]
