@@ -39,6 +39,20 @@ def main():
     target = 16 << 20
     big = (data * (target // len(data) + 1))[:target]
 
+    # hardware-health calibration: a 2048^3 bf16 matmul runs ~0.05-0.3 ms
+    # on a healthy v5e; Mosaic kernel faults can leave the tunneled chip
+    # degraded by orders of magnitude for hours (measured 2026-08-17).
+    # If calib_matmul_ms is large, every number below understates the
+    # design by the same factor.
+    a = jnp.ones((2048, 2048), jnp.bfloat16)
+    mm = jax.jit(lambda a: a @ a)
+    mm(a).block_until_ready()
+    t = time.time()
+    for _ in range(10):
+        y = mm(a)
+    np.asarray(y.ravel()[0:1])
+    calib_ms = (time.time() - t) / 10 * 1e3
+
     # ---- S2 block encode ---------------------------------------------------
     nb = len(big) // lz.B
     arr = jnp.asarray(np.frombuffer(big, np.uint8).reshape(nb, lz.B))
@@ -113,6 +127,7 @@ def main():
         "zstd_l1_vs_baseline": round(z_gbps / 0.31847, 5),
         "zstd_l1_ratio": round(z_ratio, 4),
         "huff0_decode_device_gbps": round(hdec_gbps, 5),
+        "calib_matmul_ms": round(calib_ms, 3),
         "n_bytes": len(big),
     }))
     return 0
