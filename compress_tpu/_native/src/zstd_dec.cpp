@@ -57,6 +57,22 @@ static inline uint32_t br_read(BitRev* b, int nb) {
   return (uint32_t)((v >> shift) & ((1u << nb) - 1));
 }
 
+// take up to 57 bits [bitpos-total, bitpos) as one load; fields are then
+// extracted top-down with br_take. Returns false if not enough bits.
+static inline bool br_grab(BitRev* b, int total, uint64_t* win) {
+  if (b->bitpos < total) return false;
+  b->bitpos -= total;
+  uint64_t v;
+  memcpy(&v, b->p + (b->bitpos >> 3), 8);
+  *win = v >> (b->bitpos & 7);
+  return true;
+}
+
+static inline uint32_t win_take(uint64_t win, int* rem, int nb) {
+  *rem -= nb;
+  return (uint32_t)((win >> *rem) & ((1ull << nb) - 1));
+}
+
 // ---------------------------------------------------------------------------
 // FSE decode table
 // ---------------------------------------------------------------------------
@@ -318,6 +334,66 @@ static bool huf_decode_stream(const HufDT* ht, const uint8_t* p, long long n,
   return br.bitpos == 0;
 }
 
+// 4 interleaved streams: four independent bit chains give the CPU real
+// ILP (the role of the reference's decompress_amd64.s 4X loop). The
+// common phase decodes one symbol per stream per iteration with a
+// branch-light fast peek; each stream's tail (last few symbols, where
+// bitpos < max_bits) finishes on the scalar path above.
+static bool huf_decode_4streams(const HufDT* ht, const uint8_t* ps[4],
+                                const long long ns[4], uint8_t* outs[4],
+                                const long long lens[4]) {
+  int mb = ht->max_bits;
+  BitRev br[4];
+  long long common = 1 << 30;
+  for (int k = 0; k < 4; k++) {
+    if (!br_init(&br[k], ps[k], ns[k])) return false;
+    // symbols safely decodable with the fast peek: every peek needs
+    // bitpos >= mb; one symbol consumes <= mb bits, so after t symbols
+    // bitpos >= init - t*mb
+    long long safe = (br[k].bitpos - mb) / mb;
+    if (safe < 0) safe = 0;
+    if (safe > lens[k]) safe = lens[k];
+    if (safe < common) common = safe;
+  }
+  const uint8_t* sym = ht->sym;
+  const uint8_t* nbt = ht->nb;
+  uint32_t mask = (1u << mb) - 1;
+  long long i = 0;
+  for (; i < common; i++) {
+    for (int k = 0; k < 4; k++) {
+      long long bp = br[k].bitpos - mb;
+      uint64_t v;
+      memcpy(&v, br[k].p + (bp >> 3), 8);
+      uint32_t idx = (uint32_t)((v >> (bp & 7)) & mask);
+      outs[k][i] = sym[idx];
+      br[k].bitpos -= nbt[idx];
+    }
+  }
+  // tails: per stream, finish with the guarded scalar loop
+  for (int k = 0; k < 4; k++) {
+    for (long long j = i; j < lens[k]; j++) {
+      uint32_t idx;
+      if (br[k].bitpos >= mb) {
+        long long bp = br[k].bitpos - mb;
+        uint64_t v;
+        memcpy(&v, br[k].p + (bp >> 3), 8);
+        idx = (uint32_t)((v >> (bp & 7)) & mask);
+      } else {
+        if (br[k].bitpos <= 0) return false;
+        uint64_t v;
+        memcpy(&v, br[k].p, 8);
+        idx = (uint32_t)((v << (mb - br[k].bitpos)) & mask);
+      }
+      outs[k][j] = sym[idx];
+      int nb = nbt[idx];
+      if (nb > br[k].bitpos) nb = (int)br[k].bitpos;
+      br[k].bitpos -= nb;
+    }
+    if (br[k].bitpos != 0) return false;
+  }
+  return true;
+}
+
 // ---------------------------------------------------------------------------
 // sequence code tables
 // ---------------------------------------------------------------------------
@@ -509,14 +585,12 @@ long long ct_zstd_decode_block(void* sp, const uint8_t* src, long long n,
       long long last = regen - 3 * seg;
       if (last < 0) return E_CORRUPT;
       const uint8_t* q = lp + 6;
-      if (!huf_decode_stream(&s->huf, q, l1, s->lits, seg)) return E_CORRUPT;
-      if (!huf_decode_stream(&s->huf, q + l1, l2, s->lits + seg, seg))
-        return E_CORRUPT;
-      if (!huf_decode_stream(&s->huf, q + l1 + l2, l3, s->lits + 2 * seg, seg))
-        return E_CORRUPT;
-      if (!huf_decode_stream(&s->huf, q + l1 + l2 + l3, l4, s->lits + 3 * seg,
-                             last))
-        return E_CORRUPT;
+      const uint8_t* sp[4] = {q, q + l1, q + l1 + l2, q + l1 + l2 + l3};
+      const long long sn[4] = {l1, l2, l3, l4};
+      uint8_t* so[4] = {s->lits, s->lits + seg, s->lits + 2 * seg,
+                        s->lits + 3 * seg};
+      const long long sl[4] = {seg, seg, seg, last};
+      if (!huf_decode_4streams(&s->huf, sp, sn, so, sl)) return E_CORRUPT;
     }
     pos += comp;
   }
@@ -546,12 +620,34 @@ long long ct_zstd_decode_block(void* sp, const uint8_t* src, long long n,
   uint8_t modes = src[pos];
   pos++;
 
+  // predefined decode tables are constants: build once per process
+  // (3% of decode time was rebuilding them per block)
+  struct PreDTs {
+    FseDT ll, of, ml;
+    bool ok;
+    PreDTs() {
+      int16_t norm[256];
+      auto cp = [&](const int16_t* pre, int n) {
+        for (int i = 0; i < n; i++) norm[i] = pre[i];
+      };
+      cp(PRE_LL, 36);
+      ok = fse_build_dt(&ll, norm, 35, 6);
+      cp(PRE_OF, 29);
+      ok = ok && fse_build_dt(&of, norm, 28, 5);
+      cp(PRE_ML, 53);
+      ok = ok && fse_build_dt(&ml, norm, 52, 6);
+    }
+  };
+  static const PreDTs g_pre;
+
   auto setup = [&](FseDT* dt, int mode, const int16_t* pre, int pre_n,
                    int pre_log, int max_log) -> bool {
     if (mode == 0) {
-      int16_t norm[256];
-      for (int i = 0; i < pre_n; i++) norm[i] = pre[i];
-      return fse_build_dt(dt, norm, pre_n - 1, pre_log);
+      const FseDT* src_dt = pre == PRE_LL ? &g_pre.ll
+                            : pre == PRE_OF ? &g_pre.of : &g_pre.ml;
+      if (!g_pre.ok) return false;
+      memcpy(dt, src_dt, sizeof(FseDT));
+      return true;
     }
     if (mode == 1) {
       if (pos >= n) return false;
@@ -589,10 +685,26 @@ long long ct_zstd_decode_block(void* sp, const uint8_t* src, long long n,
     uint8_t ml_c = s->t_ml.sym[st_ml];
     uint8_t ll_c = s->t_ll.sym[st_ll];
     if (of_c > 31 || ml_c > 52 || ll_c > 35) return E_CORRUPT;
-    uint32_t of_val = of_c ? ((1u << of_c) + br_read(&br, of_c)) : 1;
-    uint32_t ml = ML_BASE[ml_c] + br_read(&br, ML_BITS[ml_c]);
-    uint32_t ll = LL_BASE[ll_c] + br_read(&br, LL_BITS[ll_c]);
-    if (!br.ok) return E_CORRUPT;
+    // one wide bit-grab for all three extra-bit fields (the common case;
+    // of+ml+ll extra bits <= 57 except huge offsets, which fall back)
+    int mlb = ML_BITS[ml_c], llb = LL_BITS[ll_c];
+    int tot = of_c + mlb + llb;
+    uint32_t of_x, ml_x, ll_x;
+    uint64_t w;
+    if (tot <= 57 && br_grab(&br, tot, &w)) {
+      int rem = tot;
+      of_x = win_take(w, &rem, of_c);
+      ml_x = win_take(w, &rem, mlb);
+      ll_x = win_take(w, &rem, llb);
+    } else {
+      of_x = br_read(&br, of_c);
+      ml_x = br_read(&br, mlb);
+      ll_x = br_read(&br, llb);
+      if (!br.ok) return E_CORRUPT;
+    }
+    uint32_t of_val = of_c ? ((1u << of_c) + of_x) : 1;
+    uint32_t ml = ML_BASE[ml_c] + ml_x;
+    uint32_t ll = LL_BASE[ll_c] + ll_x;
 
     // repeat-offset resolution
     uint32_t off;
@@ -624,11 +736,16 @@ long long ct_zstd_decode_block(void* sp, const uint8_t* src, long long n,
     }
 
     // FSE state updates happen before the copies on all but the last seq
+    // (one wide grab: ll+ml+of state bits <= 26)
     if (i < nseq - 1) {
-      st_ll = (s->t_ll.base[st_ll] + br_read(&br, s->t_ll.nb[st_ll])) & 511;
-      st_ml = (s->t_ml.base[st_ml] + br_read(&br, s->t_ml.nb[st_ml])) & 511;
-      st_of = (s->t_of.base[st_of] + br_read(&br, s->t_of.nb[st_of])) & 511;
-      if (!br.ok) return E_CORRUPT;
+      int nll = s->t_ll.nb[st_ll], nml = s->t_ml.nb[st_ml],
+          nof = s->t_of.nb[st_of];
+      uint64_t w2;
+      int rem = nll + nml + nof;
+      if (!br_grab(&br, rem, &w2)) return E_CORRUPT;
+      st_ll = (s->t_ll.base[st_ll] + win_take(w2, &rem, nll)) & 511;
+      st_ml = (s->t_ml.base[st_ml] + win_take(w2, &rem, nml)) & 511;
+      st_of = (s->t_of.base[st_of] + win_take(w2, &rem, nof)) & 511;
     }
 
     // literals copy
@@ -654,10 +771,17 @@ long long ct_zstd_decode_block(void* sp, const uint8_t* src, long long n,
         memcpy(dst + d, dst + srcpos, m);
         d += m;
       } else {
-        for (long long k = 0; k < m; k++) {
-          dst[d] = dst[d - off];
-          d++;
+        // overlapping copy: write one period byte-wise, then extend by
+        // self-doubling memcpys (log(m/off) wide copies, not m bytes)
+        long long have = 0;
+        for (; have < m && have < (long long)off; have++)
+          dst[d + have] = dst[d + have - off];
+        while (have < m) {
+          long long take = have < m - have ? have : m - have;
+          memcpy(dst + d + have, dst + d, take);
+          have += take;
         }
+        d += m;
       }
     }
   }
