@@ -69,7 +69,135 @@ def decompress(blob, max_size: int = 64 << 20) -> bytes:
     return sym.tobytes()
 
 
-__all__ = ["compress", "decompress", "IncompressibleError", "UseRLEError", "core"]
+def make_accel(containers, k: int | None = None):
+    """Decode-accelerator checkpoints for FSE containers (one host walk):
+    per chunk of k symbols, the (bitpos, state1, state2) entry point."""
+    from compress_tpu.ops.entropy import HUFF_CKPT_K
+
+    k = k or HUFF_CKPT_K
+    assert k % 2 == 0
+    rows = []
+    cmax = 1
+    for blob in containers:
+        if blob is None:
+            rows.append(None)
+            continue
+        blob = bytes(blob)
+        n, pos = read_uvarint(blob)
+        norm, tl, pos = core.read_ncount(blob, pos, max_symbol=255)
+        spread, nb, new_state = core.build_dtable(norm, tl)
+        br = core.BitReaderReverse(blob[pos:])
+        s1 = br.read(tl)
+        s2 = br.read(tl)
+        cks = [(br.bitpos, s1, s2)]
+        for i in range(n):
+            if i & 1:
+                if i < n - 2:
+                    s2 = int(new_state[s2]) + br.read(int(nb[s2]))
+            else:
+                if i < n - 2:
+                    s1 = int(new_state[s1]) + br.read(int(nb[s1]))
+            if (i + 1) % k == 0 and i + 1 < n:
+                cks.append((br.bitpos, s1, s2))
+        rows.append((tl, cks, n))
+        cmax = max(cmax, len(cks))
+    ckpt = np.zeros((len(containers), cmax, 3), np.int32)
+    logs = np.zeros(len(containers), np.int32)
+    for i, r in enumerate(rows):
+        if r is None:
+            continue
+        tl, cks, n = r
+        logs[i] = tl
+        for c, tup in enumerate(cks):
+            ckpt[i, c] = tup
+    return {"ckpt": ckpt, "k": k, "logs": logs}
+
+
+def decompress_batch(containers, accel=None, max_size: int = 64 << 20):
+    """Decode a batch of FSE containers; with `accel` the interleaved
+    state machine runs on device (ops/entropy_dec.fse_decode_chunks).
+    Host fallback without. None entries pass through."""
+    if accel is None:
+        return [None if c is None else decompress(c, max_size)
+                for c in containers]
+    import jax.numpy as jnp
+
+    from compress_tpu.ops import entropy_dec as ED
+
+    K = int(accel["k"])
+    ckpt = np.asarray(accel["ckpt"])
+    logs = np.asarray(accel["logs"])
+    N = len(containers)
+    metas = []
+    cmax = 1
+    for i, blob in enumerate(containers):
+        if blob is None or int(logs[i]) != 9:
+            metas.append(None)  # device path is specialized to log 9
+            continue
+        blob = bytes(blob)
+        n, pos = read_uvarint(blob)
+        if n > max_size:
+            raise ValueError("decoded size exceeds limit")
+        norm, tl, pos = core.read_ncount(blob, pos, max_symbol=255)
+        spread, nb, new_state = core.build_dtable(norm, tl)
+        table = ED.expand_fse_table(spread, nb, new_state)
+        stream = blob[pos:]
+        nch = -(-n // K)
+        w, lb = ED.build_windows(stream, ckpt[i, :, 0].copy(), nch)
+        st1 = ckpt[i, :nch, 1].astype(np.int32)
+        st2 = ckpt[i, :nch, 2].astype(np.int32)
+        npair = np.clip(n - K * np.arange(nch), 0, K) // 2
+        # reload cutoffs: symbol 2m (state1) reloads while 2m < n-2,
+        # symbol 2m+1 (state2) while 2m+1 < n-2; pair index local to
+        # the chunk
+        base = K * np.arange(nch)
+        lim1 = np.clip(((n - 2 + 1) // 2) - base // 2, 0, K // 2)
+        lim2 = np.clip(((n - 2) // 2) - base // 2, 0, K // 2)
+        metas.append((n, table, w, lb, st1, st2,
+                      npair.astype(np.int32), lim1.astype(np.int32),
+                      lim2.astype(np.int32)))
+        cmax = max(cmax, nch)
+    windows = np.zeros((N, cmax, ED.WIN), np.uint8)
+    lbit = np.full((N, cmax), 8 * ED.WIN, np.int32)
+    st1 = np.zeros((N, cmax), np.int32)
+    st2 = np.zeros((N, cmax), np.int32)
+    npair = np.zeros((N, cmax), np.int32)
+    nore1 = np.zeros((N, cmax), np.int32)
+    nore2 = np.zeros((N, cmax), np.int32)
+    tables = np.zeros((N, 16, 96), np.float32)
+    for i, m in enumerate(metas):
+        if m is None:
+            continue
+        _, table, w, lb, s1, s2, np_, l1, l2 = m
+        nc = len(lb)
+        tables[i] = table
+        windows[i, :nc] = w
+        lbit[i, :nc] = lb
+        st1[i, :nc] = s1
+        st2[i, :nc] = s2
+        npair[i, :nc] = np_
+        nore1[i, :nc] = l1
+        nore2[i, :nc] = l2
+    syms, endl = ED.fse_decode_chunks(
+        jnp.asarray(windows), jnp.asarray(lbit), jnp.asarray(st1),
+        jnp.asarray(st2), jnp.asarray(npair), jnp.asarray(nore1),
+        jnp.asarray(nore2), jnp.asarray(tables), k=K)
+    syms = np.asarray(syms, np.int32)
+    out = []
+    for i, m in enumerate(metas):
+        if m is None:
+            blob = containers[i]
+            out.append(None if blob is None else decompress(blob, max_size))
+            continue
+        n = m[0]
+        nc = len(m[3])
+        s = syms[i, :nc].reshape(-1)[:n]
+        out.append(s.astype(np.uint8).tobytes())
+    return out
+
+
+__all__ = ["compress", "decompress", "decompress_batch", "make_accel",
+           "IncompressibleError", "UseRLEError", "core"]
 
 
 def compress_batch(blocks, table_log: int = 9) -> list:

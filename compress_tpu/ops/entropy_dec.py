@@ -103,6 +103,101 @@ def huff0_decode_chunks(windows, lbit, nsym, tables, k: int = HUFF_CKPT_K):
     return jnp.moveaxis(syms, 0, -1), lbit_end
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def fse_decode_chunks(windows, lbit, st1, st2, npair, nore1, nore2,
+                      tables, k: int = HUFF_CKPT_K):
+    """Chunked 2-state interleaved FSE decode (fse/compress.go role).
+
+    windows/lbit as in huff0_decode_chunks; st1/st2 (N, C) int32 entry
+    states; npair (N, C) pairs to emit (<= k//2); nore1/nore2 (N, C)
+    pair index AFTER which state 1/2 stops reloading (the encoder's
+    final emissions carry no transition); tables (N, 16, 96) float32 —
+    512-state dtable as [hi4][lo5] with three 32-wide planes per row:
+    spread symbol, new_state & 255, (new_state>>8)*16 + nb."""
+    N, C, _ = windows.shape
+    w32 = windows.astype(jnp.int32)
+    hw = w32[:, :, 0::2] | (w32[:, :, 1::2] << 8)
+    hwf = jnp.moveaxis(hw.astype(jnp.float32), 1, 2)   # (N, NHW, C)
+    hwi = jax.lax.broadcasted_iota(jnp.int32, (1, NHW, 1), 1)
+    tb = tables.astype(jnp.bfloat16)                    # exact: <= 255
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+
+    def pow2f(e):
+        return jax.lax.bitcast_convert_type((e + 127) << 23, jnp.float32)
+
+    def fmod(x, m: float):
+        return x - jnp.floor(x * (1.0 / m)) * m
+
+    def lookup(s):
+        hi = s >> 5
+        lo = s & 31
+        ohh = (hi_iota == hi[:, None, :]).astype(jnp.bfloat16)  # (N,16,C)
+        rows = jnp.einsum("nhc,nhl->nlc", ohh, tb,
+                          preferred_element_type=jnp.float32)   # (N,96,C)
+        pick = lo_iota == lo[:, None, :]
+        sym = jnp.sum(jnp.where(pick, rows[:, :32], 0.0), axis=1)
+        nlo = jnp.sum(jnp.where(pick, rows[:, 32:64], 0.0), axis=1)
+        p3 = jnp.sum(jnp.where(pick, rows[:, 64:], 0.0), axis=1)
+        nb = fmod(p3, 16.0)
+        ns = nlo + jnp.floor(p3 * (1.0 / 16.0)) * 256.0
+        return sym.astype(jnp.int32), nb.astype(jnp.int32), ns
+
+    def read9(lbp):
+        """9-bit window [lbp-9, lbp), zero-padded below bit 0."""
+        bp = lbp - 9
+        bpc = jnp.maximum(bp, 0)
+        hsel = bpc >> 4
+        h0 = jnp.sum(jnp.where(hwi == hsel[:, None, :], hwf, 0.0), axis=1)
+        h1 = jnp.sum(jnp.where(
+            hwi == jnp.minimum(hsel + 1, NHW - 1)[:, None, :], hwf, 0.0),
+            axis=1)
+        s = bpc & 15
+        part0 = jnp.floor(h0 * pow2f(-s))
+        h1cut = h1 - jnp.floor(h1 * pow2f(5 - s)) * pow2f(s - 5)
+        # 9-bit value: bits [s, s+9) of the two halfwords
+        v = jnp.where(s > 7, part0 + h1cut * pow2f(16 - s),
+                      fmod(part0, 512.0))
+        v = fmod(v * pow2f(bpc - bp), 512.0)
+        return v
+
+    def step(carry, j):
+        lbp, s1, s2 = carry
+        sym1, nb1, ns1 = lookup(s1)
+        sym2, nb2, ns2 = lookup(s2)
+        act = j < npair
+        re1 = act & (j < nore1)
+        w1 = read9(lbp)
+        v1 = jnp.floor(w1 * pow2f(nb1 - 9))   # top nb1 bits of the window
+        s1n = (ns1 + v1).astype(jnp.int32)
+        s1 = jnp.where(re1, s1n, s1)
+        lbp = jnp.where(re1, lbp - nb1, lbp)
+        re2 = act & (j < nore2)
+        w2 = read9(lbp)
+        v2 = jnp.floor(w2 * pow2f(nb2 - 9))
+        s2n = (ns2 + v2).astype(jnp.int32)
+        s2 = jnp.where(re2, s2n, s2)
+        lbp = jnp.where(re2, lbp - nb2, lbp)
+        pair = jnp.stack([jnp.where(act, sym1, 0),
+                          jnp.where(act, sym2, 0)], axis=-1)
+        return (lbp, s1, s2), pair
+
+    (lbit_end, _, _), pairs = jax.lax.scan(
+        step, (lbit, st1, st2), jnp.arange(k // 2, dtype=jnp.int32))
+    # pairs: (k//2, N, C, 2) -> (N, C, k)
+    syms = jnp.moveaxis(pairs, 0, 2).reshape(N, C, k)
+    return syms, lbit_end
+
+
+def expand_fse_table(spread, nb, new_state):
+    """Host: 512-state dtable -> packed (16, 96) f32 planes."""
+    t = np.zeros((16, 96), np.float32)
+    t[:, :32] = spread.reshape(16, 32)
+    t[:, 32:64] = (new_state & 255).reshape(16, 32)
+    t[:, 64:] = ((new_state >> 8) * 16 + nb).reshape(16, 32)
+    return t
+
+
 def expand_table(sym_t, nb_t, max_bits: int):
     """Host: expand a 2^max_bits dtable to the packed (64, 32) f32 form."""
     shift = 11 - max_bits

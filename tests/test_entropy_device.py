@@ -89,6 +89,43 @@ def test_huff0_device_decode_detects_corruption():
         pass
 
 
+def test_fse_device_decode_bit_exact(corpus):
+    """Chunked 2-state FSE decode on device == host decoder."""
+    arr, blocks = corpus
+    outs = fse.compress_batch(arr)
+    accel = fse.make_accel(outs)
+    got = fse.decompress_batch(outs, accel=accel)
+    host = fse.decompress_batch(outs)
+    for g, h, blob, orig in zip(got, host, outs, blocks):
+        if blob is None:
+            assert g is None and h is None
+            continue
+        assert g == h == orig
+
+
+@pytest.mark.parametrize("n", [300, 1001, 4096])
+def test_fse_device_decode_sizes(n):
+    tw = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+              "rb").read()
+    conts = [fse.compress(tw[i * n : (i + 1) * n], table_log=9)
+             for i in range(3)]
+    accel = fse.make_accel(conts)
+    got = fse.decompress_batch(conts, accel=accel)
+    for i, c in enumerate(conts):
+        if c is not None:
+            assert got[i] == tw[i * n : (i + 1) * n], (n, i)
+
+
+def test_fse_device_decode_foreign_log_falls_back():
+    """Non-9 table logs use the host decoder transparently."""
+    tw = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+              "rb").read()
+    c = fse.compress(tw[:3000], table_log=11)
+    accel = fse.make_accel([c])
+    got = fse.decompress_batch([c], accel=accel)
+    assert got[0] == fse.decompress(c)
+
+
 def test_fse_batch_roundtrip(corpus):
     arr, blocks = corpus
     outs = fse.compress_batch(arr)
