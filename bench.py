@@ -52,6 +52,11 @@ def main():
         y = mm(a)
     np.asarray(y.ravel()[0:1])
     calib_ms = (time.time() - t) / 10 * 1e3
+    if calib_ms > 50:
+        # chip/tunnel degraded: shrink the working set so the bench still
+        # completes; throughputs will understate by the degradation factor
+        target = 2 << 20
+        big = big[:target]
 
     # ---- S2 block encode ---------------------------------------------------
     nb = len(big) // lz.B
