@@ -189,6 +189,141 @@ def fse_decode_chunks(windows, lbit, st1, st2, npair, nore1, nore2,
     return syms, lbit_end
 
 
+ZWIN = 96          # sequence-chunk window bytes (8 seqs x <=81 bits + slack)
+ZNHW = ZWIN // 2
+ZSEQ_K = 8         # sequences per checkpoint chunk
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def zseq_decode_chunks(windows, lbit, sll, sof, sml, nseq, nore,
+                       tll, tof, tml, k: int = ZSEQ_K):
+    """Chunked zstd sequence decode — 3 interleaved FSE states
+    (zstd/seqdec_amd64.s entropy role; offsets stay in of_value form,
+    repeat resolution happens at execution like the host decoder).
+
+    windows (N, C, ZWIN) uint8; lbit/sll/sof/sml (N, C) int32 entry
+    points; nseq (N, C) sequences in the chunk; nore (N, C) local index
+    after which states stop reloading (last sequence of the block).
+    t* tables (N, 16, 192) float32: 512-state planes [code, ns&255,
+    (ns>>8)*16+nb_state, extra_bits, base&255, base>>8] (base>>8 <= 256,
+    bf16-exact). Offset codes must be <= 23 (caller gates; keeps the
+    f32 window extraction exact).
+    Returns (ll, ml, ofv) each (N, C, k) int32, plus end lbit."""
+    N, C, _ = windows.shape
+    w32 = windows.astype(jnp.int32)
+    hw = w32[:, :, 0::2] | (w32[:, :, 1::2] << 8)
+    hwf = jnp.moveaxis(hw.astype(jnp.float32), 1, 2)   # (N, ZNHW, C)
+    hwi = jax.lax.broadcasted_iota(jnp.int32, (1, ZNHW, 1), 1)
+    hi_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
+    lo_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 32, 1), 1)
+    tls = [t.astype(jnp.bfloat16) for t in (tll, tof, tml)]
+
+    def pow2f(e):
+        return jax.lax.bitcast_convert_type((e + 127) << 23, jnp.float32)
+
+    def fmod_pow(x, e):
+        """x mod 2^e for array exponent e >= 0 (exact f32)."""
+        return x - jnp.floor(x * pow2f(-e)) * pow2f(e)
+
+    def lookup(tb, s):
+        hi = s >> 5
+        lo = s & 31
+        ohh = (hi_iota == hi[:, None, :]).astype(jnp.bfloat16)
+        rows = jnp.einsum("nhc,nhl->nlc", ohh, tb,
+                          preferred_element_type=jnp.float32)  # (N,192,C)
+        pick = lo_iota == lo[:, None, :]
+
+        def pl(j):
+            return jnp.sum(jnp.where(pick, rows[:, 32 * j : 32 * (j + 1)],
+                                     0.0), axis=1)
+
+        code = pl(0)
+        ns = pl(1) + jnp.floor(pl(2) * (1.0 / 16.0)) * 256.0
+        nbs = pl(2) - jnp.floor(pl(2) * (1.0 / 16.0)) * 16.0
+        xbits = pl(3)
+        base = pl(4) + pl(5) * 256.0
+        return code, ns, nbs, xbits, base
+
+    def hsel3(bpc):
+        h = bpc >> 4
+        h0 = jnp.sum(jnp.where(hwi == h[:, None, :], hwf, 0.0), axis=1)
+        h1 = jnp.sum(jnp.where(
+            hwi == jnp.minimum(h + 1, ZNHW - 1)[:, None, :], hwf, 0.0),
+            axis=1)
+        h2 = jnp.sum(jnp.where(
+            hwi == jnp.minimum(h + 2, ZNHW - 1)[:, None, :], hwf, 0.0),
+            axis=1)
+        return h0, h1, h2
+
+    def read_n(lbp, nbf):
+        """bits [lbp-nb, lbp) as f32 value (nb <= 24, f32-exact)."""
+        bp = lbp - 24
+        bpc = jnp.maximum(bp, 0)
+        h0, h1, h2 = hsel3(bpc)
+        s = bpc & 15
+        part0 = jnp.floor(h0 * pow2f(-s))
+        h1cut = jnp.where(s < 8, fmod_pow(h1, s + 8), h1)
+        v = part0 + h1cut * pow2f(16 - s)
+        h2cut = fmod_pow(h2, jnp.maximum(s - 8, 0))
+        v = v + jnp.where(s > 8, h2cut * pow2f(32 - s), 0.0)
+        # zero-pad shift: mask BEFORE shifting so the product stays < 2^24
+        # (v itself can hold 24 bits; v*2^d would exceed f32 exactness)
+        d = bpc - bp
+        v = fmod_pow(v, 24 - d) * pow2f(d)
+        nb = nbf.astype(jnp.int32)
+        return jnp.floor(v * pow2f(nb - 24)), nb
+
+    def step(carry, j):
+        lbp, s1, s2, s3 = carry            # ll, of, ml states
+        llc, ns1, nb1, llb, llbase = lookup(tls[0], s1)
+        ofc, ns2, nb2, ofb, _ = lookup(tls[1], s2)
+        mlc, ns3, nb3, mlb, mlbase = lookup(tls[2], s3)
+        act = j < nseq
+        # extras: of, then ml, then ll (host order)
+        vof, nof = read_n(lbp, ofb)
+        lbp = jnp.where(act, lbp - nof, lbp)
+        vml, nml = read_n(lbp, mlb)
+        lbp = jnp.where(act, lbp - nml, lbp)
+        vll, nll = read_n(lbp, llb)
+        lbp = jnp.where(act, lbp - nll, lbp)
+        ofci = ofc.astype(jnp.int32)
+        of_val = (pow2f(ofci).astype(jnp.int32)
+                  + vof.astype(jnp.int32))          # of_c==0 -> 1 + 0
+        ml = (mlbase + vml).astype(jnp.int32)
+        ll = (llbase + vll).astype(jnp.int32)
+        # state reloads: ll, ml, of (host order), all but the last seq
+        rel = act & (j < nore)
+        v1, n1 = read_n(lbp, jnp.where(rel, nb1, 0.0))
+        s1 = jnp.where(rel, (ns1 + v1).astype(jnp.int32), s1)
+        lbp = jnp.where(rel, lbp - n1, lbp)
+        v3, n3 = read_n(lbp, jnp.where(rel, nb3, 0.0))
+        s3 = jnp.where(rel, (ns3 + v3).astype(jnp.int32), s3)
+        lbp = jnp.where(rel, lbp - n3, lbp)
+        v2, n2 = read_n(lbp, jnp.where(rel, nb2, 0.0))
+        s2 = jnp.where(rel, (ns2 + v2).astype(jnp.int32), s2)
+        lbp = jnp.where(rel, lbp - n2, lbp)
+        out = jnp.stack([jnp.where(act, ll, 0), jnp.where(act, ml, 0),
+                         jnp.where(act, of_val, 0)], axis=-1)
+        return (lbp, s1, s2, s3), out
+
+    (lbit_end, _, _, _), seqs = jax.lax.scan(
+        step, (lbit, sll, sof, sml), jnp.arange(k, dtype=jnp.int32))
+    seqs = jnp.moveaxis(seqs, 0, 2)          # (N, C, k, 3)
+    return (seqs[..., 0], seqs[..., 1], seqs[..., 2]), lbit_end
+
+
+def expand_zseq_table(spread, nb, new_state, xbits, base):
+    """Host: 512-state seq dtable -> packed (16, 192) f32 planes."""
+    t = np.zeros((16, 192), np.float32)
+    t[:, :32] = spread.reshape(16, 32)
+    t[:, 32:64] = (new_state & 255).reshape(16, 32)
+    t[:, 64:96] = ((new_state >> 8) * 16 + nb).reshape(16, 32)
+    t[:, 96:128] = xbits.reshape(16, 32)
+    t[:, 128:160] = (base & 255).reshape(16, 32)
+    t[:, 160:192] = (base >> 8).reshape(16, 32)
+    return t
+
+
 def expand_fse_table(spread, nb, new_state):
     """Host: 512-state dtable -> packed (16, 96) f32 planes."""
     t = np.zeros((16, 96), np.float32)
@@ -207,18 +342,19 @@ def expand_table(sym_t, nb_t, max_bits: int):
     return packed.reshape(64, 32)
 
 
-def build_windows(stream: bytes, ckpt: np.ndarray, nchunks: int):
-    """Host: per-chunk 52-byte windows + window-local bit offsets.
+def build_windows(stream: bytes, ckpt: np.ndarray, nchunks: int,
+                  win: int = WIN):
+    """Host: per-chunk byte windows + window-local bit offsets.
 
     ckpt[c] = remaining-bit offset at the start of chunk c (descending).
-    Returns (windows (nchunks, WIN) uint8, lbit (nchunks,) int32)."""
+    Returns (windows (nchunks, win) uint8, lbit (nchunks,) int32)."""
     ck = ckpt[:nchunks].astype(np.int64)
     wtop = (np.maximum(ck, 1) - 1) >> 3           # byte holding top bit
-    wlo = wtop - (WIN - 1)
+    wlo = wtop - (win - 1)
     buf = np.frombuffer(stream, np.uint8)
-    pad = np.zeros(WIN, np.uint8)
+    pad = np.zeros(win, np.uint8)
     padded = np.concatenate([pad, buf])
-    idx = wlo[:, None] + np.arange(WIN)[None, :] + WIN
+    idx = wlo[:, None] + np.arange(win)[None, :] + win
     windows = padded[np.clip(idx, 0, len(padded) - 1)]
     windows[idx >= len(padded)] = 0
     lbit = (ck - 8 * wlo).astype(np.int32)

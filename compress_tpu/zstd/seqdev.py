@@ -1,0 +1,164 @@
+"""Device zstd sequence decoding — host glue for ops/entropy_dec.py's
+zseq_decode_chunks (the seqdec_amd64.s entropy role).
+
+The sequences section of each block parses on host (headers + FSE table
+construction are byte work); the per-sequence bit-chain — the hot loop —
+runs on device as one chunked scan over every chunk of every block at
+once. Checkpoints (states + bit offset every ZSEQ_K sequences) come
+from one host walk (`seq_accel`); the device encoder emitting them into
+a skippable side-channel frame is the round-3 step (they are exactly
+the tensors ops/zdev.py already computes).
+
+Outputs match zstd/seqs.py decode_sequences bit-exactly: (ll, ml,
+of_value) triples with repeat resolution left to execution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from compress_tpu.fse import core as fse_core
+from compress_tpu.zstd import seqs as S
+
+
+def _dtable_planes(tab: S.STable):
+    """Expand an STable to padded 512-state packed planes + gate info."""
+    from compress_tpu.ops import entropy_dec as ED
+
+    size = 1 << tab.log
+    spread = np.zeros(512, np.int64)
+    nb = np.zeros(512, np.int64)
+    ns = np.zeros(512, np.int64)
+    spread[:size] = tab.spread
+    nb[:size] = tab.nb
+    ns[:size] = tab.new_state
+    return spread, nb, ns
+
+
+def _code_tables(which: str):
+    if which == "ll":
+        return S.LL_BASELINE.astype(np.int64), S.LL_BITS.astype(np.int64)
+    if which == "ml":
+        return S.ML_BASELINE.astype(np.int64), S.ML_BITS.astype(np.int64)
+    # of: baseline = 0 (value = 2^code + extra), extra bits = code
+    codes = np.arange(32, dtype=np.int64)
+    return np.zeros(32, np.int64), codes
+
+
+def pack_table(tab: S.STable, which: str):
+    from compress_tpu.ops import entropy_dec as ED
+
+    spread, nb, ns = _dtable_planes(tab)
+    base_t, bits_t = _code_tables(which)
+    xbits = bits_t[np.clip(spread, 0, len(bits_t) - 1)]
+    base = base_t[np.clip(spread, 0, len(base_t) - 1)]
+    return ED.expand_zseq_table(spread, nb, ns, xbits, base)
+
+
+def seq_accel(stream: bytes, n_seqs: int, t_ll: S.STable, t_of: S.STable,
+              t_ml: S.STable, k: int | None = None):
+    """One host walk recording (bitpos, s_ll, s_of, s_ml) every k seqs."""
+    from compress_tpu.ops.entropy_dec import ZSEQ_K
+
+    k = k or ZSEQ_K
+    br = fse_core.BitReaderReverse(stream)
+    s_ll = br.read(t_ll.log)
+    s_of = br.read(t_of.log)
+    s_ml = br.read(t_ml.log)
+    cks = [(br.bitpos, s_ll, s_of, s_ml)]
+    for i in range(n_seqs):
+        of_c = int(t_of.spread[s_of])
+        ml_c = int(t_ml.spread[s_ml])
+        ll_c = int(t_ll.spread[s_ll])
+        br.read(of_c)
+        br.read(int(S.ML_BITS[ml_c]))
+        br.read(int(S.LL_BITS[ll_c]))
+        if i < n_seqs - 1:
+            s_ll = int(t_ll.new_state[s_ll]) + br.read(int(t_ll.nb[s_ll]))
+            s_ml = int(t_ml.new_state[s_ml]) + br.read(int(t_ml.nb[s_ml]))
+            s_of = int(t_of.new_state[s_of]) + br.read(int(t_of.nb[s_of]))
+        if (i + 1) % k == 0 and i + 1 < n_seqs:
+            cks.append((br.bitpos, s_ll, s_of, s_ml))
+    return cks
+
+
+def decode_sequences_device(items, k: int | None = None):
+    """Batched device decode of sequence sections.
+
+    items: list of (stream_bytes, n_seqs, t_ll, t_of, t_ml). Returns a
+    list of (lls, mls, ofvals) int64 arrays (matching
+    seqs.decode_sequences). Blocks whose offset codes can exceed 23
+    (window > 8 MiB) fall back to the host loop."""
+    import jax.numpy as jnp
+
+    from compress_tpu.ops import entropy_dec as ED
+
+    k = k or ED.ZSEQ_K
+    metas = []
+    cmax = 1
+    for it in items:
+        stream, n_seqs, t_ll, t_of, t_ml = it
+        max_of = int(np.max(t_of.spread[: 1 << t_of.log]))
+        if max_of > 23 or n_seqs == 0:
+            metas.append(("host", it))
+            continue
+        cks = seq_accel(stream, n_seqs, t_ll, t_of, t_ml, k)
+        nch = len(cks)
+        bits = np.array([c[0] for c in cks], np.int64)
+        w, lb = ED.build_windows(stream, bits, nch, win=ED.ZWIN)
+        sll = np.array([c[1] for c in cks], np.int32)
+        sof = np.array([c[2] for c in cks], np.int32)
+        sml = np.array([c[3] for c in cks], np.int32)
+        nsq = np.clip(n_seqs - k * np.arange(nch), 0, k).astype(np.int32)
+        # reloads stop at the last sequence of the BLOCK
+        nore = np.clip((n_seqs - 1) - k * np.arange(nch), 0, k
+                       ).astype(np.int32)
+        tabs = (pack_table(t_ll, "ll"), pack_table(t_of, "of"),
+                pack_table(t_ml, "ml"))
+        metas.append(("dev", (n_seqs, w, lb, sll, sof, sml, nsq, nore,
+                              tabs)))
+        cmax = max(cmax, nch)
+    N = len(items)
+    windows = np.zeros((N, cmax, ED.ZWIN), np.uint8)
+    lbit = np.full((N, cmax), 8 * ED.ZWIN, np.int32)
+    sll = np.zeros((N, cmax), np.int32)
+    sof = np.zeros((N, cmax), np.int32)
+    sml = np.zeros((N, cmax), np.int32)
+    nseq = np.zeros((N, cmax), np.int32)
+    nore = np.zeros((N, cmax), np.int32)
+    tll = np.zeros((N, 16, 192), np.float32)
+    tof = np.zeros((N, 16, 192), np.float32)
+    tml = np.zeros((N, 16, 192), np.float32)
+    for i, (kind, m) in enumerate(metas):
+        if kind != "dev":
+            continue
+        _, w, lb, s1, s2, s3, nsq, nr, tabs = m
+        nc = len(lb)
+        windows[i, :nc] = w
+        lbit[i, :nc] = lb
+        sll[i, :nc] = s1
+        sof[i, :nc] = s2
+        sml[i, :nc] = s3
+        nseq[i, :nc] = nsq
+        nore[i, :nc] = nr
+        tll[i], tof[i], tml[i] = tabs
+    (ll, ml, ofv), endl = ED.zseq_decode_chunks(
+        jnp.asarray(windows), jnp.asarray(lbit), jnp.asarray(sll),
+        jnp.asarray(sof), jnp.asarray(sml), jnp.asarray(nseq),
+        jnp.asarray(nore), jnp.asarray(tll), jnp.asarray(tof),
+        jnp.asarray(tml), k=k)
+    ll = np.asarray(ll, np.int64)
+    ml = np.asarray(ml, np.int64)
+    ofv = np.asarray(ofv, np.int64)
+    out = []
+    for i, (kind, m) in enumerate(metas):
+        if kind == "host":
+            stream, n_seqs, t_ll, t_of, t_ml = m
+            out.append(S.decode_sequences(stream, n_seqs, t_ll, t_of, t_ml))
+            continue
+        n_seqs = m[0]
+        nc = len(m[2])
+        out.append((ll[i, :nc].reshape(-1)[:n_seqs],
+                    ml[i, :nc].reshape(-1)[:n_seqs],
+                    ofv[i, :nc].reshape(-1)[:n_seqs]))
+    return out
