@@ -1,0 +1,291 @@
+"""End-to-end device decode of small zstd frames (batched).
+
+`decompress_frames_device(frames)` decodes a batch of single-block
+frames (content <= 64 KiB — self-contained blocks, the batched
+small-object decode use case) with every heavy stage on device:
+
+  1. literals — huff0 4X chunked scan (ops/entropy_dec.huff0_decode_chunks),
+  2. sequences — 3-state FSE chunked scan (zseq_decode_chunks),
+  3. LZ execute — the arena kernel (ops/execute.execute_rounds).
+
+The host choreographs: byte-level section parsing, checkpoint walks
+(`make_accel`-style; the device encoder emitting these into a skippable
+side-channel frame is the planned next step — they are exactly the
+tensors ops/zdev.py already computes), repeat-offset resolution and the
+execute plan. Frames that fall outside the supported shape (multi-block,
+1X/treeless literals, offset codes > 23) fall back to the host decoder
+per frame — same contract as the reference's asm/no-asm split.
+
+Validated bit-exactly against zstd.decompress (and upstream libzstd
+frames in tests) in tests/test_zstd_device_dec.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from compress_tpu import huff0
+from compress_tpu.zstd import block as B
+from compress_tpu.zstd import seqdev
+from compress_tpu.zstd import seqs as S
+from compress_tpu.zstd.frame import parse_frame_header
+
+
+def _parse_single_block(frame: bytes):
+    h = parse_frame_header(frame)
+    pos = h.header_size
+    bh = int.from_bytes(frame[pos : pos + 3], "little")
+    pos += 3
+    last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+    if not last or btype != B.BLOCK_COMPRESSED:
+        return None
+    body = frame[pos : pos + bsize]
+    return body
+
+
+def _parse_4x_literals(body: bytes):
+    """Parse a compressed-4X literal section; returns (regen, streams,
+    huff table arrays, new_pos) or None for other literal shapes."""
+    b0 = body[0]
+    lit_type = b0 & 3
+    size_format = (b0 >> 2) & 3
+    if lit_type != B.LIT_COMPRESSED or size_format == 0:
+        return None
+    pos = 0
+    if size_format == 1:
+        v = int.from_bytes(body[:3], "little")
+        regen = (v >> 4) & 0x3FF
+        comp = v >> 14
+        pos = 3
+    elif size_format == 2:
+        v = int.from_bytes(body[:4], "little")
+        regen = (v >> 4) & 0x3FFF
+        comp = v >> 18
+        pos = 4
+    else:
+        v = int.from_bytes(body[:5], "little")
+        regen = (v >> 4) & 0x3FFFF
+        comp = v >> 22
+        pos = 5
+    sec = body[pos : pos + comp]
+    sym_t, nb_t, max_bits, tpos = huff0.read_table(sec, 0)
+    sizes = [int.from_bytes(sec[tpos + 2 * k : tpos + 2 * k + 2], "little")
+             for k in range(3)]
+    sp = tpos + 6
+    seg = (regen + 3) // 4
+    lens = [seg, seg, seg, regen - 3 * seg]
+    streams = []
+    for q in range(4):
+        size = sizes[q] if q < 3 else comp - sp
+        streams.append(sec[sp : sp + size])
+        sp += size
+    return regen, lens, streams, (sym_t, nb_t, max_bits), pos + comp
+
+
+def _resolve_reps(lls, mls, ofvals):
+    """Repeat-offset resolution (host; trivial per-seq loop)."""
+    r1, r2, r3 = 1, 4, 8
+    offs = np.zeros(len(lls), np.int64)
+    for i in range(len(lls)):
+        ofv = int(ofvals[i])
+        if ofv > 3:
+            off = ofv - 3
+            r1, r2, r3 = off, r1, r2
+        else:
+            if int(lls[i]) == 0:
+                ofv += 1
+            if ofv == 1:
+                off = r1
+            elif ofv == 2:
+                off = r2
+                r1, r2 = r2, r1
+            elif ofv == 3:
+                off = r3
+                r1, r2, r3 = r3, r1, r2
+            else:
+                off = r1 - 1
+                r1, r2, r3 = off, r1, r2
+        offs[i] = off
+    return offs
+
+
+def decompress_frames_device(frames, max_rounds: int = 4):
+    """Batched device decode; returns list of bytes. See module doc."""
+    import jax.numpy as jnp
+
+    from compress_tpu import zstd as Z
+    from compress_tpu.ops import entropy_dec as ED
+    from compress_tpu.ops import execute as X
+
+    metas = []
+    hconts = []      # huff0-like pseudo containers for the literal stage
+    for frame in frames:
+        frame = bytes(frame)
+        body = _parse_single_block(frame)
+        if body is None:
+            metas.append(("host", frame))
+            continue
+        lit = _parse_4x_literals(body)
+        if lit is None:
+            metas.append(("host", frame))
+            continue
+        regen, lens, streams, table, spos = lit
+        # sequences section
+        try:
+            hist = B.History(window_size=1 << 16)
+            n_seqs, q = 0, spos
+            b0 = body[q]
+            q += 1
+            if b0 == 0:
+                metas.append(("host", frame))
+                continue
+            if b0 < 128:
+                n_seqs = b0
+            elif b0 < 255:
+                n_seqs = ((b0 - 128) << 8) + body[q]
+                q += 1
+            else:
+                n_seqs = int.from_bytes(body[q : q + 2], "little") + 0x7F00
+                q += 2
+            modes = body[q]
+            q += 1
+            t_ll, q = B._read_table(body, q, (modes >> 6) & 3, "ll", hist,
+                                    None)
+            t_of, q = B._read_table(body, q, (modes >> 4) & 3, "of", hist,
+                                    None)
+            t_ml, q = B._read_table(body, q, (modes >> 2) & 3, "ml", hist,
+                                    None)
+            stream = body[q:]
+        except (B.BlockError, ValueError):
+            metas.append(("host", frame))
+            continue
+        metas.append(("dev", (regen, lens, streams, table,
+                              (stream, n_seqs, t_ll, t_of, t_ml))))
+
+    # ---- literals on device (batched huff0 scan) --------------------------
+    lit_decoded = [None] * len(metas)
+    dev_idx = [i for i, (k, _) in enumerate(metas) if k == "dev"]
+    if dev_idx:
+        K = 32
+        all_w, all_lb, all_ns = [], [], []
+        per_frame_chunks = []
+        tables = []
+        for i in dev_idx:
+            regen, lens, streams, (sym_t, nb_t, max_bits), _seq = metas[i][1]
+            tables.append(ED.expand_table(sym_t, nb_t, max_bits))
+            wq, lq, nsq = [], [], []
+            for q in range(4):
+                cks = _hwalk(streams[q], sym_t, nb_t, max_bits, lens[q], K)
+                nch = len(cks)
+                w, lb = ED.build_windows(streams[q],
+                                         np.array(cks, np.int64), nch)
+                ns = np.clip(lens[q] - K * np.arange(nch), 0, K)
+                wq.append(w)
+                lq.append(lb)
+                nsq.append(ns.astype(np.int32))
+            per_frame_chunks.append((wq, lq, nsq))
+        cmax = max(len(x) for (_, lq, _) in per_frame_chunks for x in lq)
+        Nd = len(dev_idx)
+        C = 4 * cmax
+        windows = np.zeros((Nd, C, ED.WIN), np.uint8)
+        lbit = np.full((Nd, C), 8 * ED.WIN, np.int32)
+        nsym = np.zeros((Nd, C), np.int32)
+        tarr = np.stack(tables)
+        for j, (wq, lq, nsq) in enumerate(per_frame_chunks):
+            for q in range(4):
+                base = q * cmax
+                nc = len(lq[q])
+                windows[j, base : base + nc] = wq[q]
+                lbit[j, base : base + nc] = lq[q]
+                nsym[j, base : base + nc] = nsq[q]
+        syms, _ = ED.huff0_decode_chunks(
+            jnp.asarray(windows), jnp.asarray(lbit), jnp.asarray(nsym),
+            jnp.asarray(tarr), k=K)
+        syms = np.asarray(syms, np.int32)
+        for j, i in enumerate(dev_idx):
+            regen, lens, _s, _t, _seq = metas[i][1]
+            parts = []
+            for q in range(4):
+                base = q * cmax
+                nc = len(per_frame_chunks[j][1][q])
+                parts.append(syms[j, base : base + nc].reshape(-1)[: lens[q]]
+                             .astype(np.uint8).tobytes())
+            lit_decoded[i] = b"".join(parts)
+
+    # ---- sequences on device ---------------------------------------------
+    seq_items = [m[1][4] for m in metas if m[0] == "dev"]
+    seq_out = seqdev.decode_sequences_device(seq_items) if seq_items else []
+
+    # ---- execute on device ------------------------------------------------
+    plans, lit_rows, order = [], [], []
+    si = 0
+    results = [None] * len(frames)
+    for i, (kind, m) in enumerate(metas):
+        if kind == "host":
+            from compress_tpu import zstd as Zm
+
+            results[i] = Zm.decompress(m)
+            continue
+        regen, lens, streams, table, (stream, n_seqs, *_t) = m
+        lls, mls, ofvals = seq_out[si]
+        si += 1
+        offs = _resolve_reps(lls, mls, ofvals)
+        lits = lit_decoded[i]
+        # op list: per sequence a literal run + a copy; trailing literals
+        kinds_l, lens_l, offs_l = [], [], []
+        for t in range(len(lls)):
+            if lls[t]:
+                kinds_l.append(0)
+                lens_l.append(int(lls[t]))
+                offs_l.append(0)
+            kinds_l.append(1)
+            lens_l.append(int(mls[t]))
+            offs_l.append(int(offs[t]))
+        consumed = int(np.sum(lls))
+        if consumed < len(lits):
+            kinds_l.append(0)
+            lens_l.append(len(lits) - consumed)
+            offs_l.append(0)
+        plans.append(X.plan_block_ops(np.array(kinds_l), np.array(lens_l),
+                                      np.array(offs_l),
+                                      max_rounds=max_rounds))
+        arr = np.zeros(512 * 128, np.float32)
+        arr[: len(lits)] = np.frombuffer(lits, np.uint8)
+        lit_rows.append(arr.reshape(512, 128))
+        order.append(i)
+    if plans:
+        src, dst, length, caps = X.pack_plans(plans)
+        out = X.execute_rounds_jit(np.stack(lit_rows), src, dst, length,
+                                   caps)
+        out = np.asarray(out, np.float32).reshape(len(plans), -1)
+        for j, i in enumerate(order):
+            n_out = int(np.sum(plans[j]["len"]))
+            results[i] = out[j, :n_out].astype(np.uint8).tobytes()
+    return results
+
+
+def _hwalk(stream: bytes, sym_t, nb_t, max_bits: int, out_len: int,
+           k: int):
+    """Host walk of one huff0 stream recording remaining bits every k."""
+    from compress_tpu.fse import core as fse_core
+
+    br = fse_core.BitReaderReverse(stream)
+    bitpos = br.bitpos
+    data = stream
+    cks = [bitpos]
+    for i in range(out_len):
+        bp = bitpos - max_bits
+        if bp >= 0:
+            b0 = bp >> 3
+            chunk = int.from_bytes(data[b0 : b0 + 9], "little")
+            w = (chunk >> (bp & 7)) & ((1 << max_bits) - 1)
+        else:
+            chunk = int.from_bytes(data[0:9], "little")
+            w = (chunk << -bp) & ((1 << max_bits) - 1)
+        nb = int(nb_t[w])
+        if nb > bitpos:
+            nb = bitpos
+        bitpos -= nb
+        if (i + 1) % k == 0 and i + 1 < out_len:
+            cks.append(bitpos)
+    return cks
