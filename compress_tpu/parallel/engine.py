@@ -31,20 +31,23 @@ def block_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("data",))
 
 
-def encode_blocks_sharded(blocks, mesh: Mesh | None = None, tile: int = lz.TILE):
+def encode_blocks_sharded(blocks, mesh: Mesh | None = None,
+                          tile: int = lz.TILE, level: int = 1):
     """Encode (NB, block_size) uint8 blocks sharded over the mesh.
 
     NB must divide by the mesh size. Returns (out, lens) with the same
-    sharding; host gathers preserve block order."""
+    sharding; host gathers preserve block order. level 2 = the device
+    better tier (chain extension + top-K offset probing — the
+    s2.EncodeBetter analogue on device)."""
     mesh = mesh or block_mesh()
     sharding = NamedSharding(mesh, P("data", None))
     blocks = jax.device_put(jnp.asarray(blocks), sharding)
     out, lens = jax.jit(
         lz.s2_encode_blocks,
-        static_argnames=("tile",),
+        static_argnames=("tile", "level"),
         out_shardings=(NamedSharding(mesh, P("data", None)),
                        NamedSharding(mesh, P("data"))),
-    )(blocks, tile=tile)
+    )(blocks, tile=tile, level=level)
     return out, lens
 
 

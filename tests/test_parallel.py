@@ -30,6 +30,27 @@ def test_encode_blocks_sharded_matches_single_device():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out1))
 
 
+def test_encode_blocks_sharded_better_tier():
+    """Device better (lz2 level 2) over the mesh: valid and no larger
+    than the fast tier (the s2.EncodeBetter analogue)."""
+    from compress_tpu.parallel import block_mesh, encode_blocks_sharded
+    from compress_tpu import s2
+    from compress_tpu.utils.varint import put_uvarint
+
+    blocks, data = _make_blocks(8, 4096, seed=3)
+    mesh = block_mesh()
+    out1, lens1 = encode_blocks_sharded(blocks, mesh, tile=256, level=1)
+    out2, lens2 = encode_blocks_sharded(blocks, mesh, tile=256, level=2)
+    lens1, lens2 = np.asarray(lens1), np.asarray(lens2)
+    out2 = np.asarray(out2)
+    assert lens2.sum() <= lens1.sum()
+    for i in range(8):
+        hdr = bytearray()
+        put_uvarint(hdr, 4096)
+        got = s2.decode(bytes(hdr) + out2[i, : lens2[i]].tobytes())
+        assert got == data[i * 4096 : (i + 1) * 4096]
+
+
 def test_encode_step_stats_collectives():
     from compress_tpu.parallel import block_mesh, encode_step_stats
 
