@@ -152,6 +152,10 @@ def zstd_encode_sharded(data: bytes, mesh: Mesh | None = None,
     pre = job // 8
     mesh = mesh or block_mesh()
     m = mesh.devices.size
+    from compress_tpu.utils.debuglog import dbg
+
+    dbg("engine", "zstd_encode_sharded n=%d mesh=%d job=%d block=%d",
+        len(data), m, job, block)
     n = len(data)
     n_jobs = n // job
     full = (n_jobs // m) * m  # jobs handled on the mesh

@@ -71,6 +71,10 @@ def decompress(data, max_size: int = MAX_DECODED_SIZE,
 
             res = native_dec.decode_frame_body(
                 data, pos, max(h.window_size, 1024), max_size - len(out_all))
+            from compress_tpu.utils.debuglog import dbg
+
+            dbg("zstd", "decompress frame@%d window=%d native=%s",
+                pos, h.window_size, res is not None)
             if res is not None:
                 frame_out, pos = res
                 if (h.frame_content_size is not None

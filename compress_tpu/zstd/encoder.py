@@ -416,6 +416,10 @@ def compress(data, level: int = 2, checksum: bool = False,
     if level <= 4 and dict_ is None and window_log is None and n > 16:
         out = _native_compress(data, checksum, max(level, 1))
         if out is not None:
+            from compress_tpu.utils.debuglog import dbg
+
+            dbg("zstd", "compress n=%d level=%d native -> %d bytes",
+                n, level, len(out))
             return out
     # dictionary frames also ride the native ladder: the dict content is
     # the overlap prefix of the job entry, and the native first-3-plain

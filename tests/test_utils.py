@@ -127,3 +127,25 @@ def test_entropy_and_estimate(corpus_file):
         assert score < 0.1
     if corpus_file.name.endswith(".txt"):  # text: compressible
         assert score > 0.2
+
+
+def test_debuglog_convention(capsys, monkeypatch):
+    """COMPRESS_TPU_DEBUG env gates subsystem tracing (reference
+    debugEncoder/debugDecoder role, zstd/zstd.go:13-20)."""
+    from compress_tpu.utils import debuglog
+
+    monkeypatch.setenv("COMPRESS_TPU_DEBUG", "zstd,engine")
+    debuglog._reset_for_tests()
+    assert debuglog.enabled("zstd") and debuglog.enabled("engine")
+    assert not debuglog.enabled("s2")
+    debuglog.dbg("zstd", "hello %d", 7)
+    debuglog.dbg("s2", "hidden")
+    err = capsys.readouterr().err
+    assert "[ct:zstd] hello 7" in err and "hidden" not in err
+    monkeypatch.setenv("COMPRESS_TPU_DEBUG", "all")
+    debuglog._reset_for_tests()
+    assert debuglog.enabled("anything")
+    monkeypatch.delenv("COMPRESS_TPU_DEBUG")
+    debuglog._reset_for_tests()
+    assert not debuglog.enabled("zstd")
+    debuglog._reset_for_tests()
