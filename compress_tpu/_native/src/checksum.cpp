@@ -145,4 +145,101 @@ uint64_t ct_xxh64(const uint8_t* p, uint64_t len, uint64_t seed) {
   return h;
 }
 
+// ---------------------------------------------------------------------------
+// Streaming xxHash64 (reference: zstd/internal/xxhash Digest.Write/Sum64) —
+// lets the streaming zstd Writer checksum unbounded input in O(1) memory.
+// ---------------------------------------------------------------------------
+
+struct XxhState {
+  uint64_t v1, v2, v3, v4;
+  uint64_t total;
+  uint8_t buf[32];
+  uint32_t bufn;
+  uint64_t seed;
+};
+
+void* ct_xxh64_new(uint64_t seed) {
+  XxhState* s = new XxhState();
+  s->v1 = seed + XP1 + XP2;
+  s->v2 = seed + XP2;
+  s->v3 = seed;
+  s->v4 = seed - XP1;
+  s->total = 0;
+  s->bufn = 0;
+  s->seed = seed;
+  return s;
+}
+
+void ct_xxh64_update(void* st, const uint8_t* p, uint64_t len) {
+  XxhState* s = (XxhState*)st;
+  s->total += len;
+  if (s->bufn) {
+    uint64_t take = 32 - s->bufn;
+    if (take > len) take = len;
+    memcpy(s->buf + s->bufn, p, take);
+    s->bufn += (uint32_t)take;
+    p += take;
+    len -= take;
+    if (s->bufn == 32) {
+      s->v1 = xxh_round(s->v1, load64(s->buf));
+      s->v2 = xxh_round(s->v2, load64(s->buf + 8));
+      s->v3 = xxh_round(s->v3, load64(s->buf + 16));
+      s->v4 = xxh_round(s->v4, load64(s->buf + 24));
+      s->bufn = 0;
+    }
+  }
+  while (len >= 32) {
+    s->v1 = xxh_round(s->v1, load64(p));
+    s->v2 = xxh_round(s->v2, load64(p + 8));
+    s->v3 = xxh_round(s->v3, load64(p + 16));
+    s->v4 = xxh_round(s->v4, load64(p + 24));
+    p += 32;
+    len -= 32;
+  }
+  if (len) {
+    memcpy(s->buf, p, len);
+    s->bufn = (uint32_t)len;
+  }
+}
+
+uint64_t ct_xxh64_digest(void* st) {
+  XxhState* s = (XxhState*)st;
+  uint64_t h;
+  if (s->total >= 32) {
+    h = rotl64(s->v1, 1) + rotl64(s->v2, 7) + rotl64(s->v3, 12) +
+        rotl64(s->v4, 18);
+    h = xxh_merge(h, s->v1);
+    h = xxh_merge(h, s->v2);
+    h = xxh_merge(h, s->v3);
+    h = xxh_merge(h, s->v4);
+  } else {
+    h = s->seed + XP5;
+  }
+  h += s->total;
+  const uint8_t* p = s->buf;
+  const uint8_t* end = s->buf + s->bufn;
+  while (p + 8 <= end) {
+    h ^= xxh_round(0, load64(p));
+    h = rotl64(h, 27) * XP1 + XP4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    h ^= (uint64_t)load32(p) * XP1;
+    h = rotl64(h, 23) * XP2 + XP3;
+    p += 4;
+  }
+  while (p < end) {
+    h ^= (uint64_t)(*p++) * XP5;
+    h = rotl64(h, 11) * XP1;
+  }
+  h ^= h >> 33;
+  h *= XP2;
+  h ^= h >> 29;
+  h *= XP3;
+  h ^= h >> 32;
+  return h;
+}
+
+void ct_xxh64_free(void* st) { delete (XxhState*)st; }
+
 }  // extern "C"

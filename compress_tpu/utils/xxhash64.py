@@ -84,3 +84,106 @@ def xxh64(data, seed: int = 0) -> int:
     if _native.available():
         return _native.lib_xxh64(b, seed)
     return _xxh64_py(b, seed)
+
+
+class Xxh64:
+    """Streaming xxHash64 (reference: xxhash.Digest Write/Sum64) — O(1)
+    memory for unbounded streams; backs the streaming zstd Writer's frame
+    checksum. Native state when available, pure-Python accumulators
+    otherwise."""
+
+    def __init__(self, seed: int = 0):
+        import ctypes
+
+        from compress_tpu import _native
+
+        self._seed = seed
+        self._st = None
+        self._lib = None
+        lib = _native.raw()
+        if lib is not None and hasattr(lib, "ct_xxh64_new"):
+            if not getattr(lib, "_xxhst_proto", False):
+                lib.ct_xxh64_new.restype = ctypes.c_void_p
+                lib.ct_xxh64_new.argtypes = [ctypes.c_uint64]
+                lib.ct_xxh64_update.restype = None
+                lib.ct_xxh64_update.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint64]
+                lib.ct_xxh64_digest.restype = ctypes.c_uint64
+                lib.ct_xxh64_digest.argtypes = [ctypes.c_void_p]
+                lib.ct_xxh64_free.restype = None
+                lib.ct_xxh64_free.argtypes = [ctypes.c_void_p]
+                lib._xxhst_proto = True
+            self._lib = lib
+            self._st = lib.ct_xxh64_new(seed)
+        else:
+            # pure-Python state: 4 accumulators + ≤32-byte carry
+            self._v = [
+                (seed + _P1 + _P2) & _M64,
+                (seed + _P2) & _M64,
+                seed & _M64,
+                (seed - _P1) & _M64,
+            ]
+            self._carry = b""
+            self._total = 0
+
+    def update(self, data) -> None:
+        b = bytes(data)
+        if self._st is not None:
+            self._lib.ct_xxh64_update(self._st, b, len(b))
+            return
+        self._total += len(b)
+        b = self._carry + b
+        v1, v2, v3, v4 = self._v
+        i = 0
+        while i + 32 <= len(b):
+            v1 = _round(v1, int.from_bytes(b[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(b[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(b[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(b[i + 24 : i + 32], "little"))
+            i += 32
+        self._v = [v1, v2, v3, v4]
+        self._carry = b[i:]
+
+    def digest(self) -> int:
+        if self._st is not None:
+            return self._lib.ct_xxh64_digest(self._st)
+        n = self._total
+        tail = self._carry
+        if n >= 32:
+            v1, v2, v3, v4 = self._v
+            h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+                 + _rotl(v4, 18)) & _M64
+            h = _merge_round(h, v1)
+            h = _merge_round(h, v2)
+            h = _merge_round(h, v3)
+            h = _merge_round(h, v4)
+        else:
+            h = (self._seed + _P5) & _M64
+        h = (h + n) & _M64
+        i = 0
+        while i + 8 <= len(tail):
+            h ^= _round(0, int.from_bytes(tail[i : i + 8], "little"))
+            h = (_rotl(h, 27) * _P1 + _P4) & _M64
+            i += 8
+        if i + 4 <= len(tail):
+            h ^= (int.from_bytes(tail[i : i + 4], "little") * _P1) & _M64
+            h = (_rotl(h, 23) * _P2 + _P3) & _M64
+            i += 4
+        while i < len(tail):
+            h ^= (tail[i] * _P5) & _M64
+            h = (_rotl(h, 11) * _P1) & _M64
+            i += 1
+        h ^= h >> 33
+        h = (h * _P2) & _M64
+        h ^= h >> 29
+        h = (h * _P3) & _M64
+        h ^= h >> 32
+        return h
+
+    def __del__(self):
+        try:
+            if self._st is not None:
+                self._lib.ct_xxh64_free(self._st)
+                self._st = None
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass

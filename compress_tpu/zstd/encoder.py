@@ -56,7 +56,8 @@ class Matcher:
     the block end); candidates may reference any earlier position (the
     decoder's history window)."""
 
-    def __init__(self, src: bytes, level: int = 2):
+    def __init__(self, src: bytes, level: int = 2,
+                 window: int | None = None):
         self.src = src
         self.buf = np.frombuffer(src, dtype=np.uint8)
         p = _LEVEL_PARAMS.get(level, _LEVEL_PARAMS[2])
@@ -66,6 +67,7 @@ class Matcher:
             bits += 1
         self.bits = bits
         self.insert = p["insert"]
+        self.window = window  # None = unbounded (window covers the input)
         if n >= 4:
             self.hashes, self.v32 = _hashes(self.buf, bits)
         self.table = np.full(1 << bits, -1, dtype=np.int64)
@@ -97,7 +99,8 @@ class Matcher:
                 if r1 > 0 and s - r1 >= 0 and v32[s] == v32[s - r1]:
                     cand = s - r1
                     break
-                if c >= 0 and v32[c] == v32[s]:
+                if c >= 0 and v32[c] == v32[s] and (
+                        self.window is None or s - c <= self.window):
                     cand = c
                     break
                 s += 1 + ((s - next_emit) >> 6)
@@ -402,6 +405,52 @@ def _native_compress_dict(data: bytes, checksum: bool, level: int, dict_):
     return bytes(out)
 
 
+def _native_compress_windowed(data: bytes, checksum: bool, level: int,
+                              window_log: int) -> bytes | None:
+    """Custom-window frame on the native ladder: jobs of (window − overlap)
+    bytes with overlap-prefix history bound every match offset to
+    ≤ 2^window_log (reference: WithWindowSize → jobSize/overlapSize,
+    encoder_options.go:356-371). Fixes the r2 cliff where window_log
+    dropped to the Python Matcher."""
+    import ctypes
+
+    from compress_tpu import _native
+    from compress_tpu.zstd import frame as F
+
+    lib = _native.raw()
+    if lib is None or not hasattr(lib, "ct_zstd_compress_blocks_level"):
+        return None
+    if not getattr(lib, "_zjob_proto", False):
+        lib.ct_zstd_compress_blocks_level.restype = ctypes.c_longlong
+        lib.ct_zstd_compress_blocks_level.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int]
+        lib._zjob_proto = True
+    n = len(data)
+    window = 1 << max(int(window_log), 10)
+    overlap = window // 8
+    job = window - overlap
+    out = bytearray(F.write_frame_header(n, min(window, max(n, 1024)),
+                                         False, checksum))
+    pos = 0
+    while pos < n:
+        hi = min(pos + job, n)
+        p = max(0, pos - overlap)
+        seg = data[p:hi]
+        cap = (hi - pos) + (hi - pos) // 8 + 4096
+        dst = ctypes.create_string_buffer(cap)
+        r = lib.ct_zstd_compress_blocks_level(seg, len(seg), pos - p, dst,
+                                              cap, level)
+        if r < 0:
+            return None
+        out += dst.raw[:r]
+        pos = hi
+    out += (1).to_bytes(3, "little")  # empty raw last block carries `last`
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)
+
+
 def compress(data, level: int = 2, checksum: bool = False,
              window_log: int | None = None, dict_=None) -> bytes:
     """Encode data as one zstd frame (reference: Encoder.EncodeAll).
@@ -420,6 +469,17 @@ def compress(data, level: int = 2, checksum: bool = False,
 
             dbg("zstd", "compress n=%d level=%d native -> %d bytes",
                 n, level, len(out))
+            return out
+    # custom window: whole input within the window ⇒ the plain native path
+    # already satisfies the offset bound; larger inputs ride window-sized
+    # overlap-prefix jobs
+    if level <= 4 and dict_ is None and window_log is not None and n > 16:
+        if n <= (1 << max(int(window_log), 10)):
+            out = _native_compress(data, checksum, max(level, 1))
+        else:
+            out = _native_compress_windowed(data, checksum, max(level, 1),
+                                            window_log)
+        if out is not None:
             return out
     # dictionary frames also ride the native ladder: the dict content is
     # the overlap prefix of the job entry, and the native first-3-plain
@@ -447,7 +507,8 @@ def compress(data, level: int = 2, checksum: bool = False,
     plen = len(prefix)
     if plen:
         combined = bytes(prefix) + data
-        matcher = Matcher(combined, level)
+        matcher = Matcher(combined, level,
+                          window=(1 << window_log) if window_log else None)
         # seed the hash table with the dictionary positions (sequences
         # discarded — this is enc_base resetBase dict loading, enc_base.go:160)
         matcher.next_block(0, plen)
@@ -455,7 +516,8 @@ def compress(data, level: int = 2, checksum: bool = False,
         base = plen
         reps = dict_.reps
     else:
-        matcher = Matcher(data, level)
+        matcher = Matcher(data, level,
+                          window=(1 << window_log) if window_log else None)
         data_view = data
         base = 0
         reps = (1, 4, 8)

@@ -17,45 +17,170 @@ from compress_tpu.zstd import frame as F
 from compress_tpu.zstd import ZstdError, decompress
 
 
-class Writer:
-    """io.WriteCloser-style frame writer.
+def _encode_job_blocks_py(seg: bytes, prefix_len: int, level: int) -> bytes:
+    """Pure-Python job-block encoder (the native
+    ct_zstd_compress_blocks_level contract): encode seg[prefix_len:] as a
+    sequence of NON-last zstd blocks whose matches may reach back into the
+    prefix. Rep codes are never emitted (plain offset values only) so the
+    output is valid regardless of the decoder's carried rep state —
+    mid-frame jobs don't know it. NONATIVE fallback for the streaming
+    Writer."""
+    from compress_tpu.zstd.encoder import (BLOCK_SIZE, Matcher,
+                                           encode_literals,
+                                           encode_sequences_section)
+    import numpy as np
 
-    Buffers input and emits one complete frame on close() (flush() emits a
-    frame boundary: buffered bytes become a full frame, the next write
-    starts another — the window never spans a flush, like the reference's
-    EncodeAll-per-flush fallback path)."""
+    matcher = Matcher(seg, level)
+    if prefix_len:
+        matcher.next_block(0, prefix_len)  # seed tables, discard sequences
+    out = bytearray()
+    n = len(seg)
+    pos = prefix_len
+    while pos < n:
+        blk_end = min(pos + BLOCK_SIZE, n)
+        lls, mls, offs, tail = matcher.next_block(pos, blk_end)
+        blk_regen = blk_end - pos
+        body = None
+        if len(lls):
+            vals = offs + 3  # plain offset values, no rep codes
+            lit_parts = []
+            p = pos
+            for i in range(len(lls)):
+                lit_parts.append(seg[p : p + int(lls[i])])
+                p += int(lls[i]) + int(mls[i])
+            lit_parts.append(tail)
+            literals = b"".join(lit_parts)
+            body = (encode_literals(literals)
+                    + encode_sequences_section(lls, mls,
+                                               np.asarray(vals, np.int64)))
+        if body is None or len(body) >= blk_regen:
+            out += ((0 << 1) | (blk_regen << 3)).to_bytes(3, "little")
+            out += seg[pos:blk_end]
+        else:
+            out += ((2 << 1) | (len(body) << 3)).to_bytes(3, "little")
+            out += body
+        pos = blk_end
+    return bytes(out)
+
+
+class Writer:
+    """io.WriteCloser-style streaming frame writer with bounded memory.
+
+    Reference parity: zstd.Encoder Write/Flush/Close (zstd/encoder.go:203,
+    285 nextBlock, :547 Flush). The whole stream is ONE frame: write()
+    accumulates at most job_size bytes, then encodes them as in-frame
+    blocks via the native job entry (previous tail = overlap prefix, the
+    enc_jobs.go:330 pattern); flush() encodes whatever is buffered as
+    completed blocks WITHOUT closing the frame; close() appends the final
+    empty last block, checksum, and padding. A 10 GiB stream therefore
+    holds O(job_size) memory, not 10 GiB."""
 
     def __init__(self, dst, level: int = 2, checksum: bool = False,
                  window_log: int | None = None, dict_=None,
-                 padding: int = 0):
+                 padding: int = 0, job_size: int = 1 << 20):
         self.dst = dst
-        self.level = level
+        self.level = min(max(int(level), 1), 4)
         self.checksum = checksum
-        self.window_log = window_log
         self.dict_ = dict_
         self.padding = padding
+        if window_log is not None:
+            # window caps every match offset: size jobs so that
+            # overlap + job ≤ 2^window_log (reference: WithWindowSize
+            # bounds jobSize/overlap the same way, encoder_options.go:356)
+            window = 1 << max(int(window_log), 10)
+            self._overlap = window // 8
+            self._job_size = window - self._overlap
+        else:
+            self._job_size = max(int(job_size), 1 << 16)
+            self._overlap = self._job_size // 8
+        self._window = self._job_size + self._overlap
+        if dict_ is not None:
+            self._window = max(self._window,
+                               len(dict_.content) + self._job_size)
         self._buf = bytearray()
+        self._tail = bytes(dict_.content) if dict_ is not None else b""
+        self._header_written = False
         self._written = 0
         self._closed = False
         self.n_input = 0  # reference: encoderState.nInput
+        self._hasher = None
+        if checksum:
+            from compress_tpu.utils.xxhash64 import Xxh64
+
+            self._hasher = Xxh64()
+
+    # -- internals --
+
+    def _ensure_header(self):
+        if self._header_written:
+            return
+        hdr = F.write_frame_header(
+            None, max(self._window, 1024), False, self.checksum,
+            dict_id=self.dict_.id if self.dict_ is not None else 0)
+        self.dst.write(hdr)
+        self._written += len(hdr)
+        self._header_written = True
+
+    def _encode_job(self, chunk: bytes) -> bytes:
+        """chunk → non-last in-frame block bytes, prefix = carried tail."""
+        seg = self._tail + chunk
+        plen = len(self._tail)
+        blocks = None
+        import ctypes
+
+        from compress_tpu import _native
+
+        lib = _native.raw()
+        if lib is not None and hasattr(lib, "ct_zstd_compress_blocks_level"):
+            if not getattr(lib, "_zjob_proto", False):
+                lib.ct_zstd_compress_blocks_level.restype = ctypes.c_longlong
+                lib.ct_zstd_compress_blocks_level.argtypes = [
+                    ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int]
+                lib._zjob_proto = True
+            cap = len(chunk) + len(chunk) // 8 + 4096
+            dstb = ctypes.create_string_buffer(cap)
+            r = lib.ct_zstd_compress_blocks_level(seg, len(seg), plen, dstb,
+                                                  cap, self.level)
+            if r >= 0:
+                blocks = dstb.raw[:r]
+        if blocks is None:
+            blocks = _encode_job_blocks_py(seg, plen, self.level)
+        self._tail = seg[-self._overlap:] if self._overlap else b""
+        return blocks
+
+    # -- public API --
 
     def write(self, data) -> int:
         if self._closed:
             raise ZstdError("writer closed")
-        self._buf += bytes(data)
+        data = bytes(data)
+        self._buf += data
         self.n_input += len(data)
+        if self._hasher is not None:
+            self._hasher.update(data)
+        while len(self._buf) >= self._job_size:
+            chunk = bytes(self._buf[: self._job_size])
+            del self._buf[: self._job_size]
+            self._ensure_header()
+            blocks = self._encode_job(chunk)
+            self.dst.write(blocks)
+            self._written += len(blocks)
         return len(data)
 
     def flush(self):
-        """Emit buffered data as a complete frame now."""
-        if self._buf or self._written == 0:
-            from compress_tpu.zstd.encoder import compress
-
-            frame = compress(bytes(self._buf), self.level, self.checksum,
-                             self.window_log, dict_=self.dict_)
-            self.dst.write(frame)
-            self._written += len(frame)
+        """Encode buffered bytes as completed in-frame blocks now; the
+        frame stays open (reference: Encoder.Flush keeps the frame open,
+        encoder.go:547)."""
+        if self._closed:
+            raise ZstdError("writer closed")
+        self._ensure_header()
+        if self._buf:
+            chunk = bytes(self._buf)
             self._buf.clear()
+            blocks = self._encode_job(chunk)
+            self.dst.write(blocks)
+            self._written += len(blocks)
 
     def read_from(self, src, chunk: int = 1 << 20) -> int:
         """Pump src (a readable) through the writer (reference:
@@ -72,6 +197,13 @@ class Writer:
         if self._closed:
             return
         self.flush()
+        # final empty raw block carries the `last` flag
+        self.dst.write((1).to_bytes(3, "little"))
+        self._written += 3
+        if self.checksum:
+            cs = (self._hasher.digest() & 0xFFFFFFFF).to_bytes(4, "little")
+            self.dst.write(cs)
+            self._written += 4
         if self.padding:
             pad = F.calc_skippable_frame(self._written, self.padding)
             if pad:
