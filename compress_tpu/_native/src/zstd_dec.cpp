@@ -431,15 +431,65 @@ static const int16_t PRE_ML[53] = {1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1,
 // persistent per-frame decoder state
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// transformed sequence-decode tables: each FSE state maps directly to
+// {value base, extra bits, next-state bits, next-state base} in ONE 8-byte
+// entry (the reference's fseDecoder.transform baseline trick,
+// zstd/fse_decoder.go:51 transform) — the hot loop does 3 loads/sequence
+// instead of 9 scattered ones plus range checks.
+// ---------------------------------------------------------------------------
+
+struct SeqEnt {
+  uint32_t vbase;   // decoded value base (LL_BASE/ML_BASE/1<<ofc)
+  uint8_t ebits;    // extra bits to read for the value (0xFF = invalid sym)
+  uint8_t nb;       // FSE state-update bits
+  uint16_t base;    // FSE state-update base
+};
+
+struct SeqDT {
+  SeqEnt e[1 << 9];
+  int log = -1;
+};
+
+// kind: 0=ll, 1=of, 2=ml
+static void transform_dt(SeqDT* o, const FseDT* t, int kind) {
+  int size = t->log > 0 ? (1 << t->log) : 1;
+  o->log = t->log;
+  for (int i = 0; i < size; i++) {
+    uint8_t sym = t->sym[i];
+    SeqEnt* e = &o->e[i];
+    e->nb = t->nb[i];
+    e->base = t->base[i];
+    if (kind == 0) {
+      if (sym > 35) { e->ebits = 0xFF; continue; }
+      e->vbase = LL_BASE[sym];
+      e->ebits = LL_BITS[sym];
+    } else if (kind == 2) {
+      if (sym > 52) { e->ebits = 0xFF; continue; }
+      e->vbase = ML_BASE[sym];
+      e->ebits = ML_BITS[sym];
+    } else {
+      if (sym > 31) { e->ebits = 0xFF; continue; }
+      e->vbase = sym ? (1u << sym) : 1;
+      e->ebits = sym;
+    }
+  }
+}
+
+// The decode arena holds history AND in-flight block output contiguously
+// (the reference's history-as-output trick, framedec.go:334): every match
+// copy has a single source, no history/current split, and wide 16-byte
+// overcopies are always in-bounds thanks to the +64 slack.
 struct ZState {
-  uint8_t* win;          // rolling history
-  long long win_cap;     // allocation (2x window)
-  long long win_len;     // valid bytes
+  uint8_t* arena;        // [history | current block output...]
+  long long arena_cap;   // 2*window + 128K + slack
+  long long apos;        // valid bytes in arena (history end)
   long long window;      // nominal window size
   uint32_t rep[3];
   HufDT huf;             // previous huff table (treeless)
   FseDT t_ll, t_of, t_ml;
-  uint8_t lits[1 << 17]; // literals scratch
+  SeqDT d_ll, d_of, d_ml;  // transformed twins of t_* (kept in sync)
+  uint8_t lits[(1 << 17) + 32];  // literals scratch (+overcopy slack)
   uint8_t tmp[(1 << 17) + 64];
 };
 
@@ -448,13 +498,13 @@ void* ct_zstd_state_new(long long window) {
   ZState* s = (ZState*)calloc(1, sizeof(ZState));
   if (!s) return nullptr;
   s->window = window < 1024 ? 1024 : window;
-  s->win_cap = 2 * s->window + (1 << 17);
-  s->win = (uint8_t*)malloc(s->win_cap);
-  if (!s->win) {
+  s->arena_cap = 2 * s->window + (1 << 17) + 64;
+  s->arena = (uint8_t*)malloc(s->arena_cap);
+  if (!s->arena) {
     free(s);
     return nullptr;
   }
-  s->win_len = 0;
+  s->apos = 0;
   s->rep[0] = 1;
   s->rep[1] = 4;
   s->rep[2] = 8;
@@ -468,23 +518,33 @@ void* ct_zstd_state_new(long long window) {
 void ct_zstd_state_free(void* sp) {
   ZState* s = (ZState*)sp;
   if (!s) return;
-  free(s->win);
+  free(s->arena);
   free(s);
+}
+
+// make room for one more 128K block at the arena tail (slide history down)
+static inline void arena_room(ZState* s) {
+  if (s->apos + (1 << 17) + 64 > s->arena_cap) {
+    long long keep = s->apos < s->window ? s->apos : s->window;
+    memmove(s->arena, s->arena + s->apos - keep, keep);
+    s->apos = keep;
+  }
 }
 
 static void win_append(ZState* s, const uint8_t* p, long long n) {
   if (n >= s->window) {
-    memcpy(s->win, p + n - s->window, s->window);
-    s->win_len = s->window;
+    memcpy(s->arena, p + n - s->window, s->window);
+    s->apos = s->window;
     return;
   }
-  if (s->win_len + n > s->win_cap) {
-    long long keep = s->window;
-    memmove(s->win, s->win + s->win_len - keep, keep);
-    s->win_len = keep;
+  while (n > 0) {
+    arena_room(s);
+    long long take = n < (1 << 17) ? n : (1 << 17);
+    memcpy(s->arena + s->apos, p, take);
+    s->apos += take;
+    p += take;
+    n -= take;
   }
-  memcpy(s->win + s->win_len, p, n);
-  s->win_len += n;
 }
 
 void ct_zstd_state_append(void* sp, const uint8_t* p, long long n) {
@@ -497,11 +557,12 @@ enum {
   E_UNSUPPORTED = -2,  // caller falls back to Python
 };
 
-// decode one compressed block body; returns decoded size or error.
-long long ct_zstd_decode_block(void* sp, const uint8_t* src, long long n,
-                               uint8_t* dst, long long cap) {
-  ZState* s = (ZState*)sp;
-  if (!s || n < 2 || cap < (1 << 17)) return E_CORRUPT;
+// decode one compressed block body into base (hist bytes of contiguous
+// history live immediately below base); returns decoded size or error.
+// base must have (1<<17)+64 writable bytes (overcopy slack included).
+static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
+                                   uint8_t* const base, const long long hist) {
+  if (!s || n < 2) return E_CORRUPT;
   long long pos = 0;
 
   // ---- literals section ---------------------------------------------------
@@ -611,9 +672,7 @@ long long ct_zstd_decode_block(void* sp, const uint8_t* src, long long n,
     }
   }
   if (nseq == 0) {
-    if ((long long)regen > cap) return E_CORRUPT;
-    memcpy(dst, s->lits, regen);
-    win_append(s, dst, regen);
+    memcpy(base, s->lits, regen);
     return regen;
   }
   if (pos >= n) return E_CORRUPT;
@@ -665,9 +724,13 @@ long long ct_zstd_decode_block(void* sp, const uint8_t* src, long long n,
     }
     return dt->log >= 0;  // repeat
   };
-  if (!setup(&s->t_ll, (modes >> 6) & 3, PRE_LL, 36, 6, 9)) return E_CORRUPT;
-  if (!setup(&s->t_of, (modes >> 4) & 3, PRE_OF, 29, 5, 8)) return E_CORRUPT;
-  if (!setup(&s->t_ml, (modes >> 2) & 3, PRE_ML, 53, 6, 9)) return E_CORRUPT;
+  int m_ll = (modes >> 6) & 3, m_of = (modes >> 4) & 3, m_ml = (modes >> 2) & 3;
+  if (!setup(&s->t_ll, m_ll, PRE_LL, 36, 6, 9)) return E_CORRUPT;
+  if (!setup(&s->t_of, m_of, PRE_OF, 29, 5, 8)) return E_CORRUPT;
+  if (!setup(&s->t_ml, m_ml, PRE_ML, 53, 6, 9)) return E_CORRUPT;
+  if (m_ll != 3) transform_dt(&s->d_ll, &s->t_ll, 0);
+  if (m_of != 3) transform_dt(&s->d_of, &s->t_of, 1);
+  if (m_ml != 3) transform_dt(&s->d_ml, &s->t_ml, 2);
 
   BitRev br;
   if (!br_init(&br, src + pos, n - pos)) return E_CORRUPT;
@@ -676,35 +739,58 @@ long long ct_zstd_decode_block(void* sp, const uint8_t* src, long long n,
   uint32_t st_ml = br_read(&br, s->t_ml.log);
   if (!br.ok) return E_CORRUPT;
 
-  long long d = 0;       // bytes written to dst
-  long long lit_pos = 0;
+  // decode straight into the arena tail: history and output share one
+  // address space, so every match copy is single-source; +64 slack allows
+  // 16/32-byte overcopies (reference: compressedBlockOverAlloc=16 and the
+  // seqdec asm wide-copy convention, zstd/blockdec.go:42)
+  uint8_t* o = base;
+  uint8_t* const o_lim = base + (1 << 17);   // max block size bound
+  const uint8_t* lit = s->lits;
+  const uint8_t* const lit_end = s->lits + regen;
   uint32_t rep[3] = {s->rep[0], s->rep[1], s->rep[2]};
 
+  const SeqEnt* D_ll = s->d_ll.e;
+  const SeqEnt* D_of = s->d_of.e;
+  const SeqEnt* D_ml = s->d_ml.e;
+
   for (long long i = 0; i < nseq; i++) {
-    uint8_t of_c = s->t_of.sym[st_of];
-    uint8_t ml_c = s->t_ml.sym[st_ml];
-    uint8_t ll_c = s->t_ll.sym[st_ll];
-    if (of_c > 31 || ml_c > 52 || ll_c > 35) return E_CORRUPT;
-    // one wide bit-grab for all three extra-bit fields (the common case;
-    // of+ml+ll extra bits <= 57 except huge offsets, which fall back)
-    int mlb = ML_BITS[ml_c], llb = LL_BITS[ll_c];
-    int tot = of_c + mlb + llb;
+    SeqEnt el = D_ll[st_ll];
+    SeqEnt eo = D_of[st_of];
+    SeqEnt em = D_ml[st_ml];
+    // ONE wide bit-grab for the three extra-bit fields AND the three FSE
+    // state updates (extra <= 57 and state bits <= 26; for typical data
+    // the sum fits 57, the single-load budget — the reference asm's
+    // one-refill-per-sequence discipline, seqdec_amd64.s role). Invalid
+    // symbols carry ebits=0xFF, overflow every budget, and die in the
+    // br_read fallback (nb > 31 ⇒ !ok).
+    int tot = eo.ebits + em.ebits + el.ebits;
+    int stbits = el.nb + em.nb + eo.nb;
     uint32_t of_x, ml_x, ll_x;
     uint64_t w;
-    if (tot <= 57 && br_grab(&br, tot, &w)) {
+    bool states_done = false;
+    if (i < nseq - 1 && tot + stbits <= 57 && br_grab(&br, tot + stbits, &w)) {
+      int rem = tot + stbits;
+      of_x = win_take(w, &rem, eo.ebits);
+      ml_x = win_take(w, &rem, em.ebits);
+      ll_x = win_take(w, &rem, el.ebits);
+      st_ll = (el.base + win_take(w, &rem, el.nb)) & 511;
+      st_ml = (em.base + win_take(w, &rem, em.nb)) & 511;
+      st_of = (eo.base + win_take(w, &rem, eo.nb)) & 511;
+      states_done = true;
+    } else if (tot <= 57 && br_grab(&br, tot, &w)) {
       int rem = tot;
-      of_x = win_take(w, &rem, of_c);
-      ml_x = win_take(w, &rem, mlb);
-      ll_x = win_take(w, &rem, llb);
+      of_x = win_take(w, &rem, eo.ebits);
+      ml_x = win_take(w, &rem, em.ebits);
+      ll_x = win_take(w, &rem, el.ebits);
     } else {
-      of_x = br_read(&br, of_c);
-      ml_x = br_read(&br, mlb);
-      ll_x = br_read(&br, llb);
+      of_x = br_read(&br, eo.ebits);
+      ml_x = br_read(&br, em.ebits);
+      ll_x = br_read(&br, el.ebits);
       if (!br.ok) return E_CORRUPT;
     }
-    uint32_t of_val = of_c ? ((1u << of_c) + of_x) : 1;
-    uint32_t ml = ML_BASE[ml_c] + ml_x;
-    uint32_t ll = LL_BASE[ll_c] + ll_x;
+    uint32_t of_val = eo.vbase + of_x;
+    uint32_t ml = em.vbase + ml_x;
+    uint32_t ll = el.vbase + ll_x;
 
     // repeat-offset resolution
     uint32_t off;
@@ -736,67 +822,155 @@ long long ct_zstd_decode_block(void* sp, const uint8_t* src, long long n,
     }
 
     // FSE state updates happen before the copies on all but the last seq
-    // (one wide grab: ll+ml+of state bits <= 26)
-    if (i < nseq - 1) {
-      int nll = s->t_ll.nb[st_ll], nml = s->t_ml.nb[st_ml],
-          nof = s->t_of.nb[st_of];
+    // (fallback when the combined grab above didn't fit 57 bits)
+    if (!states_done && i < nseq - 1) {
       uint64_t w2;
-      int rem = nll + nml + nof;
+      int rem = stbits;
       if (!br_grab(&br, rem, &w2)) return E_CORRUPT;
-      st_ll = (s->t_ll.base[st_ll] + win_take(w2, &rem, nll)) & 511;
-      st_ml = (s->t_ml.base[st_ml] + win_take(w2, &rem, nml)) & 511;
-      st_of = (s->t_of.base[st_of] + win_take(w2, &rem, nof)) & 511;
+      st_ll = (el.base + win_take(w2, &rem, el.nb)) & 511;
+      st_ml = (em.base + win_take(w2, &rem, em.nb)) & 511;
+      st_of = (eo.base + win_take(w2, &rem, eo.nb)) & 511;
     }
 
-    // literals copy
-    if (lit_pos + ll > regen || d + ll + ml > cap) return E_CORRUPT;
-    memcpy(dst + d, s->lits + lit_pos, ll);
-    lit_pos += ll;
-    d += ll;
+    // literals copy (wide: lits has +32 slack, arena +64)
+    if (lit + ll > lit_end || o + ll + ml > o_lim) return E_CORRUPT;
+    memcpy(o, lit, 16);
+    if (ll > 16) memcpy(o + 16, lit + 16, ll - 16);
+    o += ll;
+    lit += ll;
 
-    // match copy (may reach into window history)
-    if ((long long)off > d + s->win_len) return E_CORRUPT;
-    long long m = ml;
-    long long srcpos = d - (long long)off;
-    while (srcpos < 0 && m > 0) {  // from history window
-      long long hidx = s->win_len + srcpos;
-      long long take = -srcpos < m ? -srcpos : m;
-      memcpy(dst + d, s->win + hidx, take);
-      d += take;
-      srcpos += take;
-      m -= take;
-    }
-    if (m > 0) {
-      if (off >= (uint32_t)m) {
-        memcpy(dst + d, dst + srcpos, m);
-        d += m;
-      } else {
-        // overlapping copy: write one period byte-wise, then extend by
-        // self-doubling memcpys (log(m/off) wide copies, not m bytes)
-        long long have = 0;
-        for (; have < m && have < (long long)off; have++)
-          dst[d + have] = dst[d + have - off];
-        while (have < m) {
-          long long take = have < m - have ? have : m - have;
-          memcpy(dst + d + have, dst + d, take);
-          have += take;
-        }
-        d += m;
+    // match copy: single source (arena holds history + current output)
+    if ((long long)off > (o - base) + hist) return E_CORRUPT;
+    const uint8_t* m_src = o - off;
+    if (off >= 16) {
+      // non-overlapping at 16-byte granularity: unconditional wide copies
+      memcpy(o, m_src, 16);
+      if (ml > 16) {
+        uint8_t* dd = o + 16;
+        const uint8_t* ss = m_src + 16;
+        long long rem = (long long)ml - 16;
+        do {
+          memcpy(dd, ss, 16);
+          dd += 16;
+          ss += 16;
+          rem -= 16;
+        } while (rem > 0);
       }
+      o += ml;
+    } else if (off >= 8) {
+      // 8-byte steps never overlap their own write
+      uint8_t* dd = o;
+      const uint8_t* ss = m_src;
+      long long rem = ml;
+      do {
+        memcpy(dd, ss, 8);
+        dd += 8;
+        ss += 8;
+        rem -= 8;
+      } while (rem > 0);
+      o += ml;
+    } else {
+      // tight overlap: one period byte-wise, then self-doubling copies
+      long long m = ml;
+      long long have = 0;
+      for (; have < m && have < (long long)off; have++) o[have] = o[have - off];
+      while (have < m) {
+        long long take = have < m - have ? have : m - have;
+        memcpy(o + have, o, take);
+        have += take;
+      }
+      o += ml;
     }
   }
   if (br.bitpos != 0) return E_CORRUPT;
   // trailing literals
-  long long tail = regen - lit_pos;
-  if (tail < 0 || d + tail > cap) return E_CORRUPT;
-  memcpy(dst + d, s->lits + lit_pos, tail);
-  d += tail;
+  long long tail = lit_end - lit;
+  if (o + tail > o_lim) return E_CORRUPT;
+  memcpy(o, lit, tail);
+  o += tail;
 
   s->rep[0] = rep[0];
   s->rep[1] = rep[1];
   s->rep[2] = rep[2];
-  win_append(s, dst, d);
-  return d;
+  return o - base;
+}
+
+// streaming API: decode one block into the rolling arena, copy out to dst
+// (used by the incremental stream Reader).
+long long ct_zstd_decode_block(void* sp, const uint8_t* src, long long n,
+                               uint8_t* dst, long long cap) {
+  ZState* s = (ZState*)sp;
+  if (!s || cap < (1 << 17)) return E_CORRUPT;
+  arena_room(s);
+  long long r = decode_block_core(s, src, n, s->arena + s->apos, s->apos);
+  if (r < 0) return r;
+  if (r > cap) return E_CORRUPT;
+  memcpy(dst, s->arena + s->apos, r);
+  s->apos += r;
+  return r;
+}
+
+enum { E_SPACE = -3 };  // output buffer too small; caller grows and retries
+
+// whole-frame decode with the output buffer AS the history arena (the
+// reference's history-as-output trick, zstd/framedec.go:334): no per-block
+// Python dispatch, no arena->dst copies, no window maintenance. src points
+// at the first block header and must have 16 readable slack bytes past n;
+// dst must have cap writable bytes. Returns decoded size (consumed bytes
+// via *consumed) or E_CORRUPT / E_SPACE.
+long long ct_zstd_decode_frame(const uint8_t* src, long long n,
+                               uint8_t* dst, long long cap,
+                               long long* consumed) {
+  ZState* s = (ZState*)calloc(1, sizeof(ZState));
+  if (!s) return E_CORRUPT;
+  s->rep[0] = 1;
+  s->rep[1] = 4;
+  s->rep[2] = 8;
+  s->huf.max_bits = -1;
+  s->t_ll.log = -1;
+  s->t_of.log = -1;
+  s->t_ml.log = -1;
+  long long pos = 0, apos = 0;
+  long long ret = E_CORRUPT;
+  for (;;) {
+    if (pos + 3 > n) goto done;
+    uint32_t bh = (uint32_t)src[pos] | ((uint32_t)src[pos + 1] << 8) |
+                  ((uint32_t)src[pos + 2] << 16);
+    pos += 3;
+    int last = bh & 1;
+    int btype = (bh >> 1) & 3;
+    long long bsize = bh >> 3;
+    if (btype == 0) {
+      if (pos + bsize > n) goto done;
+      if (apos + bsize > cap) { ret = E_SPACE; goto done; }
+      memcpy(dst + apos, src + pos, bsize);
+      apos += bsize;
+      pos += bsize;
+    } else if (btype == 1) {
+      if (pos >= n || bsize > (1 << 17)) goto done;
+      if (apos + bsize > cap) { ret = E_SPACE; goto done; }
+      memset(dst + apos, src[pos], bsize);
+      apos += bsize;
+      pos += 1;
+    } else if (btype == 2) {
+      if (bsize > (1 << 17) || pos + bsize > n) goto done;
+      if (apos + (1 << 17) + 64 > cap) { ret = E_SPACE; goto done; }
+      long long r = decode_block_core(s, src + pos, bsize, dst + apos, apos);
+      if (r < 0) goto done;
+      apos += r;
+      pos += bsize;
+    } else {
+      goto done;
+    }
+    if (last) {
+      *consumed = pos;
+      ret = apos;
+      goto done;
+    }
+  }
+done:
+  free(s);
+  return ret;
 }
 
 }  // extern "C"

@@ -70,7 +70,8 @@ def decompress(data, max_size: int = MAX_DECODED_SIZE,
             from compress_tpu.zstd import native_dec
 
             res = native_dec.decode_frame_body(
-                data, pos, max(h.window_size, 1024), max_size - len(out_all))
+                data, pos, max(h.window_size, 1024), max_size - len(out_all),
+                expected=h.frame_content_size)
             from compress_tpu.utils.debuglog import dbg
 
             dbg("zstd", "decompress frame@%d window=%d native=%s",

@@ -40,19 +40,54 @@ def _lib():
         lib.ct_zstd_decode_block.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_longlong,
             ctypes.c_char_p, ctypes.c_longlong]
+        if hasattr(lib, "ct_zstd_decode_frame"):
+            lib.ct_zstd_decode_frame.restype = ctypes.c_longlong
+            lib.ct_zstd_decode_frame.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong,
+                ctypes.c_char_p, ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_longlong)]
         _proto_done = True
     return lib
 
 
 def decode_frame_body(data: bytes, pos: int, window_size: int,
-                      max_out: int):
+                      max_out: int, expected: int | None = None):
     """Decode the block sequence of one frame starting at `pos`.
 
     Returns (frame_bytes, new_pos) with new_pos at the checksum field, or
-    None when the native path is unavailable or rejects the input."""
+    None when the native path is unavailable or rejects the input.
+
+    Fast path: the whole block loop runs in ONE native call with the
+    output buffer as the history arena (reference: framedec.go:334
+    history-as-output) — no per-block Python dispatch, no window copies.
+    `expected` (frame_content_size when known) sizes the buffer; E_SPACE
+    grows it and retries."""
     lib = _lib()
     if lib is None or window_size > (64 << 20):
         return None
+    if hasattr(lib, "ct_zstd_decode_frame"):
+        import numpy as np
+
+        body = data[pos:] + b"\x00" * 16  # bit-reader over-read slack
+        guess = expected if expected is not None else max(
+            4 * len(body), 1 << 20)
+        slack = (1 << 17) + 64
+        while True:
+            cap = min(guess, max_out) + slack
+            dst = np.empty(cap, np.uint8)  # no zero-fill
+            consumed = ctypes.c_longlong(0)
+            r = lib.ct_zstd_decode_frame(
+                body, len(body) - 16,
+                dst.ctypes.data_as(ctypes.c_char_p), cap,
+                ctypes.byref(consumed))
+            if r == -3 and guess < max_out:  # E_SPACE: grow and retry
+                guess = min(guess * 4, max_out)
+                continue
+            if r < 0:
+                return None
+            if r > max_out:
+                return None
+            return dst[:r].tobytes(), pos + consumed.value
     st = lib.ct_zstd_state_new(window_size)
     if not st:
         return None
