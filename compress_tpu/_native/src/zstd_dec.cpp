@@ -912,6 +912,495 @@ long long ct_zstd_decode_block(void* sp, const uint8_t* src, long long n,
 
 enum { E_SPACE = -3 };  // output buffer too small; caller grows and retries
 
+// ---------------------------------------------------------------------------
+// sidecar builder — encode-time accelerator for the device decoder.
+//
+// Walks one single-block frame once and serializes the accel tensors the
+// batched TPU decoder needs (VERDICT r2 missing #1): huff0 per-stream bit
+// checkpoints every HUFF_K symbols, sequence checkpoints (bit offset +
+// 3 FSE states + resolved rep offsets) every ZSEQ_K sequences, and the
+// round-annotated execute plan (the ops/execute.py plan_block_ops
+// algorithm, ported). The payload ships in a skippable frame before the
+// content frame; decode then needs ZERO per-symbol host work.
+// Precedent: huff0's 4X jump table pays format bytes for decode
+// parallelism (reference huff0/compress.go:269).
+// ---------------------------------------------------------------------------
+
+static const int ACC_HUFF_K = 32;   // ops/entropy.py HUFF_CKPT_K
+static const int ACC_ZSEQ_K = 8;    // ops/entropy_dec.py ZSEQ_K
+
+struct ByteSink {
+  uint8_t* p;
+  long long pos, cap;
+  bool ok;
+  void u8(uint8_t v) {
+    if (pos + 1 > cap) { ok = false; return; }
+    p[pos++] = v;
+  }
+  void u16(uint32_t v) {
+    if (pos + 2 > cap) { ok = false; return; }
+    p[pos++] = v & 0xFF;
+    p[pos++] = (v >> 8) & 0xFF;
+  }
+  void u32(uint64_t v) {
+    if (pos + 4 > cap) { ok = false; return; }
+    for (int i = 0; i < 4; i++) p[pos++] = (v >> (8 * i)) & 0xFF;
+  }
+};
+
+// decode one huff0 stream recording the remaining-bit offset every k
+// symbols (mirrors device_dec._hwalk exactly, incl. final-symbol drain)
+static bool huf_walk_cks(const HufDT* ht, const uint8_t* p, long long n,
+                         long long out_len, ByteSink* sink) {
+  BitRev br;
+  if (!br_init(&br, p, n)) return false;
+  int mb = ht->max_bits;
+  long long nch = out_len > 0 ? (out_len + ACC_HUFF_K - 1) / ACC_HUFF_K : 1;
+  if (nch > 0xFFFF) return false;
+  sink->u16((uint32_t)nch);
+  sink->u32((uint64_t)br.bitpos);
+  for (long long i = 0; i < out_len; i++) {
+    uint32_t idx;
+    if (br.bitpos >= mb) {
+      long long bp = br.bitpos - mb;
+      uint64_t v;
+      memcpy(&v, br.p + (bp >> 3), 8);
+      idx = (uint32_t)((v >> (bp & 7)) & ((1u << mb) - 1));
+    } else {
+      if (br.bitpos <= 0) return false;
+      uint64_t v;
+      memcpy(&v, br.p, 8);
+      idx = (uint32_t)((v << (mb - br.bitpos)) & ((1u << mb) - 1));
+    }
+    int nb = ht->nb[idx];
+    if (nb > br.bitpos) nb = (int)br.bitpos;
+    br.bitpos -= nb;
+    if ((i + 1) % ACC_HUFF_K == 0 && i + 1 < out_len)
+      sink->u32((uint64_t)br.bitpos);
+  }
+  return sink->ok;
+}
+
+// plan_block_ops port: decode-order ops -> round-annotated dst-row-aligned
+// pieces with transitive source substitution (ops/execute.py:51).
+struct PlanOut {
+  int32_t* src;
+  uint8_t* len;
+  uint8_t* rnd;
+  long long n, cap;
+  int n_rounds;
+  bool ok;
+  void push(long long s, long long ln, int r) {
+    if (n >= cap) { ok = false; return; }
+    src[n] = (int32_t)s;
+    len[n] = (uint8_t)ln;   // pieces are row-bounded: ln <= 128
+    rnd[n] = (uint8_t)r;
+    n++;
+    if (r + 1 > n_rounds) n_rounds = r + 1;
+  }
+};
+
+static const long long ACC_OUT_BASE = 512 * 128;
+
+// emit pieces for dst range [d0, d0+L) with per-byte sources sarr/rounds
+// rarr, cutting at non-contiguous sources, round changes, and 128-lane
+// dst row boundaries
+static void plan_emit(PlanOut* po, long long d0, const int32_t* sarr,
+                      const int16_t* rarr, long long L) {
+  long long a = 0;
+  while (a < L && po->ok) {
+    long long b = a + 1;
+    while (b < L && sarr[b] == sarr[b - 1] + 1 && rarr[b] == rarr[a]) b++;
+    long long d = d0 + a;
+    long long s = sarr[a];
+    long long ln = b - a;
+    while (ln > 0 && po->ok) {
+      long long room = 128 - ((ACC_OUT_BASE + d) & 127);
+      long long take = ln < room ? ln : room;
+      po->push(s, take, rarr[a]);
+      d += take;
+      s += take;
+      ln -= take;
+    }
+    a = b;
+  }
+}
+
+static bool plan_ops(const int32_t* lls, const int32_t* mls,
+                     const int32_t* offs, long long nseq, long long tail_lit,
+                     int max_rounds, PlanOut* po, int32_t* esrc,
+                     int16_t* ernd, int32_t* stmp, int16_t* rtmp) {
+  long long pos = 0, lit_pos = 0;
+  for (long long k = 0; k <= nseq; k++) {
+    long long ll = k < nseq ? lls[k] : tail_lit;
+    if (ll > 0) {
+      for (long long i = 0; i < ll; i++) {
+        stmp[i] = (int32_t)(lit_pos + i);
+        rtmp[i] = 0;
+      }
+      plan_emit(po, pos, stmp, rtmp, ll);
+      for (long long i = 0; i < ll; i++) {
+        esrc[pos + i] = (int32_t)(lit_pos + i);
+        ernd[pos + i] = 0;
+      }
+      lit_pos += ll;
+      pos += ll;
+    }
+    if (k == nseq) break;
+    long long L = mls[k];
+    long long off = offs[k];
+    if (off <= 0 || off > pos || pos + L > (1 << 16)) return false;
+    int rmax = 0;
+    bool contig = true;
+    for (long long i = 0; i < L; i++) {
+      long long sp = pos - off + (off < L ? (i % off) : i);
+      stmp[i] = esrc[sp];
+      rtmp[i] = ernd[sp];
+      if (rtmp[i] > rmax) rmax = rtmp[i];
+      if (i && (stmp[i] != stmp[i - 1] + 1 || rtmp[i] != rtmp[i - 1]))
+        contig = false;
+    }
+    int rnd_direct = rmax + 1;
+    if (rnd_direct <= max_rounds) {
+      if (off >= L && contig) {
+        // transitive read keeps the round low without fragmenting
+        plan_emit(po, pos, stmp, rtmp, L);
+        for (long long i = 0; i < L; i++) {
+          esrc[pos + i] = stmp[i];
+          ernd[pos + i] = rtmp[i];
+        }
+      } else {
+        // read the output bytes directly, one round later
+        for (long long i = 0; i < L; i++) {
+          long long sp = pos - off + (off < L ? (i % off) : i);
+          stmp[i] = (int32_t)(ACC_OUT_BASE + sp);
+          rtmp[i] = (int16_t)rnd_direct;
+        }
+        plan_emit(po, pos, stmp, rtmp, L);
+        for (long long i = 0; i < L; i++) {
+          esrc[pos + i] = stmp[i];
+          ernd[pos + i] = (int16_t)rnd_direct;
+        }
+      }
+    } else {
+      // too deep: flatten through transitive sources
+      plan_emit(po, pos, stmp, rtmp, L);
+      for (long long i = 0; i < L; i++) {
+        esrc[pos + i] = stmp[i];
+        ernd[pos + i] = rtmp[i];
+      }
+    }
+    pos += L;
+    if (!po->ok) return false;
+  }
+  return po->ok;
+}
+
+// build the sidecar payload for ONE single-block frame. src points at the
+// first block header (frame header stripped by the caller) with 16 bytes
+// of readable slack; returns payload size, 0 if the frame shape is not
+// device-eligible (caller emits no sidecar), or E_CORRUPT/E_SPACE.
+long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
+                                int max_rounds, uint8_t* out,
+                                long long cap) {
+  ByteSink sink{out, 0, cap, true};
+  sink.u8('C'); sink.u8('T'); sink.u8('A'); sink.u8('1');
+  sink.u16(1);  // n_blocks
+  long long flags_at = sink.pos;
+  sink.u8(0);
+  if (!sink.ok) return E_SPACE;
+
+  if (n < 5) return 0;
+  uint32_t bh = (uint32_t)src[0] | ((uint32_t)src[1] << 8) |
+                ((uint32_t)src[2] << 16);
+  int last = bh & 1;
+  int btype = (bh >> 1) & 3;
+  long long bsize = bh >> 3;
+  if (!last || btype != 2 || 3 + bsize > n) return 0;
+  const uint8_t* bp = src + 3;
+
+  // ---- literals section: 4X/1X compressed, raw, or RLE ----
+  // lit_kind: 0 = 4X compressed, 1 = raw, 2 = RLE, 3 = 1X compressed
+  uint8_t b0 = bp[0];
+  int lit_type = b0 & 3;
+  int sf = (b0 >> 2) & 3;
+  long long regen = 0, comp = 0, pos = 0;
+  int lit_kind;
+  int n_streams = 0;
+  if (lit_type == 0 || lit_type == 1) {
+    lit_kind = lit_type == 0 ? 1 : 2;
+    if (sf == 0 || sf == 2) {
+      regen = b0 >> 3;
+      pos = 1;
+    } else if (sf == 1) {
+      regen = (b0 >> 4) | ((long long)bp[1] << 4);
+      pos = 2;
+    } else {
+      regen = (b0 >> 4) | ((long long)bp[1] << 4) | ((long long)bp[2] << 12);
+      pos = 3;
+    }
+    comp = lit_type == 0 ? regen : 1;
+  } else if (lit_type == 2) {
+    if (sf == 0 || sf == 1) {
+      uint32_t v = b0 | ((uint32_t)bp[1] << 8) | ((uint32_t)bp[2] << 16);
+      regen = (v >> 4) & 0x3FF;
+      comp = (v >> 14) & 0x3FF;
+      pos = 3;
+      n_streams = sf == 0 ? 1 : 4;
+    } else if (sf == 2) {
+      uint64_t v = b0 | ((uint64_t)bp[1] << 8) | ((uint64_t)bp[2] << 16) |
+                   ((uint64_t)bp[3] << 24);
+      regen = (v >> 4) & 0x3FFF;
+      comp = (v >> 18) & 0x3FFF;
+      pos = 4;
+      n_streams = 4;
+    } else {
+      uint64_t v = b0 | ((uint64_t)bp[1] << 8) | ((uint64_t)bp[2] << 16) |
+                   ((uint64_t)bp[3] << 24) | ((uint64_t)bp[4] << 32);
+      regen = (v >> 4) & 0x3FFFF;
+      comp = (v >> 22) & 0x3FFFF;
+      pos = 5;
+      n_streams = 4;
+    }
+    lit_kind = n_streams == 4 ? 0 : 3;
+  } else {
+    return 0;  // treeless: needs a previous table, impossible single-block
+  }
+  if (regen > (1 << 16) || pos + comp > bsize) return 0;
+  HufDT* ht = (HufDT*)malloc(sizeof(HufDT));
+  if (!ht) return E_CORRUPT;
+  struct Free { void* a[8]; int n = 0; ~Free() { while (n) free(a[--n]); } } fr;
+  fr.a[fr.n++] = ht;
+  const uint8_t* sp[4] = {nullptr, nullptr, nullptr, nullptr};
+  long long sn[4] = {0, 0, 0, 0};
+  long long slen[4] = {0, 0, 0, 0};
+  if (lit_kind == 0 || lit_kind == 3) {
+    const uint8_t* lp = bp + pos;
+    long long ln = comp;
+    int used = huf_read_table(ht, lp, ln);
+    if (used < 0) return 0;
+    lp += used;
+    ln -= used;
+    if (lit_kind == 0) {
+      if (ln < 6) return 0;
+      long long l1 = lp[0] | (lp[1] << 8);
+      long long l2 = lp[2] | (lp[3] << 8);
+      long long l3 = lp[4] | (lp[5] << 8);
+      long long l4 = ln - 6 - l1 - l2 - l3;
+      if (l4 < 0) return 0;
+      long long seg = (regen + 3) / 4;
+      const uint8_t* q = lp + 6;
+      sp[0] = q;
+      sp[1] = q + l1;
+      sp[2] = q + l1 + l2;
+      sp[3] = q + l1 + l2 + l3;
+      sn[0] = l1;
+      sn[1] = l2;
+      sn[2] = l3;
+      sn[3] = l4;
+      slen[0] = slen[1] = slen[2] = seg;
+      slen[3] = regen - 3 * seg;
+    } else {
+      sp[0] = lp;
+      sn[0] = ln;
+      slen[0] = regen;
+    }
+  }
+
+  // ---- sequences section header ----
+  long long spos = pos + comp;
+  if (spos >= bsize) return 0;
+  long long nseq = bp[spos++];
+  if (nseq == 0) return 0;
+  if (nseq >= 128) {
+    if (nseq == 255) {
+      if (spos + 2 > bsize) return 0;
+      nseq = (bp[spos] | (bp[spos + 1] << 8)) + 0x7F00;
+      spos += 2;
+    } else {
+      if (spos + 1 > bsize) return 0;
+      nseq = ((nseq - 128) << 8) | bp[spos];
+      spos += 1;
+    }
+  }
+  if (spos >= bsize) return 0;
+  uint8_t modes = bp[spos++];
+  FseDT* ts = (FseDT*)malloc(3 * sizeof(FseDT));
+  if (!ts) return E_CORRUPT;
+  fr.a[fr.n++] = ts;
+  static const int16_t* pre[3] = {PRE_LL, PRE_OF, PRE_ML};
+  static const int pre_n[3] = {36, 29, 53};
+  static const int pre_log[3] = {6, 5, 6};
+  static const int max_log[3] = {9, 8, 9};
+  int mode_order[3] = {(modes >> 6) & 3, (modes >> 4) & 3, (modes >> 2) & 3};
+  for (int t = 0; t < 3; t++) {
+    int mode = mode_order[t];
+    if (mode == 0) {
+      int16_t norm[256];
+      for (int i = 0; i < pre_n[t]; i++) norm[i] = pre[t][i];
+      if (!fse_build_dt(&ts[t], norm, pre_n[t] - 1, pre_log[t])) return 0;
+    } else if (mode == 1) {
+      if (spos >= bsize) return 0;
+      fse_dt_rle(&ts[t], bp[spos++]);
+    } else if (mode == 2) {
+      int16_t norm[256];
+      int ms, lg;
+      int u = fse_read_ncount(bp + spos, bsize - spos, norm, &ms, &lg,
+                              max_log[t]);
+      if (u < 0) return 0;
+      spos += u;
+      if (!fse_build_dt(&ts[t], norm, ms, lg)) return 0;
+    } else {
+      return 0;  // repeat: single-block frames have no previous tables
+    }
+  }
+  // device exactness gate: offset codes <= 23
+  {
+    int size = ts[1].log > 0 ? (1 << ts[1].log) : 1;
+    for (int i = 0; i < size; i++)
+      if (ts[1].sym[i] > 23) return 0;
+  }
+
+  // ---- walk sequences: checkpoints + (ll, ml, resolved off) ----
+  int32_t* lls = (int32_t*)malloc(nseq * 4);
+  int32_t* mls = (int32_t*)malloc(nseq * 4);
+  int32_t* ofs = (int32_t*)malloc(nseq * 4);
+  if (!lls || !mls || !ofs) return E_CORRUPT;
+  fr.a[fr.n++] = lls;
+  fr.a[fr.n++] = mls;
+  fr.a[fr.n++] = ofs;
+  BitRev br;
+  if (!br_init(&br, bp + spos, bsize - spos)) return 0;
+  uint32_t s_ll = br_read(&br, ts[0].log);
+  uint32_t s_of = br_read(&br, ts[1].log);
+  uint32_t s_ml = br_read(&br, ts[2].log);
+  if (!br.ok) return 0;
+  uint32_t rep[3] = {1, 4, 8};
+  long long seq_nch = (nseq + ACC_ZSEQ_K - 1) / ACC_ZSEQ_K;
+  if (seq_nch > 0xFFFF) return 0;
+  // write literal checkpoints now (before the variable-size seq section)
+  sink.u8((uint8_t)lit_kind);
+  sink.u32((uint64_t)regen);
+  sink.u32((uint64_t)nseq);
+  long long total_at = sink.pos;
+  sink.u32(0);  // total_out patched below
+  int n_ck_streams = lit_kind == 0 ? 4 : (lit_kind == 3 ? 1 : 0);
+  for (int k = 0; k < n_ck_streams; k++)
+    if (!huf_walk_cks(ht, sp[k], sn[k], slen[k], &sink)) return 0;
+  sink.u16((uint32_t)seq_nch);
+  auto seq_ck = [&]() {
+    sink.u32((uint64_t)br.bitpos);
+    sink.u16(s_ll);
+    sink.u16(s_of);
+    sink.u16(s_ml);
+    sink.u32(rep[0]);
+    sink.u32(rep[1]);
+    sink.u32(rep[2]);
+  };
+  seq_ck();
+  long long total_out = 0;
+  long long lit_used = 0;
+  for (long long i = 0; i < nseq; i++) {
+    uint8_t of_c = ts[1].sym[s_of];
+    uint8_t ml_c = ts[2].sym[s_ml];
+    uint8_t ll_c = ts[0].sym[s_ll];
+    if (ml_c > 52 || ll_c > 35) return 0;
+    uint32_t of_x = br_read(&br, of_c);
+    uint32_t ml_x = br_read(&br, ML_BITS[ml_c]);
+    uint32_t ll_x = br_read(&br, LL_BITS[ll_c]);
+    if (!br.ok) return 0;
+    uint32_t of_val = of_c ? ((1u << of_c) + of_x) : 1;
+    uint32_t ml = ML_BASE[ml_c] + ml_x;
+    uint32_t ll = LL_BASE[ll_c] + ll_x;
+    uint32_t off;
+    if (of_val > 3) {
+      off = of_val - 3;
+      rep[2] = rep[1];
+      rep[1] = rep[0];
+      rep[0] = off;
+    } else {
+      uint32_t code = of_val - 1 + (ll == 0 ? 1 : 0);
+      if (code == 0) {
+        off = rep[0];
+      } else if (code == 1) {
+        off = rep[1];
+        rep[1] = rep[0];
+        rep[0] = off;
+      } else if (code == 2) {
+        off = rep[2];
+        rep[2] = rep[1];
+        rep[1] = rep[0];
+        rep[0] = off;
+      } else {
+        off = rep[0] - 1;
+        if (off == 0) return 0;
+        rep[2] = rep[1];
+        rep[1] = rep[0];
+        rep[0] = off;
+      }
+    }
+    lls[i] = (int32_t)ll;
+    mls[i] = (int32_t)ml;
+    ofs[i] = (int32_t)off;
+    lit_used += ll;
+    total_out += ll + ml;
+    if (i < nseq - 1) {
+      s_ll = ts[0].base[s_ll] + br_read(&br, ts[0].nb[s_ll]);
+      s_ml = ts[2].base[s_ml] + br_read(&br, ts[2].nb[s_ml]);
+      s_of = ts[1].base[s_of] + br_read(&br, ts[1].nb[s_of]);
+      if (!br.ok) return 0;
+    }
+    if ((i + 1) % ACC_ZSEQ_K == 0 && i + 1 < nseq) seq_ck();
+  }
+  if (br.bitpos != 0 || lit_used > regen) return 0;
+  long long tail_lit = regen - lit_used;
+  total_out += tail_lit;
+  if (total_out > (1 << 16) || !sink.ok) return 0;
+  out[total_at] = total_out & 0xFF;
+  out[total_at + 1] = (total_out >> 8) & 0xFF;
+  out[total_at + 2] = (total_out >> 16) & 0xFF;
+  out[total_at + 3] = 0;
+
+  // ---- execute plan ----
+  // worst case (full flatten, max_rounds=1): every output byte may open a
+  // new piece at a row boundary or source discontinuity
+  long long pcap = 2 * nseq + total_out + 1024;
+  int32_t* psrc = (int32_t*)malloc(pcap * 4);
+  uint8_t* plen = (uint8_t*)malloc(pcap);
+  uint8_t* prnd = (uint8_t*)malloc(pcap);
+  int32_t* esrc = (int32_t*)malloc((1 << 16) * 4);
+  int16_t* ernd2 = (int16_t*)malloc((1 << 16) * 2);
+  int32_t* stmp = (int32_t*)malloc((1 << 16) * 4);
+  int16_t* rtmp = (int16_t*)malloc((1 << 16) * 2);
+  if (!psrc || !plen || !prnd || !esrc || !ernd2 || !stmp || !rtmp) {
+    free(psrc); free(plen); free(prnd); free(esrc); free(ernd2);
+    free(stmp); free(rtmp);
+    return E_CORRUPT;
+  }
+  PlanOut po{psrc, plen, prnd, 0, pcap, 1, true};
+  bool planned = plan_ops(lls, mls, ofs, nseq, tail_lit, max_rounds, &po,
+                          esrc, ernd2, stmp, rtmp);
+  long long ret = 0;
+  if (planned && po.n <= 0xFFFFFFFFll) {
+    sink.u32((uint64_t)po.n);
+    sink.u8((uint8_t)po.n_rounds);
+    if (sink.ok && sink.pos + 6 * po.n <= cap) {
+      for (long long i = 0; i < po.n; i++) sink.u32((uint64_t)psrc[i]);
+      memcpy(out + sink.pos, plen, po.n);
+      sink.pos += po.n;
+      memcpy(out + sink.pos, prnd, po.n);
+      sink.pos += po.n;
+      out[flags_at] = 1;  // eligible
+      ret = sink.pos;
+    } else {
+      ret = E_SPACE;
+    }
+  }
+  free(psrc); free(plen); free(prnd); free(esrc); free(ernd2);
+  free(stmp); free(rtmp);
+  return ret;
+}
+
 // whole-frame decode with the output buffer AS the history arena (the
 // reference's history-as-output trick, zstd/framedec.go:334): no per-block
 // Python dispatch, no arena->dst copies, no window maintenance. src points
