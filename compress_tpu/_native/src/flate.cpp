@@ -50,20 +50,27 @@ struct FW {
   int bits;
 };
 static inline void fw_bits(FW* w, uint32_t v, int nb) {
+  // 64-bit accumulator, one 8-byte store per 48 flushed bits (the
+  // reference's huffman_bit_writer 64-bit discipline, not byte loops)
   w->acc |= ((uint64_t)v & ((1ull << nb) - 1)) << w->bits;
   w->bits += nb;
-  while (w->bits >= 8) {
+  // flush threshold 32 keeps bits + nb <= 31 + 32 < 64 (no acc overflow
+  // even for fused code+extra pushes of up to 28 bits)
+  if (w->bits >= 32) {
+    memcpy(w->out + w->n, &w->acc, 8);
+    w->n += 4;
+    w->acc >>= 32;
+    w->bits -= 32;
+  }
+}
+static inline void fw_align(FW* w) {
+  while (w->bits > 0) {
     w->out[w->n++] = (uint8_t)w->acc;
     w->acc >>= 8;
     w->bits -= 8;
   }
-}
-static inline void fw_align(FW* w) {
-  if (w->bits) {
-    w->out[w->n++] = (uint8_t)w->acc;
-    w->acc = 0;
-    w->bits = 0;
-  }
+  w->acc = 0;
+  w->bits = 0;
 }
 
 // ---- length/distance code tables (RFC 1951 §3.2.5) ------------------------
@@ -346,12 +353,17 @@ static void emit_tok_block(FW* w, const Tok* toks, long long ntok,
           if (toks[i].dist == 0) {
             fw_bits(w, c_lit[toks[i].val], l_lit[toks[i].val]);
           } else {
+            // fused code+extra: one buffer push per field pair
             int lc = len_code(toks[i].val);
-            fw_bits(w, c_lit[257 + lc], l_lit[257 + lc]);
-            fw_bits(w, toks[i].val - LEN_BASE[lc], LEN_XB[lc]);
+            int ll = l_lit[257 + lc];
+            fw_bits(w, c_lit[257 + lc]
+                        | ((uint32_t)(toks[i].val - LEN_BASE[lc]) << ll),
+                    ll + LEN_XB[lc]);
             int dc = dst_code(toks[i].dist);
-            fw_bits(w, c_dst[dc], l_dst[dc]);
-            fw_bits(w, toks[i].dist - DST_BASE[dc], DST_XB[dc]);
+            int dl = l_dst[dc];
+            fw_bits(w, c_dst[dc]
+                        | ((uint32_t)(toks[i].dist - DST_BASE[dc]) << dl),
+                    dl + DST_XB[dc]);
           }
         }
         fw_bits(w, c_lit[256], l_lit[256]);  // EOB
@@ -436,6 +448,262 @@ static inline int find_match(const uint8_t* src, const int32_t* prev,
   if (bc < 0) return 0;
   *dist = (int)(s - bc);
   return best;
+}
+
+// fast path for levels 1-3: single hash TABLE (no chains, no prev array),
+// snappy-style skip acceleration — the reference's fastEnc L1-L3 class
+// (flate/level1.go:18 role). Literal runs ride ONE token (no per-literal
+// token traffic) and histograms accumulate inline in the matcher, so the
+// writer makes a single pass. Ratio lands between zlib-1 and the chain
+// path; speed is the point.
+static void emit_run_block(FW* w, const Tok* toks, long long ntok,
+                           const uint8_t* src, long long pos, long long bend,
+                           int last, const uint32_t* h_lit,
+                           const uint32_t* h_dst, long long extra_bits);
+
+static long long deflate_fast(const uint8_t* src, long long n, uint8_t* dst,
+                              long long cap, int level) {
+  static const struct { int bits, skip, insert; } FF[4] = {
+      {0, 0, 0}, {15, 5, 0}, {16, 5, 1}, {17, 6, 2}};
+  int bits = FF[level].bits;
+  int skip = FF[level].skip;
+  int insert = FF[level].insert;
+  int32_t* head = (int32_t*)malloc(sizeof(int32_t) << bits);
+  Tok* toks = (Tok*)malloc(sizeof(Tok) * (FBLOCK + 512));
+  if (!head || !toks) {
+    free(head);
+    free(toks);
+    return -1;
+  }
+  memset(head, -1, sizeof(int32_t) << bits);
+  FW w;
+  w.out = dst;
+  w.n = 0;
+  w.acc = 0;
+  w.bits = 0;
+  long long ntok = 0;
+  long long blk_start = 0;
+  uint32_t h_lit[288] = {0}, h_dst[32] = {0};
+  long long extra_bits = 0;
+  auto flush = [&](long long upto, int last) {
+    h_lit[256]++;  // EOB
+    emit_run_block(&w, toks, ntok, src, blk_start, upto, last, h_lit,
+                   h_dst, extra_bits);
+    ntok = 0;
+    blk_start = upto;
+    memset(h_lit, 0, sizeof(h_lit));
+    memset(h_dst, 0, sizeof(h_dst));
+    extra_bits = 0;
+  };
+  long long s = 0, next_emit = 0;
+  long long limit = n - 12;
+  // literal run token: dist = 0xFFFF, val = run length (split at 32000)
+  auto emit_run = [&](long long upto) {
+    long long p = next_emit;
+    while (p < upto) {
+      long long take = upto - p;
+      if (take > 32000) take = 32000;
+      for (long long i = 0; i < take; i++) h_lit[src[p + i]]++;
+      toks[ntok].val = (uint16_t)take;
+      toks[ntok].dist = 0xFFFF;
+      ntok++;
+      p += take;
+    }
+    next_emit = upto;
+  };
+  while (s < limit) {
+    uint32_t v = fld32(src + s);
+    uint32_t h = fhash(v, bits);
+    long long c = head[h];
+    head[h] = (int32_t)s;
+    if (c >= 0 && s - c <= FWIN && fld32(src + c) == v) {
+      long long maxm = n - s;
+      if (maxm > 258) maxm = 258;
+      long long m = fmatch_len(src, c + 4, s + 4, maxm - 4) + 4;
+      emit_run(s);
+      toks[ntok].val = (uint16_t)m;
+      toks[ntok].dist = (uint16_t)(s - c);
+      ntok++;
+      int lc = len_code((int)m);
+      int dc = dst_code((int)(s - c));
+      h_lit[257 + lc]++;
+      h_dst[dc]++;
+      extra_bits += LEN_XB[lc] + DST_XB[dc];
+      long long e = s + m;
+      if (insert && e - 1 < limit) {
+        long long step = insert == 1 ? 3 : 2;
+        for (long long p = s + 1; p + 4 <= e && p < limit; p += step)
+          head[fhash(fld32(src + p), bits)] = (int32_t)p;
+      } else if (e - 2 > s && e - 2 < limit) {
+        head[fhash(fld32(src + e - 2), bits)] = (int32_t)(e - 2);
+      }
+      s = e;
+      next_emit = s;
+      if (ntok >= FBLOCK || s - blk_start >= FSPAN) flush(s, 0);
+    } else {
+      s += 1 + ((s - next_emit) >> skip);
+    }
+  }
+  emit_run(n);
+  flush(n, 1);
+  fw_align(&w);
+  free(head);
+  free(toks);
+  if (w.n > cap) return -1;
+  return w.n;
+}
+
+// writer for run-encoded token blocks (histograms precomputed inline by
+// the matcher): builds the dynamic header exactly like emit_tok_block,
+// then writes literal runs straight from src
+static void emit_run_block(FW* w, const Tok* toks, long long ntok,
+                           const uint8_t* src, long long pos, long long bend,
+                           int last, const uint32_t* h_lit,
+                           const uint32_t* h_dst, long long extra_bits) {
+  uint8_t l_lit[288] = {0}, l_dst[32] = {0};
+  uint16_t c_lit[288], c_dst[32];
+  bool okl = build_lengths(h_lit, 286, 15, l_lit);
+  if (!build_lengths(h_dst, 30, 15, l_dst)) {
+    l_dst[0] = 1;
+    l_dst[1] = 1;
+  }
+  long long stored_bits = 8 * (bend - pos) + 5 * 8;
+  bool wrote = false;
+  if (okl) {
+    canon_codes(l_lit, 286, c_lit);
+    canon_codes(l_dst, 30, c_dst);
+    int hlit = 286;
+    while (hlit > 257 && l_lit[hlit - 1] == 0) hlit--;
+    int hdist = 30;
+    while (hdist > 1 && l_dst[hdist - 1] == 0) hdist--;
+    uint8_t seq[320];
+    int ns = 0;
+    for (int i = 0; i < hlit; i++) seq[ns++] = l_lit[i];
+    for (int i = 0; i < hdist; i++) seq[ns++] = l_dst[i];
+    uint8_t cls[320], clx[320];
+    int ncl = 0;
+    uint32_t h_cl[19] = {0};
+    for (int i = 0; i < ns;) {
+      int v = seq[i];
+      int run = 1;
+      while (i + run < ns && seq[i + run] == v) run++;
+      if (v == 0) {
+        int r = run;
+        while (r >= 11) {
+          int take = r > 138 ? 138 : r;
+          cls[ncl] = 18;
+          clx[ncl++] = (uint8_t)(take - 11);
+          h_cl[18]++;
+          r -= take;
+        }
+        if (r >= 3) {
+          cls[ncl] = 17;
+          clx[ncl++] = (uint8_t)(r - 3);
+          h_cl[17]++;
+          r = 0;
+        }
+        while (r-- > 0) {
+          cls[ncl] = 0;
+          clx[ncl++] = 0;
+          h_cl[0]++;
+        }
+      } else {
+        cls[ncl] = (uint8_t)v;
+        clx[ncl++] = 0;
+        h_cl[v]++;
+        int r = run - 1;
+        while (r >= 3) {
+          int take = r > 6 ? 6 : r;
+          cls[ncl] = 16;
+          clx[ncl++] = (uint8_t)(take - 3);
+          h_cl[16]++;
+          r -= take;
+        }
+        while (r-- > 0) {
+          cls[ncl] = (uint8_t)v;
+          clx[ncl++] = 0;
+          h_cl[v]++;
+        }
+      }
+      i += run;
+    }
+    uint8_t l_cl[19];
+    uint16_t c_cl[19];
+    if (build_lengths(h_cl, 19, 7, l_cl)) {
+      canon_codes(l_cl, 19, c_cl);
+      static const uint8_t ORD[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                                      11, 4, 12, 3, 13, 2, 14, 1, 15};
+      int hclen = 19;
+      while (hclen > 4 && l_cl[ORD[hclen - 1]] == 0) hclen--;
+      long long dyn_bits = 3 + 14 + 3 * hclen;
+      for (int i = 0; i < ncl; i++) {
+        dyn_bits += l_cl[cls[i]];
+        if (cls[i] == 16) dyn_bits += 2;
+        else if (cls[i] == 17) dyn_bits += 3;
+        else if (cls[i] == 18) dyn_bits += 7;
+      }
+      for (int s = 0; s < 286; s++) dyn_bits += (long long)h_lit[s] * l_lit[s];
+      for (int s = 0; s < 30; s++) dyn_bits += (long long)h_dst[s] * l_dst[s];
+      dyn_bits += extra_bits;
+      if (dyn_bits < stored_bits || bend - pos > 65535) {
+        fw_bits(w, last ? 1 : 0, 1);
+        fw_bits(w, 2, 2);
+        fw_bits(w, hlit - 257, 5);
+        fw_bits(w, hdist - 1, 5);
+        fw_bits(w, hclen - 4, 4);
+        for (int i = 0; i < hclen; i++) fw_bits(w, l_cl[ORD[i]], 3);
+        for (int i = 0; i < ncl; i++) {
+          fw_bits(w, c_cl[cls[i]], l_cl[cls[i]]);
+          if (cls[i] == 16) fw_bits(w, clx[i], 2);
+          else if (cls[i] == 17) fw_bits(w, clx[i], 3);
+          else if (cls[i] == 18) fw_bits(w, clx[i], 7);
+        }
+        long long p = pos;
+        for (long long i = 0; i < ntok; i++) {
+          if (toks[i].dist == 0xFFFF) {
+            long long run = toks[i].val;
+            for (long long j = 0; j < run; j++) {
+              uint8_t b = src[p + j];
+              fw_bits(w, c_lit[b], l_lit[b]);
+            }
+            p += run;
+          } else {
+            int lc = len_code(toks[i].val);
+            int ll = l_lit[257 + lc];
+            fw_bits(w, c_lit[257 + lc]
+                        | ((uint32_t)(toks[i].val - LEN_BASE[lc]) << ll),
+                    ll + LEN_XB[lc]);
+            int dc = dst_code(toks[i].dist);
+            int dl = l_dst[dc];
+            fw_bits(w, c_dst[dc]
+                        | ((uint32_t)(toks[i].dist - DST_BASE[dc]) << dl),
+                    dl + DST_XB[dc]);
+            p += toks[i].val;
+          }
+        }
+        fw_bits(w, c_lit[256], l_lit[256]);
+        wrote = true;
+      }
+    }
+  }
+  if (!wrote) {
+    long long p = pos;
+    do {
+      long long len = bend - p;
+      if (len > 65535) len = 65535;
+      int lb = (p + len == bend) ? last : 0;
+      fw_bits(w, lb, 1);
+      fw_bits(w, 0, 2);
+      fw_align(w);
+      w->out[w->n++] = (uint8_t)len;
+      w->out[w->n++] = (uint8_t)(len >> 8);
+      w->out[w->n++] = (uint8_t)~len;
+      w->out[w->n++] = (uint8_t)(~len >> 8);
+      memcpy(w->out + w->n, src + p, len);
+      w->n += len;
+      p += len;
+    } while (p < bend);
+  }
 }
 
 static long long deflate_chain(const uint8_t* src, long long n, uint8_t* dst,
@@ -602,6 +870,13 @@ long long ct_deflate_level(const uint8_t* src, long long n, uint8_t* dst,
     w.n += n;
     return w.n;
   }
+  // L1 rides the table-only fast matcher (reference fastEnc posture:
+  // ~2x zlib-1 speed at zlib-1-class size); L2/L3 keep shallow CHAINS so
+  // their sizes stay below zlib-2/zlib-3 (the r2 size guarantee), now on
+  // the 64-bit fused bit writer
+  if (level == 1) return deflate_fast(src, n, dst, cap, 1);
+  if (level == 2) return deflate_chain(src, n, dst, cap, 1);
+  if (level == 3) return deflate_chain(src, n, dst, cap, 2);
   return deflate_chain(src, n, dst, cap, level);
 }
 
