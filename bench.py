@@ -122,6 +122,54 @@ def main():
     except Exception:
         hdec_gbps = -1.0  # never fail the bench on the extra metric
 
+    # ---- host decode (native arena decoder, r3) ---------------------------
+    host_dec_gbps = -1.0
+    flate_l1_mbps = -1.0
+    try:
+        from compress_tpu import zstd as z2
+        from compress_tpu.zstd.encoder import compress as zc
+
+        blob = zc(big, level=2)
+        assert z2.decompress(blob) == big
+        best = 0.0
+        for _ in range(6):
+            t = time.time()
+            z2.decompress(blob)
+            best = max(best, len(big) / (time.time() - t))
+        host_dec_gbps = best / 1e9
+    except Exception:
+        pass
+    try:
+        from compress_tpu import flate as F
+
+        fd = big[: 1 << 20]
+        F.deflate(fd, 1)
+        best = 0.0
+        for _ in range(6):
+            t = time.time()
+            F.deflate(fd, 1)
+            best = max(best, len(fd) / (time.time() - t))
+        flate_l1_mbps = best / 1e6
+    except Exception:
+        pass
+
+    # ---- device end-to-end decode via the accel sidecar (r3) --------------
+    dev_dec_gbps = -1.0
+    try:
+        from compress_tpu.zstd import accel as AC
+        from compress_tpu.zstd import device_dec as DD
+
+        nfr = 8 if calib_ms > 50 else 64
+        srcs = [big[i * 61440 : (i + 1) * 61440] for i in range(nfr)]
+        blobs = [AC.compress_accel(s, level=1) for s in srcs]
+        outs = DD.decompress_frames_device(blobs)  # compile + warm
+        assert outs == srcs, "device accel decode mismatch"
+        t = time.time()
+        outs = DD.decompress_frames_device(blobs)
+        dev_dec_gbps = sum(len(s) for s in srcs) / (time.time() - t) / 1e9
+    except Exception:
+        dev_dec_gbps = -1.0
+
     print(json.dumps({
         "metric": "s2_block_encode_device",
         "value": round(s2_gbps, 5),
@@ -132,7 +180,13 @@ def main():
         "zstd_l1_vs_baseline": round(z_gbps / 0.31847, 5),
         "zstd_l1_ratio": round(z_ratio, 4),
         "huff0_decode_device_gbps": round(hdec_gbps, 5),
+        "zstd_decode_host_gbps": round(host_dec_gbps, 5),
+        "zstd_decode_device_accel_gbps": round(dev_dec_gbps, 5),
+        "flate_l1_mbps": round(flate_l1_mbps, 2),
         "calib_matmul_ms": round(calib_ms, 3),
+        # r2 lesson: a degraded chip produced unusable numbers; mark them
+        # so no one mistakes a sick tunnel for a regression
+        "degraded": bool(calib_ms > 50),
         "n_bytes": len(big),
     }))
     return 0

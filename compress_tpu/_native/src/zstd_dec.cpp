@@ -1096,6 +1096,166 @@ static bool plan_ops(const int32_t* lls, const int32_t* mls,
   return po->ok;
 }
 
+// s2/snappy device-decode plan: parse one s2 block's tag stream (mirrors
+// s2.cpp ct_s2_decode_block, incl. the repeat extension) into decode-order
+// ops, then plan them for the arena execute kernel. Output payload:
+//   u32 total_out; u32 n_lit; u8 lit[n_lit];
+//   u32 n_pieces; u8 n_rounds; i32 src[n]; u8 len[n]; u8 round[n]
+// Returns payload size or E_CORRUPT/E_SPACE; 0 when not plannable
+// (output > 64K). mode bit0 = allow repeat tags (s2), 0 = strict snappy.
+long long ct_s2_build_plan(const uint8_t* src, long long slen,
+                           long long dlen, int mode, int max_rounds,
+                           uint8_t* out, long long cap) {
+  if (dlen > (1 << 16) || dlen < 0) return 0;
+  long long ocap = 4 * dlen + 1024;  // ops bound: >= 1 op per 2 bytes
+  int32_t* k_ll = (int32_t*)malloc(ocap * 4);   // literal lens per op
+  int32_t* mls = (int32_t*)malloc(ocap * 4);
+  int32_t* ofs = (int32_t*)malloc(ocap * 4);
+  uint8_t* lit = (uint8_t*)malloc((1 << 16) + 16);
+  if (!k_ll || !mls || !ofs || !lit) {
+    free(k_ll); free(mls); free(ofs); free(lit);
+    return E_CORRUPT;
+  }
+  long long nop = 0, nlit = 0, total = 0;
+  long long s = 0;
+  uint64_t offset = 0;
+  const int allow_repeat = mode & 1;
+  long long pend_lit = 0;  // literal run preceding the next copy
+  bool ok = true;
+  while (s < slen && ok) {
+    uint8_t tag = src[s];
+    uint64_t length;
+    switch (tag & 3) {
+      case 0: {
+        uint32_t x = tag >> 2;
+        if (x < 60) {
+          s += 1;
+        } else {
+          uint32_t nb = x - 59;
+          if (s + 1 + nb > (uint64_t)slen) { ok = false; break; }
+          x = 0;
+          for (uint32_t k = 0; k < nb; k++)
+            x |= (uint32_t)src[s + 1 + k] << (8 * k);
+          s += 1 + nb;
+        }
+        length = (uint64_t)x + 1;
+        if ((long long)length > slen - s || total + (long long)length > dlen) {
+          ok = false;
+          break;
+        }
+        memcpy(lit + nlit, src + s, length);
+        nlit += length;
+        pend_lit += length;
+        total += length;
+        s += length;
+        continue;
+      }
+      case 1: {
+        if (s + 2 > slen) { ok = false; break; }
+        uint64_t toff = ((uint64_t)(tag & 0xE0) << 3) | src[s + 1];
+        length = (tag >> 2) & 7;
+        s += 2;
+        if (toff == 0) {
+          if (!allow_repeat) { ok = false; break; }
+          switch (length) {
+            case 5:
+              if (s + 1 > slen) { ok = false; break; }
+              length = (uint64_t)src[s] + 4;
+              s += 1;
+              break;
+            case 6:
+              if (s + 2 > slen) { ok = false; break; }
+              length = ((uint64_t)src[s] | ((uint64_t)src[s + 1] << 8)) + 256;
+              s += 2;
+              break;
+            case 7:
+              if (s + 3 > slen) { ok = false; break; }
+              length = ((uint64_t)src[s] | ((uint64_t)src[s + 1] << 8) |
+                        ((uint64_t)src[s + 2] << 16)) + 65536;
+              s += 3;
+              break;
+            default:;
+          }
+        } else {
+          offset = toff;
+        }
+        length += 4;
+        break;
+      }
+      case 2: {
+        if (s + 3 > slen) { ok = false; break; }
+        offset = (uint64_t)src[s + 1] | ((uint64_t)src[s + 2] << 8);
+        length = 1 + (tag >> 2);
+        s += 3;
+        break;
+      }
+      default: {
+        if (s + 5 > slen) { ok = false; break; }
+        offset = (uint64_t)src[s + 1] | ((uint64_t)src[s + 2] << 8) |
+                 ((uint64_t)src[s + 3] << 16) | ((uint64_t)src[s + 4] << 24);
+        length = 1 + (tag >> 2);
+        s += 5;
+        break;
+      }
+    }
+    if (!ok) break;
+    if (offset == 0 || (long long)offset > total ||
+        total + (long long)length > dlen || nop >= ocap) {
+      ok = false;
+      break;
+    }
+    k_ll[nop] = (int32_t)pend_lit;
+    mls[nop] = (int32_t)length;
+    ofs[nop] = (int32_t)offset;
+    nop++;
+    pend_lit = 0;
+    total += length;
+  }
+  long long ret = E_CORRUPT;
+  if (ok && total == dlen) {
+    long long pcap = 2 * nop + total + 1024;
+    int32_t* psrc = (int32_t*)malloc(pcap * 4);
+    uint8_t* plen = (uint8_t*)malloc(pcap);
+    uint8_t* prnd = (uint8_t*)malloc(pcap);
+    int32_t* esrc = (int32_t*)malloc((1 << 16) * 4);
+    int16_t* ernd2 = (int16_t*)malloc((1 << 16) * 2);
+    int32_t* stmp = (int32_t*)malloc((1 << 16) * 4);
+    int16_t* rtmp = (int16_t*)malloc((1 << 16) * 2);
+    if (psrc && plen && prnd && esrc && ernd2 && stmp && rtmp) {
+      PlanOut po{psrc, plen, prnd, 0, pcap, 1, true};
+      bool planned = plan_ops(k_ll, mls, ofs, nop, pend_lit, max_rounds,
+                              &po, esrc, ernd2, stmp, rtmp);
+      if (planned) {
+        ByteSink sink{out, 0, cap, true};
+        sink.u32((uint64_t)total);
+        sink.u32((uint64_t)nlit);
+        if (sink.ok && sink.pos + nlit <= cap) {
+          memcpy(out + sink.pos, lit, nlit);
+          sink.pos += nlit;
+        } else {
+          sink.ok = false;
+        }
+        sink.u32((uint64_t)po.n);
+        sink.u8((uint8_t)po.n_rounds);
+        if (sink.ok && sink.pos + 6 * po.n <= cap) {
+          for (long long i = 0; i < po.n; i++) sink.u32((uint64_t)psrc[i]);
+          memcpy(out + sink.pos, plen, po.n);
+          sink.pos += po.n;
+          memcpy(out + sink.pos, prnd, po.n);
+          sink.pos += po.n;
+          ret = sink.pos;
+        } else {
+          ret = E_SPACE;
+        }
+      }
+    }
+    free(psrc); free(plen); free(prnd); free(esrc); free(ernd2);
+    free(stmp); free(rtmp);
+  }
+  free(k_ll); free(mls); free(ofs); free(lit);
+  return ret;
+}
+
 // build the sidecar payload for ONE single-block frame. src points at the
 // first block header (frame header stripped by the caller) with 16 bytes
 // of readable slack; returns payload size, 0 if the frame shape is not

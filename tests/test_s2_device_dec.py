@@ -1,0 +1,47 @@
+"""s2 batched device block decode (s2/device_dec.py) — r3, the
+s2/decode_amd64.s role (VERDICT r2 missing #6)."""
+
+import numpy as np
+import pytest
+
+from compress_tpu import s2
+from compress_tpu.s2 import device_dec as SD
+
+
+def _corpus():
+    twain = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+                 "rb").read()
+    html = open("/root/reference/testdata/html.txt", "rb").read()
+    rnd = open("/root/reference/testdata/sharnd.out", "rb").read()
+    return twain, html, rnd
+
+
+def test_s2_device_decode_all_tiers():
+    twain, html, rnd = _corpus()
+    srcs = [twain[:40000], html[:30000], b"z" * 20000, rnd[:16000],
+            twain[:100]]
+    blocks = ([s2.encode(x) for x in srcs]
+              + [s2.encode_better(twain[:40000]),
+                 s2.encode_best(html[:20000])])
+    wants = srcs + [twain[:40000], html[:20000]]
+    got = SD.decode_blocks_device(blocks)
+    assert got == wants
+
+
+def test_s2_device_decode_snappy_strict():
+    twain, html, _ = _corpus()
+    srcs = [twain[:20000], html[:20000]]
+    blocks = [s2.encode_snappy(x) for x in srcs]
+    assert SD.decode_blocks_device(blocks, allow_repeat=False) == srcs
+
+
+def test_s2_device_decode_fallback_large():
+    twain, _, _ = _corpus()
+    data = twain[:200000]  # > 64 KiB arena: host fallback path
+    assert SD.decode_blocks_device([s2.encode(data)]) == [data]
+
+
+def test_s2_device_decode_degenerate_repeats():
+    srcs = [b"\x00" * 30000, (b"abc" * 12000)[:30000]]
+    blocks = [s2.encode(x) for x in srcs]
+    assert SD.decode_blocks_device(blocks) == srcs
