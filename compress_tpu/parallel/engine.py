@@ -129,7 +129,7 @@ def s2_stream_encode_device(data: bytes, mesh: Mesh | None = None) -> bytes:
 
 def zstd_encode_sharded(data: bytes, mesh: Mesh | None = None,
                         job: int | None = None, block: int | None = None,
-                        checksum: bool = False) -> bytes:
+                        checksum: bool = False, level: int = 2) -> bytes:
     """zstd-compress `data` with 1 MiB jobs sharded over the device mesh.
 
     The reference's concurrent job engine (zstd/enc_jobs.go, SURVEY §2.9
@@ -196,7 +196,8 @@ def zstd_encode_sharded(data: bytes, mesh: Mesh | None = None,
             hasp = hasp_l | (jnp.zeros(k, bool)
                              .at[0].set(jax.lax.axis_index("data") > 0))
             return zdev.zstd_encode_jobs(jobs_l, job=job, block=block,
-                                         prefixes=pref, has_prefix=hasp)
+                                         prefixes=pref, has_prefix=hasp,
+                                         level=level)
 
         fn = jax.shard_map(
             step, mesh=mesh,

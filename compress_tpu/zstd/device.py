@@ -193,7 +193,7 @@ def _assemble_job(job_bytes: bytes, t, j: int, block: int):
 
 def compress_device(data, *, checksum: bool = False, job: int = zdev.JOB,
                     block: int = zdev.BLOCK, encode_fn=None,
-                    max_launch_jobs: int = 16) -> bytes:
+                    max_launch_jobs: int = 16, level: int = 2) -> bytes:
     """Encode `data` as one zstd frame using the device encoder for all
     full `job`-sized windows; the tail uses the host matcher (rep-free).
 
@@ -226,7 +226,7 @@ def compress_device(data, *, checksum: bool = False, job: int = zdev.JOB,
                 has_prefix[j - c] = True
         t = encode_fn(jnp.asarray(arr), job=job, block=block,
                       prefixes=jnp.asarray(prefixes),
-                      has_prefix=jnp.asarray(has_prefix))
+                      has_prefix=jnp.asarray(has_prefix), level=level)
         t = {k: np.asarray(v) for k, v in t.items()}
         for j in range(hi - c):
             jb = data[(c + j) * job : (c + j + 1) * job]

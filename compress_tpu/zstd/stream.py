@@ -77,12 +77,17 @@ class Writer:
 
     def __init__(self, dst, level: int = 2, checksum: bool = False,
                  window_log: int | None = None, dict_=None,
-                 padding: int = 0, job_size: int = 1 << 20):
+                 padding: int = 0, job_size: int | None = None):
         self.dst = dst
         self.level = min(max(int(level), 1), 4)
         self.checksum = checksum
         self.dict_ = dict_
         self.padding = padding
+        if window_log is None and job_size is None:
+            # per-level window ladder (reference encoder_options.go:246:
+            # fastest 4 MiB window, higher levels 8 MiB); jobs fill the
+            # window so streaming ratio matches one-shot compress()
+            window_log = 22 if self.level == 1 else 23
         if window_log is not None:
             # window caps every match offset: size jobs so that
             # overlap + job ≤ 2^window_log (reference: WithWindowSize
@@ -221,8 +226,16 @@ class Reader:
 
     def __init__(self, src, max_window: int = 1 << 31,
                  max_memory: int = 64 << 30, dicts=None,
-                 ignore_checksum: bool = False):
+                 ignore_checksum: bool = False, readahead: int = 0):
         self.src = src
+        # readahead > 0: a producer thread decodes up to `readahead`
+        # blocks ahead of the consumer (the reference's async stream
+        # decode pipeline role, zstd/decoder.go:655 startStreamDecoder —
+        # the native block decoder releases the GIL, so producer decode
+        # genuinely overlaps consumer processing)
+        self._readahead = int(readahead)
+        self._ra_queue = None
+        self._ra_thread = None
         self.max_window = max_window
         self.max_memory = max_memory
         self.ignore_checksum = ignore_checksum
@@ -393,7 +406,59 @@ class Reader:
             self._free_native()
         return True
 
+    # -- read-ahead pipeline (P4) --
+
+    def _ra_start(self):
+        import queue
+        import threading
+
+        self._ra_queue = queue.Queue(maxsize=self._readahead)
+
+        def producer():
+            try:
+                while True:
+                    if not self._next_block():
+                        self._ra_queue.put((None, None))
+                        return
+                    self._ra_queue.put((self._pending, None))
+            except Exception as e:  # noqa: BLE001 — forwarded to consumer
+                self._ra_queue.put((None, e))
+
+        self._ra_thread = threading.Thread(target=producer, daemon=True)
+        self._ra_thread.start()
+
+    def _ra_read(self, n: int) -> bytes:
+        # consumer-side cursor is kept SEPARATE from the producer's
+        # self._pending (the producer mutates that concurrently)
+        if self._ra_queue is None:
+            self._ra_cur = b""
+            self._ra_pos = 0
+            self._ra_done = False
+            self._ra_start()
+        out = bytearray()
+        while n < 0 or len(out) < n:
+            if self._ra_pos >= len(self._ra_cur):
+                if self._ra_done:
+                    break
+                item, err = self._ra_queue.get()
+                if err is not None:
+                    self._ra_done = True
+                    raise err
+                if item is None:
+                    self._ra_done = True
+                    break
+                self._ra_cur = item
+                self._ra_pos = 0
+                continue
+            avail = len(self._ra_cur) - self._ra_pos
+            take = avail if n < 0 else min(avail, n - len(out))
+            out += self._ra_cur[self._ra_pos : self._ra_pos + take]
+            self._ra_pos += take
+        return bytes(out)
+
     def read(self, n: int = -1) -> bytes:
+        if self._readahead > 0:
+            return self._ra_read(n)
         # full-drain fast path on a fresh reader: decode the remaining
         # source in one native pass (DecodeAll semantics)
         if (n < 0 and self._frame is None and not self._pending
