@@ -84,6 +84,46 @@ class GzipMiddleware:
         self.allow_compressed_requests = allow_compressed_requests
         self.keep_accept_ranges = keep_accept_ranges
 
+    @staticmethod
+    def detect_content_type(data: bytes) -> str:
+        """Sniff an untyped body (reference: gzhttp sniffs via
+        http.DetectContentType before applying the type filter). Compact
+        signature set + text/binary heuristic; always returns a type."""
+        d = bytes(data[:512])
+        s = d.lstrip(b" \t\r\n")
+        low = s[:64].lower()
+        for tag in (b"<!doctype html", b"<html", b"<head", b"<body",
+                    b"<script", b"<iframe", b"<h1", b"<div", b"<p>",
+                    b"<table", b"<a "):
+            if low.startswith(tag):
+                return "text/html; charset=utf-8"
+        if low.startswith(b"<?xml"):
+            return "text/xml; charset=utf-8"
+        sigs = (
+            (b"%PDF-", "application/pdf"),
+            (b"\x1f\x8b", "application/x-gzip"),
+            (b"PK\x03\x04", "application/zip"),
+            (b"\x89PNG\r\n\x1a\n", "image/png"),
+            (b"\xff\xd8\xff", "image/jpeg"),
+            (b"GIF87a", "image/gif"),
+            (b"GIF89a", "image/gif"),
+            (b"BM", "image/bmp"),
+            (b"OggS", "application/ogg"),
+            (b"\x00\x00\x01\x00", "image/x-icon"),
+            (b"fLaC", "audio/flac"),
+            (b"\x28\xb5\x2f\xfd", "application/zstd"),
+        )
+        for sig, t in sigs:
+            if d.startswith(sig):
+                return t
+        if d.startswith(b"RIFF") and d[8:12] == b"WAVE":
+            return "audio/wave"
+        if d.startswith(b"RIFF") and d[8:12] == b"WEBP":
+            return "image/webp"
+        text_ok = all(b >= 0x20 or b in (9, 10, 11, 12, 13, 27) for b in d)
+        return ("text/plain; charset=utf-8" if text_ok
+                else "application/octet-stream")
+
     def _type_ok(self, ctype: str) -> bool:
         base = (ctype or "").split(";")[0].strip().lower()
         if self.except_content_types and base in self.except_content_types:
@@ -121,16 +161,24 @@ class GzipMiddleware:
         headers = list(captured["headers"])
         hmap = {k.lower(): v for k, v in headers}
 
+        ctype = hmap.get("content-type", "")
+        sniffed = None
+        if not ctype and body:
+            # untyped body: sniff before filtering (reference behavior)
+            sniffed = self.detect_content_type(body)
+            ctype = sniffed
         skip = (
             enc is None
             or len(body) < self.min_size
             or "content-encoding" in hmap
             or "content-range" in hmap
-            or not self._type_ok(hmap.get("content-type", ""))
+            or not self._type_ok(ctype)
         )
         if skip:
             start_response(status, headers)
             return [body]
+        if sniffed is not None:
+            headers.append(("Content-Type", sniffed))
 
         if enc == "zstd":
             comp = tzstd.compress(body, level=self.zstd_level, checksum=True)

@@ -138,3 +138,50 @@ def test_transport_decodes():
     status, headers, body = t("GET", "/x")
     assert status == 200 and body == b"payload"
     assert "content-encoding" not in headers
+
+
+def test_content_type_sniffing_untyped_body():
+    """r3: untyped responses are sniffed before the type filter
+    (reference: http.DetectContentType role)."""
+    from compress_tpu.gzhttp import GzipMiddleware as GzipHandler
+
+    det = GzipHandler.detect_content_type
+    assert det(b"<!DOCTYPE html><html>...").startswith("text/html")
+    assert det(b"%PDF-1.4 blah") == "application/pdf"
+    assert det(b"\x89PNG\r\n\x1a\n rest") == "image/png"
+    assert det(b"hello plain words " * 10).startswith("text/plain")
+    assert det(bytes(range(256))) == "application/octet-stream"
+
+    # handler path: no Content-Type set, text body over MinSize compresses
+    # and gains the sniffed header; binary body with a text-only filter
+    # passes through
+    body = b"compress me please " * 200
+
+    def app(environ, start_response):
+        start_response("200 OK", [])
+        return [body]
+
+    h = GzipHandler(app, min_size=10, content_types={"text/plain"})
+    cap = {}
+
+    def sr(status, headers, exc_info=None):
+        cap["h"] = headers
+        return lambda b: None
+
+    out = b"".join(h({"HTTP_ACCEPT_ENCODING": "gzip"}, sr))
+    hmap = {k.lower(): v for k, v in cap["h"]}
+    assert hmap.get("content-encoding") == "gzip"
+    assert hmap.get("content-type", "").startswith("text/plain")
+
+    binary = bytes(range(256)) * 20
+    def app2(environ, start_response):
+        start_response("200 OK", [])
+        return [binary]
+
+    h2 = GzipHandler(app2, min_size=10, content_types={"text/plain"})
+    cap2 = {}
+    def sr2(status, headers, exc_info=None):
+        cap2["h"] = headers
+        return lambda b: None
+    out2 = b"".join(h2({"HTTP_ACCEPT_ENCODING": "gzip"}, sr2))
+    assert out2 == binary  # filtered out by sniffed type
