@@ -79,6 +79,17 @@ def build_sidecar(frame: bytes, max_rounds: int = 4) -> bytes | None:
     payload = out.raw[:r]
     if payload[6] != 1:  # flags: not eligible
         return None
+    # the sidecar pays format bytes for decode parallelism; s2-compress
+    # the payload itself (checkpoints/pieces are highly regular) to cut
+    # the tax roughly in half — 'CTA2' marks a compressed payload
+    try:
+        from compress_tpu import s2 as _s2
+
+        packed = b"CTA2" + _s2.encode(payload)
+        if len(packed) < len(payload):
+            payload = packed
+    except Exception:  # noqa: BLE001 — plain payload stays valid
+        pass
     # skippable frame magic 0x184D2A5A (nibble A = ours by convention)
     return ((SKIP_MAGIC | 0xA).to_bytes(4, "little")
             + len(payload).to_bytes(4, "little") + payload)
@@ -103,6 +114,13 @@ def split_sidecar(blob: bytes):
         if (magic & 0xFFFFFFF0) == SKIP_MAGIC:
             size = int.from_bytes(blob[4:8], "little")
             payload = blob[8 : 8 + size]
+            if payload[:4] == b"CTA2":  # s2-compressed sidecar
+                from compress_tpu import s2 as _s2
+
+                try:
+                    payload = _s2.decode(payload[4:])
+                except Exception:  # noqa: BLE001 — treat as foreign
+                    return None, blob[8 + size :]
             if payload[:4] == ACCEL_MAGIC:
                 return payload, blob[8 + size :]
             return None, blob[8 + size :]
