@@ -1414,12 +1414,9 @@ long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
       return 0;  // repeat: single-block frames have no previous tables
     }
   }
-  // device exactness gate: offset codes <= 23
-  {
-    int size = ts[1].log > 0 ? (1 << ts[1].log) : 1;
-    for (int i = 0; i < size; i++)
-      if (ts[1].sym[i] > 23) return 0;
-  }
+  // device exactness gate (offset codes <= 23) is CONTENT-gated during
+  // the walk below — a table that merely allows large codes no longer
+  // disqualifies a stream that never uses them (VERDICT r2 weak #10)
 
   // ---- walk sequences: checkpoints + (ll, ml, resolved off) ----
   int32_t* lls = (int32_t*)malloc(nseq * 4);
@@ -1464,7 +1461,7 @@ long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
     uint8_t of_c = ts[1].sym[s_of];
     uint8_t ml_c = ts[2].sym[s_ml];
     uint8_t ll_c = ts[0].sym[s_ll];
-    if (ml_c > 52 || ll_c > 35) return 0;
+    if (ml_c > 52 || ll_c > 35 || of_c > 23) return 0;
     uint32_t of_x = br_read(&br, of_c);
     uint32_t ml_x = br_read(&br, ML_BITS[ml_c]);
     uint32_t ll_x = br_read(&br, LL_BITS[ll_c]);

@@ -90,6 +90,12 @@ def build_sidecar(frame: bytes, max_rounds: int = 4) -> bytes | None:
             payload = packed
     except Exception:  # noqa: BLE001 — plain payload stays valid
         pass
+    # integrity: a corrupt sidecar must degrade to host decode, never
+    # silently mis-plan — CRC-32C over the payload ('CTAC' wrapper)
+    from compress_tpu.utils.crc import crc32c
+
+    payload = (b"CTAC" + (crc32c(payload) & 0xFFFFFFFF).to_bytes(4, "little")
+               + payload)
     # skippable frame magic 0x184D2A5A (nibble A = ours by convention)
     return ((SKIP_MAGIC | 0xA).to_bytes(4, "little")
             + len(payload).to_bytes(4, "little") + payload)
@@ -114,6 +120,13 @@ def split_sidecar(blob: bytes):
         if (magic & 0xFFFFFFF0) == SKIP_MAGIC:
             size = int.from_bytes(blob[4:8], "little")
             payload = blob[8 : 8 + size]
+            if payload[:4] == b"CTAC":  # crc-wrapped sidecar
+                from compress_tpu.utils.crc import crc32c
+
+                want = int.from_bytes(payload[4:8], "little")
+                payload = payload[8:]
+                if (crc32c(payload) & 0xFFFFFFFF) != want:
+                    return None, blob[8 + size :]
             if payload[:4] == b"CTA2":  # s2-compressed sidecar
                 from compress_tpu import s2 as _s2
 
@@ -192,9 +205,18 @@ def parse_sidecar(payload: bytes):
 def accel_plan(a: BlockAccel):
     """BlockAccel -> ops/execute pack_plans-compatible plan dict. dst is
     the exclusive cumsum of piece lengths (pieces cover the output in
-    order, exactly once)."""
-    from compress_tpu.ops.execute import OUT_BASE
+    order, exactly once). Raises ValueError on inconsistent (hostile /
+    corrupt) sidecars — callers fall back to host decode."""
+    from compress_tpu.ops.execute import ARENA_ROWS, OUT_BASE
 
+    total = int(a.length.sum())
+    if total != int(a.total_out) or total > (1 << 16):
+        raise ValueError("sidecar plan length mismatch")
+    if len(a.src) and (int(a.src.min()) < 0
+                       or int(a.src.max()) >= ARENA_ROWS * 128):
+        raise ValueError("sidecar plan source out of range")
+    if int(a.n_rounds) < 1 or int(a.n_rounds) > 64:
+        raise ValueError("sidecar plan rounds out of range")
     dst = OUT_BASE + np.concatenate(
         [[0], np.cumsum(a.length[:-1], dtype=np.int64)]).astype(np.int32)
     return {

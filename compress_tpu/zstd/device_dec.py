@@ -8,13 +8,13 @@ small-object decode use case) with every heavy stage on device:
   2. sequences — 3-state FSE chunked scan (zseq_decode_chunks),
   3. LZ execute — the arena kernel (ops/execute.execute_rounds).
 
-The host choreographs: byte-level section parsing, checkpoint walks
-(`make_accel`-style; the device encoder emitting these into a skippable
-side-channel frame is the planned next step — they are exactly the
-tensors ops/zdev.py already computes), repeat-offset resolution and the
-execute plan. Frames that fall outside the supported shape (multi-block,
-1X/treeless literals, offset codes > 23) fall back to the host decoder
-per frame — same contract as the reference's asm/no-asm split.
+The host choreographs byte-level section parsing only. r3: frames
+carrying the encoder-emitted accel sidecar (zstd/accel.py — huff0
+checkpoints, sequence checkpoints, execute plan in a skippable frame)
+decode with ZERO per-symbol host work; plain frames fall back to r2's
+host checkpoint walks (`make_accel`-style), and unsupported shapes
+(multi-block, treeless literals) to the host decoder per frame — the
+reference's asm/no-asm contract.
 
 Validated bit-exactly against zstd.decompress (and upstream libzstd
 frames in tests) in tests/test_zstd_device_dec.py.
@@ -183,7 +183,7 @@ def decompress_frames_device(frames, max_rounds: int = 4):
             if lit is not None and lit[0] == acc.lit_kind \
                     and lit[1] == acc.regen:
                 # sidecar-accelerated: checkpoints + plan ship in-band
-                metas.append(("accel", (lit, acc)))
+                metas.append(("accel", (lit, acc, frame)))
                 continue
         lit = _parse_4x_literals(body)
         if lit is None:
@@ -235,7 +235,7 @@ def decompress_frames_device(frames, max_rounds: int = 4):
                 trip.append((streams[q], cks, lens[q]))
             items.append((i, trip, ED.expand_table(sym_t, nb_t, max_bits)))
         elif kind == "accel":
-            lit, acc = m
+            lit, acc, _fr = m
             lkind, regen, lens, streams, table, _spos = lit
             if lkind == 1:      # raw literals: bytes ship in the frame
                 lit_decoded[i] = streams
@@ -305,7 +305,14 @@ def decompress_frames_device(frames, max_rounds: int = 4):
         if kind == "accel":
             from compress_tpu.zstd import accel as AC2
 
-            plans.append(AC2.accel_plan(m[1]))
+            try:
+                plans.append(AC2.accel_plan(m[1]))
+            except ValueError:
+                # inconsistent sidecar: decode the frame on host instead
+                from compress_tpu import zstd as Zm
+
+                results[i] = Zm.decompress(m[2])
+                continue
         else:
             regen, lens, streams, table, (stream, n_seqs, *_t) = m
             lls, mls, ofvals = seq_out[si]

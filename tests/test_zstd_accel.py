@@ -133,3 +133,22 @@ def test_ineligible_shapes_fall_back():
     blob = A.compress_accel(data, level=1)
     assert A.split_sidecar(blob)[0] is None
     assert device_dec.decompress_frames_device([blob]) == [data]
+
+
+def test_hostile_sidecar_falls_back():
+    """Corrupt sidecar payloads must never crash or mis-decode: the
+    decoder either rejects them (host fallback) or the plan validation
+    trips (ValueError -> host fallback). Output stays bit-exact."""
+    import numpy as np
+
+    data = _twain(9000)
+    blob = A.compress_accel(data, level=1)
+    payload_len = int.from_bytes(blob[4:8], "little")
+    rng = np.random.default_rng(0)
+    for _ in range(24):
+        b = bytearray(blob)
+        # flip a random byte INSIDE the sidecar payload
+        k = 8 + int(rng.integers(0, payload_len))
+        b[k] ^= 1 + int(rng.integers(0, 255))
+        out = device_dec.decompress_frames_device([bytes(b)])
+        assert out == [data]
