@@ -22,6 +22,7 @@ from compress_tpu.s2.block import (  # noqa: F401
 )
 
 __all__ = [
+    "decode_blocks_device",
     "CorruptError",
     "MAX_BLOCK_SIZE",
     "concat_blocks",
@@ -36,3 +37,11 @@ __all__ = [
     "encode_snappy_best",
     "max_encoded_len",
 ]
+
+
+def decode_blocks_device(blocks, *, allow_repeat: bool = True,
+                         max_rounds: int = 4):
+    """Batched device decode of S2/snappy blocks (r3; s2/device_dec.py)."""
+    from compress_tpu.s2.device_dec import decode_blocks_device as _d
+
+    return _d(blocks, allow_repeat=allow_repeat, max_rounds=max_rounds)

@@ -252,8 +252,16 @@ __all__ = [
     "split_frames", "Header", "parse_frame_header",
     "ZstdError", "FrameError", "BlockError", "History",
     "SpeedFastest", "SpeedDefault", "SpeedBetter", "SpeedBest",
-    "MAX_DECODED_SIZE",
+    "MAX_DECODED_SIZE", "compress_accel",
 ]
+
+
+def compress_accel(data, level: int = 1, max_rounds: int = 4) -> bytes:
+    """Encode with the device-decode accel sidecar prepended (r3;
+    zstd/accel.py). The result is a standard zstd stream."""
+    from compress_tpu.zstd.accel import compress_accel as _ca
+
+    return _ca(data, level=level, max_rounds=max_rounds)
 
 
 _simple_cache = {}
