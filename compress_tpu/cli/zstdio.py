@@ -2,7 +2,7 @@
 
 Covers the reference's zstd-level CLI exposure (the Go repo ships only
 library APIs for zstd; this is the s2c/s2d-style driver for the zstd side).
-Flags: -d (decompress), -level 1..4, -D dictionary, -crc, -pad, -c, -o.
+Flags: -d (decompress), -level 1..4, -D dictionary, -crc, -accel, -c, -o.
 """
 
 from __future__ import annotations
@@ -19,6 +19,9 @@ def main(argv=None):
     ap.add_argument("-level", type=int, default=2, help="1=fastest 2=default 3=better 4=best")
     ap.add_argument("-D", default="", help="dictionary file")
     ap.add_argument("-crc", action="store_true", help="add content checksum")
+    ap.add_argument("-accel", action="store_true",
+                    help="emit the device-decode accel sidecar (r3; "
+                         "skippable frame, any zstd decoder ignores it)")
     ap.add_argument("-c", action="store_true", help="stdout")
     ap.add_argument("-o", default="")
     args = ap.parse_args(argv)
@@ -43,7 +46,10 @@ def main(argv=None):
             out = Z.decompress(data, dicts=dicts)
             dst = args.o or (path[:-4] if path.endswith(".zst") else path + ".out")
         else:
-            out = Z.compress(data, level=args.level, checksum=args.crc, dict_=dict_)
+            if args.accel and dict_ is None and not args.crc:
+                out = Z.compress_accel(data, level=min(args.level, 3))
+            else:
+                out = Z.compress(data, level=args.level, checksum=args.crc, dict_=dict_)
             dst = args.o or path + ".zst"
         if args.c:
             sys.stdout.buffer.write(out)
