@@ -39,6 +39,13 @@ def main():
     np.asarray(y.ravel()[0:1])
     out["calib_matmul_ms"] = round((time.time() - t) / 3 * 1e3, 3)
     out["degraded"] = out["calib_matmul_ms"] > 50
+    if out["calib_matmul_ms"] > 1000:
+        # heavily degraded (r2/r3 fault aftermath: 30,000+ ms): even the
+        # tiny shapes would take tens of minutes — the calibration number
+        # IS the signal; report it and stop
+        out["skipped"] = "chip heavily degraded; calib is the signal"
+        print(json.dumps(out))
+        return 0
 
     data = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
                 "rb").read()
