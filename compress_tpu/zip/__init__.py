@@ -189,8 +189,13 @@ class Writer:
 class Reader:
     """Archive reader (reference: zip.NewReader)."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, name_decoder=None):
+        """name_decoder: callable bytes -> str for legacy (non-UTF-8)
+        entry names (reference: zip ReaderOptions NameDecoder,
+        zip/reader.go:124-134); default cp437, the zip legacy charset.
+        Entries with the UTF-8 flag (bit 11) always decode as UTF-8."""
         self.data = bytes(data)
+        self.name_decoder = name_decoder or (lambda b: b.decode("cp437"))
         self.entries = self._parse_central()
 
     def _parse_central(self):
@@ -213,9 +218,19 @@ class Reader:
                 raise ZipError("bad central directory entry")
             (_, _, _, flags, method, t, d, crc, cs, us, nlen, xlen, clen,
              _, _, _, off) = struct.unpack("<IHHHHHHIIIHHHHHII", data[pos : pos + 46])
-            name = data[pos + 46 : pos + 46 + nlen].decode("utf-8")
+            name_b = data[pos + 46 : pos + 46 + nlen]
             extra = data[pos + 46 + nlen : pos + 46 + nlen + xlen]
-            cmt = data[pos + 46 + nlen + xlen : pos + 46 + nlen + xlen + clen]
+            cmt_b = data[pos + 46 + nlen + xlen : pos + 46 + nlen + xlen + clen]
+            if flags & 0x800:  # UTF-8 flag
+                name = name_b.decode("utf-8")
+                cmt = cmt_b.decode("utf-8")
+            else:
+                try:
+                    name = name_b.decode("utf-8")
+                    cmt = cmt_b.decode("utf-8")
+                except UnicodeDecodeError:
+                    name = self.name_decoder(name_b)
+                    cmt = self.name_decoder(cmt_b)
             # zip64 extra
             ep = 0
             while ep + 4 <= len(extra):
@@ -236,7 +251,7 @@ class Reader:
             h = FileHeader(name=name, method=method,
                            mtime=(y, (d >> 5) & 0xF, d & 0x1F,
                                   t >> 11, (t >> 5) & 0x3F, (t & 0x1F) * 2),
-                           comment=cmt.decode("utf-8"),
+                           comment=cmt,
                            crc32=crc, compressed_size=cs,
                            uncompressed_size=us, offset=off, flags=flags)
             entries.append(h)

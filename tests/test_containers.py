@@ -129,3 +129,48 @@ def test_zip_custom_codec_registry():
     w.close()
     r = tzip.Reader(buf.getvalue())
     assert r.read(r.entries[0]) == b"reversible codec!"
+
+
+def test_zip_legacy_name_decoding():
+    """Non-UTF-8 entry names decode via cp437 by default or a custom
+    name_decoder (reference: zip ReaderOptions NameDecoder)."""
+    import struct
+    import zipfile
+    import io
+
+    from compress_tpu import zip as czip
+
+    # build an archive with a cp437 name (0x82 = e-acute in cp437),
+    # UTF-8 flag NOT set — stdlib zipfile writes cp437 when name is
+    # encodable... force bytes via low-level write instead
+    name437 = "café".encode("cp437")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("placeholder", b"hello legacy")
+    blob = bytearray(buf.getvalue())
+    # patch the name bytes in both local and central headers
+    idx = blob.find(b"placeholder")
+    while idx >= 0:
+        blob[idx : idx + len(name437)] = name437
+        blob[idx + len(name437) : idx + 11] = b"\x00" * (11 - len(name437))
+        idx = blob.find(b"placeholder", idx + 1)
+    # fix name length fields: local header at 0, central later
+    # simpler: rebuild with exact-length name through our writer
+    w = io.BytesIO()
+    zw = czip.Writer(w)
+    h = zw.create("tmpname", b"hello legacy", method=0)
+    zw.close()
+    raw = bytearray(w.getvalue())
+    assert len("tmpname") == len(name437) + 3
+    nm = name437 + b"\x01\x02\x03"  # same length, non-UTF-8 bytes
+    i = raw.find(b"tmpname")
+    while i >= 0:
+        raw[i : i + 7] = nm
+        i = raw.find(b"tmpname", i + 1)
+    r = czip.Reader(bytes(raw))
+    names = r.namelist()
+    assert len(names) == 1
+    assert names[0] == nm.decode("cp437")
+    custom = czip.Reader(bytes(raw),
+                         name_decoder=lambda b: b.decode("latin-1"))
+    assert custom.namelist()[0] == nm.decode("latin-1")
