@@ -195,6 +195,23 @@ ZSEQ_K = 8         # sequences per checkpoint chunk
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
+def zseq_decode_chunks_rep(windows, lbit, sll, sof, sml, nseq, nore,
+                           r1, r2, r3, tll, tof, tml, k: int = ZSEQ_K):
+    """zseq_decode_chunks + ON-DEVICE repeat-offset resolution (r3).
+
+    r1/r2/r3 (N, C) int32: rep state at chunk entry (from encoder-emitted
+    checkpoints or a host walk). Returns ((ll, ml, ofv, off), end_lbit)
+    where off is the RESOLVED absolute offset — the last per-sequence
+    host loop (device_dec._resolve_reps) moves into the scan carry.
+    Rep algebra (RFC 8878 §3.1.1.5): value>3 -> off=value-3, push;
+    value 1-3 index the rep stack, shifted by one when ll==0."""
+    (ll, ml, ofv, off), endl = _zseq_core(
+        windows, lbit, sll, sof, sml, nseq, nore, tll, tof, tml, k,
+        (r1, r2, r3))
+    return (ll, ml, ofv, off), endl
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
 def zseq_decode_chunks(windows, lbit, sll, sof, sml, nseq, nore,
                        tll, tof, tml, k: int = ZSEQ_K):
     """Chunked zstd sequence decode — 3 interleaved FSE states
@@ -209,6 +226,13 @@ def zseq_decode_chunks(windows, lbit, sll, sof, sml, nseq, nore,
     bf16-exact). Offset codes must be <= 23 (caller gates; keeps the
     f32 window extraction exact).
     Returns (ll, ml, ofv) each (N, C, k) int32, plus end lbit."""
+    (ll, ml, ofv, _off), endl = _zseq_core(
+        windows, lbit, sll, sof, sml, nseq, nore, tll, tof, tml, k, None)
+    return (ll, ml, ofv), endl
+
+
+def _zseq_core(windows, lbit, sll, sof, sml, nseq, nore,
+               tll, tof, tml, k, reps):
     N, C, _ = windows.shape
     w32 = windows.astype(jnp.int32)
     hw = w32[:, :, 0::2] | (w32[:, :, 1::2] << 8)
@@ -273,8 +297,15 @@ def zseq_decode_chunks(windows, lbit, sll, sof, sml, nseq, nore,
         nb = nbf.astype(jnp.int32)
         return jnp.floor(v * pow2f(nb - 24)), nb
 
+    if reps is not None:
+        c1_0, c2_0, c3_0 = (r.astype(jnp.int32) for r in reps)
+    else:
+        c1_0 = jnp.full((N, C), 1, jnp.int32)
+        c2_0 = jnp.full((N, C), 4, jnp.int32)
+        c3_0 = jnp.full((N, C), 8, jnp.int32)
+
     def step(carry, j):
-        lbp, s1, s2, s3 = carry            # ll, of, ml states
+        lbp, s1, s2, s3, c1, c2, c3 = carry    # ll, of, ml states + reps
         llc, ns1, nb1, llb, llbase = lookup(tls[0], s1)
         ofc, ns2, nb2, ofb, _ = lookup(tls[1], s2)
         mlc, ns3, nb3, mlb, mlbase = lookup(tls[2], s3)
@@ -291,6 +322,19 @@ def zseq_decode_chunks(windows, lbit, sll, sof, sml, nseq, nore,
                   + vof.astype(jnp.int32))          # of_c==0 -> 1 + 0
         ml = (mlbase + vml).astype(jnp.int32)
         ll = (llbase + vll).astype(jnp.int32)
+        # repeat-offset resolution in-carry (RFC 8878 §3.1.1.5)
+        is_plain = of_val > 3
+        code = of_val - 1 + (ll == 0).astype(jnp.int32)
+        off_rep = jnp.where(code == 0, c1,
+                            jnp.where(code == 1, c2,
+                                      jnp.where(code == 2, c3,
+                                                jnp.maximum(c1 - 1, 1))))
+        off = jnp.where(is_plain, of_val - 3, off_rep)
+        n2r = jnp.where(~is_plain & (code == 0), c2, c1)
+        n3r = jnp.where(~is_plain & (code <= 1), c3, c2)
+        c1 = jnp.where(act, off, c1)
+        c2 = jnp.where(act, n2r, c2)
+        c3 = jnp.where(act, n3r, c3)
         # state reloads: ll, ml, of (host order), all but the last seq
         rel = act & (j < nore)
         v1, n1 = read_n(lbp, jnp.where(rel, nb1, 0.0))
@@ -303,13 +347,15 @@ def zseq_decode_chunks(windows, lbit, sll, sof, sml, nseq, nore,
         s2 = jnp.where(rel, (ns2 + v2).astype(jnp.int32), s2)
         lbp = jnp.where(rel, lbp - n2, lbp)
         out = jnp.stack([jnp.where(act, ll, 0), jnp.where(act, ml, 0),
-                         jnp.where(act, of_val, 0)], axis=-1)
-        return (lbp, s1, s2, s3), out
+                         jnp.where(act, of_val, 0),
+                         jnp.where(act, off, 0)], axis=-1)
+        return (lbp, s1, s2, s3, c1, c2, c3), out
 
-    (lbit_end, _, _, _), seqs = jax.lax.scan(
-        step, (lbit, sll, sof, sml), jnp.arange(k, dtype=jnp.int32))
-    seqs = jnp.moveaxis(seqs, 0, 2)          # (N, C, k, 3)
-    return (seqs[..., 0], seqs[..., 1], seqs[..., 2]), lbit_end
+    (lbit_end, _, _, _, _, _, _), seqs = jax.lax.scan(
+        step, (lbit, sll, sof, sml, c1_0, c2_0, c3_0),
+        jnp.arange(k, dtype=jnp.int32))
+    seqs = jnp.moveaxis(seqs, 0, 2)          # (N, C, k, 4)
+    return (seqs[..., 0], seqs[..., 1], seqs[..., 2], seqs[..., 3]), lbit_end
 
 
 def expand_zseq_table(spread, nb, new_state, xbits, base):

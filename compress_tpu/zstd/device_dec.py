@@ -289,7 +289,10 @@ def decompress_frames_device(frames, max_rounds: int = 4):
 
     # ---- sequences on device ---------------------------------------------
     seq_items = [m[1][4] for m in metas if m[0] == "dev"]
-    seq_out = seqdev.decode_sequences_device(seq_items) if seq_items else []
+    # resolve=True: repeat offsets resolve ON DEVICE in the scan carry
+    # (r3 kernel); no per-sequence host loop remains in this path either
+    seq_out = (seqdev.decode_sequences_device(seq_items, resolve=True)
+               if seq_items else [])
 
     # ---- execute on device ------------------------------------------------
     plans, lit_rows, order = [], [], []
@@ -315,9 +318,8 @@ def decompress_frames_device(frames, max_rounds: int = 4):
                 continue
         else:
             regen, lens, streams, table, (stream, n_seqs, *_t) = m
-            lls, mls, ofvals = seq_out[si]
+            lls, mls, ofvals, offs = seq_out[si]
             si += 1
-            offs = _resolve_reps(lls, mls, ofvals)
             # op list: per sequence a literal run + a copy; trailing literals
             kinds_l, lens_l, offs_l = [], [], []
             for t in range(len(lls)):

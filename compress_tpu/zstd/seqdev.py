@@ -71,32 +71,49 @@ def seq_accel(stream: bytes, n_seqs: int, t_ll: S.STable, t_of: S.STable,
     s_ll = br.read(t_ll.log)
     s_of = br.read(t_of.log)
     s_ml = br.read(t_ml.log)
-    cks = [(br.bitpos, s_ll, s_of, s_ml)]
+    r1, r2, r3 = 1, 4, 8  # rep state rides the checkpoints (r3 kernel)
+    cks = [(br.bitpos, s_ll, s_of, s_ml, r1, r2, r3)]
     for i in range(n_seqs):
         of_c = int(t_of.spread[s_of])
         ml_c = int(t_ml.spread[s_ml])
         ll_c = int(t_ll.spread[s_ll])
         if max_ofc is not None and of_c > max_ofc[0]:
             max_ofc[0] = of_c
-        br.read(of_c)
+        of_x = br.read(of_c)
         br.read(int(S.ML_BITS[ml_c]))
-        br.read(int(S.LL_BITS[ll_c]))
+        ll_x = br.read(int(S.LL_BITS[ll_c]))
+        of_val = ((1 << of_c) + of_x) if of_c else 1
+        ll0 = int(S.LL_BASELINE[ll_c]) == 0 and ll_x == 0
+        if of_val > 3:
+            r1, r2, r3 = of_val - 3, r1, r2
+        else:
+            code = of_val - 1 + (1 if ll0 else 0)
+            if code == 1:
+                r1, r2 = r2, r1
+            elif code == 2:
+                r1, r2, r3 = r3, r1, r2
+            elif code == 3:
+                r1, r2, r3 = max(r1 - 1, 1), r1, r2
         if i < n_seqs - 1:
             s_ll = int(t_ll.new_state[s_ll]) + br.read(int(t_ll.nb[s_ll]))
             s_ml = int(t_ml.new_state[s_ml]) + br.read(int(t_ml.nb[s_ml]))
             s_of = int(t_of.new_state[s_of]) + br.read(int(t_of.nb[s_of]))
         if (i + 1) % k == 0 and i + 1 < n_seqs:
-            cks.append((br.bitpos, s_ll, s_of, s_ml))
+            cks.append((br.bitpos, s_ll, s_of, s_ml, r1, r2, r3))
     return cks
 
 
-def decode_sequences_device(items, k: int | None = None):
+def decode_sequences_device(items, k: int | None = None,
+                            resolve: bool = False):
     """Batched device decode of sequence sections.
 
     items: list of (stream_bytes, n_seqs, t_ll, t_of, t_ml). Returns a
     list of (lls, mls, ofvals) int64 arrays (matching
-    seqs.decode_sequences). Blocks whose offset codes can exceed 23
-    (window > 8 MiB) fall back to the host loop."""
+    seqs.decode_sequences), or (lls, mls, ofvals, offs) with
+    resolve=True — repeat-offset resolution then runs ON DEVICE in the
+    scan carry (r3, zseq_decode_chunks_rep), seeded by the checkpoint
+    rep states. Blocks that USE offset codes > 23 fall back to the host
+    loop (content-gated)."""
     import jax.numpy as jnp
 
     from compress_tpu.ops import entropy_dec as ED
@@ -129,8 +146,9 @@ def decode_sequences_device(items, k: int | None = None):
                        ).astype(np.int32)
         tabs = (pack_table(t_ll, "ll"), pack_table(t_of, "of"),
                 pack_table(t_ml, "ml"))
+        reps = np.array([c[4:7] for c in cks], np.int32)
         metas.append(("dev", (n_seqs, w, lb, sll, sof, sml, nsq, nore,
-                              tabs)))
+                              tabs, reps)))
         cmax = max(cmax, nch)
     N = len(items)
     windows = np.zeros((N, cmax, ED.ZWIN), np.uint8)
@@ -143,10 +161,13 @@ def decode_sequences_device(items, k: int | None = None):
     tll = np.zeros((N, 16, 192), np.float32)
     tof = np.zeros((N, 16, 192), np.float32)
     tml = np.zeros((N, 16, 192), np.float32)
+    rep1 = np.ones((N, cmax), np.int32)
+    rep2 = np.full((N, cmax), 4, np.int32)
+    rep3 = np.full((N, cmax), 8, np.int32)
     for i, (kind, m) in enumerate(metas):
         if kind != "dev":
             continue
-        _, w, lb, s1, s2, s3, nsq, nr, tabs = m
+        _, w, lb, s1, s2, s3, nsq, nr, tabs, reps = m
         nc = len(lb)
         windows[i, :nc] = w
         lbit[i, :nc] = lb
@@ -156,11 +177,21 @@ def decode_sequences_device(items, k: int | None = None):
         nseq[i, :nc] = nsq
         nore[i, :nc] = nr
         tll[i], tof[i], tml[i] = tabs
-    (ll, ml, ofv), endl = ED.zseq_decode_chunks(
-        jnp.asarray(windows), jnp.asarray(lbit), jnp.asarray(sll),
-        jnp.asarray(sof), jnp.asarray(sml), jnp.asarray(nseq),
-        jnp.asarray(nore), jnp.asarray(tll), jnp.asarray(tof),
-        jnp.asarray(tml), k=k)
+        rep1[i, :nc] = reps[:, 0]
+        rep2[i, :nc] = reps[:, 1]
+        rep3[i, :nc] = reps[:, 2]
+    args = (jnp.asarray(windows), jnp.asarray(lbit), jnp.asarray(sll),
+            jnp.asarray(sof), jnp.asarray(sml), jnp.asarray(nseq),
+            jnp.asarray(nore))
+    tabs3 = (jnp.asarray(tll), jnp.asarray(tof), jnp.asarray(tml))
+    if resolve:
+        (ll, ml, ofv, off), endl = ED.zseq_decode_chunks_rep(
+            *args, jnp.asarray(rep1), jnp.asarray(rep2),
+            jnp.asarray(rep3), *tabs3, k=k)
+        off = np.asarray(off, np.int64)
+    else:
+        (ll, ml, ofv), endl = ED.zseq_decode_chunks(*args, *tabs3, k=k)
+        off = None
     ll = np.asarray(ll, np.int64)
     ml = np.asarray(ml, np.int64)
     ofv = np.asarray(ofv, np.int64)
@@ -168,11 +199,21 @@ def decode_sequences_device(items, k: int | None = None):
     for i, (kind, m) in enumerate(metas):
         if kind == "host":
             stream, n_seqs, t_ll, t_of, t_ml = m
-            out.append(S.decode_sequences(stream, n_seqs, t_ll, t_of, t_ml))
+            trip = S.decode_sequences(stream, n_seqs, t_ll, t_of, t_ml)
+            if resolve:
+                from compress_tpu.zstd.device_dec import _resolve_reps
+
+                out.append((*trip, _resolve_reps(*trip)))
+            else:
+                out.append(trip)
             continue
         n_seqs = m[0]
         nc = len(m[2])
-        out.append((ll[i, :nc].reshape(-1)[:n_seqs],
-                    ml[i, :nc].reshape(-1)[:n_seqs],
-                    ofv[i, :nc].reshape(-1)[:n_seqs]))
+        trip = (ll[i, :nc].reshape(-1)[:n_seqs],
+                ml[i, :nc].reshape(-1)[:n_seqs],
+                ofv[i, :nc].reshape(-1)[:n_seqs])
+        if resolve:
+            out.append((*trip, off[i, :nc].reshape(-1)[:n_seqs]))
+        else:
+            out.append(trip)
     return out

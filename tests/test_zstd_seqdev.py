@@ -100,3 +100,29 @@ def test_seq_device_decode_rle_and_predef_modes():
     got = seqdev.decode_sequences_device(items)
     for (gl, gm, go), (tl, tm, to) in zip(got, truth):
         assert (gl == tl).all() and (gm == tm).all() and (go == to).all()
+
+
+def test_seq_device_rep_resolution_on_device():
+    """r3: resolve=True runs repeat-offset resolution in the scan carry;
+    resolved offsets must match the host per-sequence resolver exactly."""
+    from compress_tpu.zstd.device_dec import _resolve_reps
+
+    corpora = [
+        open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+             "rb").read()[:50000],
+        open("/root/reference/testdata/html.txt", "rb").read()[:40000],
+        (b"abcabcabd" * 4000)[:30000],
+    ]
+    items, truth = [], []
+    for data in corpora:
+        frame = Z.compress(data, level=1)
+        it, tr = _seq_items_from_frame(frame)
+        items += it
+        truth += tr
+    if not items:
+        pytest.skip("no sequence blocks produced")
+    got = seqdev.decode_sequences_device(items, resolve=True)
+    for (gl, gm, go, goff), (tl, tm, to) in zip(got, truth):
+        assert (gl == tl).all() and (gm == tm).all() and (go == to).all()
+        want_off = _resolve_reps(tl, tm, to)
+        assert (goff == want_off).all(), "device rep resolution mismatch"
