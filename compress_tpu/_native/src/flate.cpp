@@ -508,6 +508,12 @@ static long long deflate_fast(const uint8_t* src, long long n, uint8_t* dst,
       toks[ntok].dist = 0xFFFF;
       ntok++;
       p += take;
+      // long match-free stretches must flush here too, or the token
+      // buffer overflows (r3 review #2: flush only ran after matches)
+      if (ntok >= FBLOCK || p - blk_start >= FSPAN) {
+        next_emit = p;
+        flush(p, 0);
+      }
     }
     next_emit = upto;
   };

@@ -1260,8 +1260,12 @@ long long ct_s2_build_plan(const uint8_t* src, long long slen,
 // first block header (frame header stripped by the caller) with 16 bytes
 // of readable slack; returns payload size, 0 if the frame shape is not
 // device-eligible (caller emits no sidecar), or E_CORRUPT/E_SPACE.
+// opts bit0: also serialize the per-8-sequence checkpoint records
+// (bit offset + FSE states + reps) — the compact/validation channel.
+// The default plan-only sidecar omits them (r3 review #4: nothing in the
+// plan-driven decode path reads them, and they cost ~2.75 B/sequence).
 long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
-                                int max_rounds, uint8_t* out,
+                                int max_rounds, int opts, uint8_t* out,
                                 long long cap) {
   ByteSink sink{out, 0, cap, true};
   sink.u8('C'); sink.u8('T'); sink.u8('A'); sink.u8('1');
@@ -1435,6 +1439,7 @@ long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
   uint32_t rep[3] = {1, 4, 8};
   long long seq_nch = (nseq + ACC_ZSEQ_K - 1) / ACC_ZSEQ_K;
   if (seq_nch > 0xFFFF) return 0;
+  const bool emit_cks = (opts & 1) != 0;
   // write literal checkpoints now (before the variable-size seq section)
   sink.u8((uint8_t)lit_kind);
   sink.u32((uint64_t)regen);
@@ -1444,8 +1449,9 @@ long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
   int n_ck_streams = lit_kind == 0 ? 4 : (lit_kind == 3 ? 1 : 0);
   for (int k = 0; k < n_ck_streams; k++)
     if (!huf_walk_cks(ht, sp[k], sn[k], slen[k], &sink)) return 0;
-  sink.u16((uint32_t)seq_nch);
+  if (emit_cks) sink.u16((uint32_t)seq_nch);
   auto seq_ck = [&]() {
+    if (!emit_cks) return;
     sink.u32((uint64_t)br.bitpos);
     sink.u16(s_ll);
     sink.u16(s_of);
@@ -1547,7 +1553,7 @@ long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
       sink.pos += po.n;
       memcpy(out + sink.pos, prnd, po.n);
       sink.pos += po.n;
-      out[flags_at] = 1;  // eligible
+      out[flags_at] = (uint8_t)(1 | (emit_cks ? 2 : 0));  // eligible
       ret = sink.pos;
     } else {
       ret = E_SPACE;

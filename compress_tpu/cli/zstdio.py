@@ -49,6 +49,9 @@ def main(argv=None):
             if args.accel and dict_ is None and not args.crc:
                 out = Z.compress_accel(data, level=min(args.level, 3))
             else:
+                if args.accel:
+                    print("zstdio: -accel ignored (incompatible with "
+                          "-crc/-D)", file=sys.stderr)
                 out = Z.compress(data, level=args.level, checksum=args.crc, dict_=dict_)
             dst = args.o or path + ".zst"
         if args.c:

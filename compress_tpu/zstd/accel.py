@@ -20,12 +20,12 @@ huff0/compress.go:269).
 
 Sidecar payload (little-endian):
   'CTA1' u16 n_blocks, then per block:
-    u8 flags (1 = device-eligible)
+    u8 flags (bit0 = device-eligible, bit1 = seq checkpoints present)
     u8 lit_kind (0 = 4X compressed, 1 = raw, 2 = RLE, 3 = 1X compressed)
     u32 regen, u32 n_seqs, u32 total_out
     k x { u16 n_chunks; u32 cks[n_chunks] }   (k = 4, 1, or 0 streams)
-    u16 seq_nch; seq_nch x { u32 bitpos; u16 s_ll, s_of, s_ml;
-                             u32 r1, r2, r3 }
+    [flags bit1] u16 seq_nch; seq_nch x { u32 bitpos; u16 s_ll, s_of,
+                             s_ml; u32 r1, r2, r3 }
     u32 n_pieces; u8 n_rounds; i32 src[n]; u8 len[n]; u8 round[n]
 """
 
@@ -51,15 +51,18 @@ def _lib():
         lib.ct_zstd_build_sidecar.restype = ctypes.c_longlong
         lib.ct_zstd_build_sidecar.argtypes = [
             ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int,
-            ctypes.c_char_p, ctypes.c_longlong]
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_longlong]
         lib._accel_proto = True
     return lib
 
 
-def build_sidecar(frame: bytes, max_rounds: int = 4) -> bytes | None:
+def build_sidecar(frame: bytes, max_rounds: int = 4,
+                  seq_cks: bool = False) -> bytes | None:
     """Build the accel sidecar (as a complete skippable frame) for one
     single-block zstd frame, or None when the frame shape is not
-    device-eligible / native is unavailable."""
+    device-eligible / native is unavailable. seq_cks=True also embeds
+    the per-8-sequence checkpoint records (compact/validation channel;
+    the plan-driven decode path does not need them)."""
     lib = _lib()
     if lib is None:
         return None
@@ -67,17 +70,18 @@ def build_sidecar(frame: bytes, max_rounds: int = 4) -> bytes | None:
     body = frame[h.header_size :] + b"\x00" * 16
     cap = 16 * len(frame) + (1 << 16)
     out = ctypes.create_string_buffer(cap)
+    opts = 1 if seq_cks else 0
     r = lib.ct_zstd_build_sidecar(body, len(body) - 16, int(max_rounds),
-                                  out, cap)
+                                  opts, out, cap)
     while r == -3:  # E_SPACE
         cap *= 4
         out = ctypes.create_string_buffer(cap)
         r = lib.ct_zstd_build_sidecar(body, len(body) - 16, int(max_rounds),
-                                      out, cap)
+                                      opts, out, cap)
     if r <= 0:
         return None
     payload = out.raw[:r]
-    if payload[6] != 1:  # flags: not eligible
+    if not (payload[6] & 1):  # flags: not eligible
         return None
     # the sidecar pays format bytes for decode parallelism; s2-compress
     # the payload itself (checkpoints/pieces are highly regular) to cut
@@ -160,7 +164,7 @@ def parse_sidecar(payload: bytes):
     for _ in range(n_blocks):
         flags = payload[pos]
         pos += 1
-        if flags != 1:
+        if not (flags & 1):
             out.append(None)
             continue
         a = BlockAccel()
@@ -177,15 +181,22 @@ def parse_sidecar(payload: bytes):
             a.lit_cks.append(np.frombuffer(payload, np.uint32, nch, pos)
                              .astype(np.int64))
             pos += 4 * nch
-        seq_nch = int.from_bytes(payload[pos : pos + 2], "little")
-        pos += 2
-        rec = np.frombuffer(payload, np.uint8, seq_nch * 22, pos
-                            ).reshape(seq_nch, 22)
-        pos += 22 * seq_nch
-        a.seq_bits = rec[:, 0:4].copy().view(np.uint32)[:, 0].astype(np.int64)
-        st = rec[:, 4:10].copy().view(np.uint16)
-        a.seq_states = st.astype(np.int32)            # (nch, 3) ll, of, ml
-        a.seq_reps = rec[:, 10:22].copy().view(np.uint32).astype(np.int64)
+        if flags & 2:  # optional seq-checkpoint section
+            seq_nch = int.from_bytes(payload[pos : pos + 2], "little")
+            pos += 2
+            rec = np.frombuffer(payload, np.uint8, seq_nch * 22, pos
+                                ).reshape(seq_nch, 22)
+            pos += 22 * seq_nch
+            a.seq_bits = rec[:, 0:4].copy().view(np.uint32)[:, 0].astype(
+                np.int64)
+            st = rec[:, 4:10].copy().view(np.uint16)
+            a.seq_states = st.astype(np.int32)        # (nch, 3) ll, of, ml
+            a.seq_reps = rec[:, 10:22].copy().view(np.uint32).astype(
+                np.int64)
+        else:
+            a.seq_bits = np.zeros(0, np.int64)
+            a.seq_states = np.zeros((0, 3), np.int32)
+            a.seq_reps = np.zeros((0, 3), np.int64)
         n_pieces = int.from_bytes(payload[pos : pos + 4], "little")
         pos += 4
         a.n_rounds = payload[pos]
@@ -212,6 +223,11 @@ def accel_plan(a: BlockAccel):
     total = int(a.length.sum())
     if total != int(a.total_out) or total > (1 << 16):
         raise ValueError("sidecar plan length mismatch")
+    # pieces must fit their dst row (the kernel masks per 128-lane row)
+    dst_rel = np.concatenate([[0], np.cumsum(a.length[:-1],
+                                             dtype=np.int64)])
+    if len(a.length) and int(((dst_rel & 127) + a.length).max()) > 128:
+        raise ValueError("sidecar plan piece crosses a row boundary")
     if len(a.src) and (int(a.src.min()) < 0
                        or int(a.src.max()) >= ARENA_ROWS * 128):
         raise ValueError("sidecar plan source out of range")

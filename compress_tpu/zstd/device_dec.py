@@ -141,9 +141,34 @@ def _resolve_reps(lls, mls, ofvals):
                 r1, r2, r3 = r3, r1, r2
             else:
                 off = r1 - 1
+                if off <= 0:
+                    # corrupt: every other implementation rejects this
+                    # (C++ walker E_CORRUPT, host decoder error) — r3
+                    # review #8 alignment
+                    raise ValueError("corrupt repeat offset")
                 r1, r2, r3 = off, r1, r2
         offs[i] = off
     return offs
+
+
+def _accel_lit_ok(lit, acc) -> bool:
+    """Sanity-check sidecar literal checkpoints before trusting them
+    (r3 review #3: a CRC-valid but inconsistent sidecar must degrade to
+    the host paths, never silently truncate the literal scan)."""
+    kind, regen, lens, streams, _table, _spos = lit
+    if kind in (1, 2):
+        return True  # raw/RLE carry no checkpoints
+    if len(acc.lit_cks) != len(streams):
+        return False
+    for q, cks in enumerate(acc.lit_cks):
+        want_nch = max(1, -(-lens[q] // 32)) if lens[q] > 0 else 1
+        if len(cks) != want_nch:
+            return False
+        if len(cks) and (cks[0] > 8 * len(streams[q]) or cks[-1] < 0):
+            return False
+        if len(cks) > 1 and not (np.diff(cks) <= 0).all():
+            return False  # bit offsets must be non-increasing
+    return True
 
 
 def decompress_frames_device(frames, max_rounds: int = 4):
@@ -181,7 +206,8 @@ def decompress_frames_device(frames, max_rounds: int = 4):
         if acc is not None:
             lit = _parse_literals_any(body)
             if lit is not None and lit[0] == acc.lit_kind \
-                    and lit[1] == acc.regen:
+                    and lit[1] == acc.regen \
+                    and _accel_lit_ok(lit, acc):
                 # sidecar-accelerated: checkpoints + plan ship in-band
                 metas.append(("accel", (lit, acc, frame)))
                 continue

@@ -377,15 +377,9 @@ def _native_compress_dict(data: bytes, checksum: bool, level: int, dict_):
     from compress_tpu import _native
     from compress_tpu.zstd import frame as F
 
-    lib = _native.raw()
-    if lib is None or not hasattr(lib, "ct_zstd_compress_blocks_level"):
+    lib = bind_job_entry(_native.raw())
+    if lib is None:
         return None
-    if not getattr(lib, "_zjobd_proto", False):
-        lib.ct_zstd_compress_blocks_level.restype = ctypes.c_longlong
-        lib.ct_zstd_compress_blocks_level.argtypes = [
-            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
-            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int]
-        lib._zjobd_proto = True
     content = bytes(dict_.content)
     n = len(data)
     seg = content + data
@@ -405,6 +399,23 @@ def _native_compress_dict(data: bytes, checksum: bool, level: int, dict_):
     return bytes(out)
 
 
+def bind_job_entry(lib):
+    """One-time ctypes binding for ct_zstd_compress_blocks_level (shared
+    by the windowed path, compress_concurrent, and the streaming Writer —
+    r3 review #7: keep the prototype in exactly one place)."""
+    import ctypes
+
+    if lib is None or not hasattr(lib, "ct_zstd_compress_blocks_level"):
+        return None
+    if not getattr(lib, "_zjob_proto", False):
+        lib.ct_zstd_compress_blocks_level.restype = ctypes.c_longlong
+        lib.ct_zstd_compress_blocks_level.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int]
+        lib._zjob_proto = True
+    return lib
+
+
 def _native_compress_windowed(data: bytes, checksum: bool, level: int,
                               window_log: int) -> bytes | None:
     """Custom-window frame on the native ladder: jobs of (window − overlap)
@@ -417,15 +428,9 @@ def _native_compress_windowed(data: bytes, checksum: bool, level: int,
     from compress_tpu import _native
     from compress_tpu.zstd import frame as F
 
-    lib = _native.raw()
-    if lib is None or not hasattr(lib, "ct_zstd_compress_blocks_level"):
+    lib = bind_job_entry(_native.raw())
+    if lib is None:
         return None
-    if not getattr(lib, "_zjob_proto", False):
-        lib.ct_zstd_compress_blocks_level.restype = ctypes.c_longlong
-        lib.ct_zstd_compress_blocks_level.argtypes = [
-            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
-            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int]
-        lib._zjob_proto = True
     n = len(data)
     window = 1 << max(int(window_log), 10)
     overlap = window // 8
@@ -578,12 +583,7 @@ def compress_concurrent(data, workers: int = 4, job_size: int = 1 << 20,
     if n <= job_size or workers <= 1 or lib is None \
             or not hasattr(lib, "ct_zstd_compress_blocks_level"):
         return compress(data, level=level, checksum=checksum)
-    if not getattr(lib, "_zjob_proto", False):
-        lib.ct_zstd_compress_blocks_level.restype = ctypes.c_longlong
-        lib.ct_zstd_compress_blocks_level.argtypes = [
-            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
-            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int]
-        lib._zjob_proto = True
+    bind_job_entry(lib)
 
     pre = job_size // 8  # overlap (reference overlapSize default class)
     bounds = list(range(0, n, job_size))

@@ -80,9 +80,17 @@ def decode_frame_body(data: bytes, pos: int, window_size: int,
                 body, len(body) - 16,
                 dst.ctypes.data_as(ctypes.c_char_p), cap,
                 ctypes.byref(consumed))
-            if r == -3 and guess < max_out:  # E_SPACE: grow and retry
-                guess = min(guess * 4, max_out)
-                continue
+            if r == -3:  # E_SPACE
+                if expected is not None:
+                    # the header declared a content size and the blocks
+                    # overflow it: the frame lies — fail to the Python
+                    # decoder for the precise error instead of growing
+                    # toward max_out (r3 review #1: hostile frames could
+                    # spin/allocate here forever)
+                    return None
+                if guess < max_out:
+                    guess = min(max(guess * 4, 1 << 20), max_out)
+                    continue
             if r < 0:
                 return None
             if r > max_out:

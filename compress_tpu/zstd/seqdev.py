@@ -79,6 +79,8 @@ def seq_accel(stream: bytes, n_seqs: int, t_ll: S.STable, t_of: S.STable,
         ll_c = int(t_ll.spread[s_ll])
         if max_ofc is not None and of_c > max_ofc[0]:
             max_ofc[0] = of_c
+            if of_c > 23:
+                return None  # ineligible: stop walking (r3 review #5)
         of_x = br.read(of_c)
         br.read(int(S.ML_BITS[ml_c]))
         ll_x = br.read(int(S.LL_BITS[ll_c]))
@@ -131,7 +133,7 @@ def decode_sequences_device(items, k: int | None = None,
         max_ofc = [0]
         cks = seq_accel(stream, n_seqs, t_ll, t_of, t_ml, k,
                         max_ofc=max_ofc)
-        if max_ofc[0] > 23:
+        if cks is None or max_ofc[0] > 23:
             metas.append(("host", it))
             continue
         nch = len(cks)

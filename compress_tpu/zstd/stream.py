@@ -134,15 +134,10 @@ class Writer:
         import ctypes
 
         from compress_tpu import _native
+        from compress_tpu.zstd.encoder import bind_job_entry
 
-        lib = _native.raw()
-        if lib is not None and hasattr(lib, "ct_zstd_compress_blocks_level"):
-            if not getattr(lib, "_zjob_proto", False):
-                lib.ct_zstd_compress_blocks_level.restype = ctypes.c_longlong
-                lib.ct_zstd_compress_blocks_level.argtypes = [
-                    ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
-                    ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int]
-                lib._zjob_proto = True
+        lib = bind_job_entry(_native.raw())
+        if lib is not None:
             cap = len(chunk) + len(chunk) // 8 + 4096
             dstb = ctypes.create_string_buffer(cap)
             r = lib.ct_zstd_compress_blocks_level(seg, len(seg), plen, dstb,

@@ -231,3 +231,35 @@ def test_compress_concurrent_jobs():
     # sub-job input falls back to the single-shot path
     small = zstd.compress_concurrent(data[:1000], workers=3)
     assert zstd.decompress(small) == data[:1000]
+
+
+def test_hostile_frame_content_size_lie_terminates():
+    """r3 review #1: a frame declaring content size 0 whose blocks
+    produce more data must be rejected promptly (no unbounded retry
+    loop / giant allocations in the native whole-frame path)."""
+    import time
+
+    from compress_tpu.zstd import frame as F
+
+    hdr = F.write_frame_header(0, 1 << 20, False, False)
+    blob = bytearray(hdr)
+    blob += ((1) | (0 << 1) | (200000 << 3)).to_bytes(3, "little")
+    blob += b"A" * 200000
+    t = time.time()
+    with pytest.raises(Z.ZstdError):
+        Z.decompress(bytes(blob))
+    assert time.time() - t < 5
+
+
+def test_flate_long_literal_run_flush():
+    """r3 review #2: match-free stretches must flush the token buffer
+    (heap overflow before the fix)."""
+    import zlib as stdzlib
+
+    import numpy as np
+
+    from compress_tpu import flate
+
+    ctr = np.arange(0, 1 << 19, dtype=np.uint32).byteswap().tobytes()
+    out = flate.deflate(ctr, 1)
+    assert stdzlib.decompress(out, -15) == ctr
