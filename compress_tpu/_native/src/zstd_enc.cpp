@@ -775,8 +775,11 @@ static long long encode_blocks_(const uint8_t* src, long long n,
 
   uint32_t rep1 = 1;
   long long pos = start;
-  // seed the tables with some prefix positions
-  for (long long q = start > 32768 ? start - 32768 : 0; q + 8 < start; q += 2) {
+  // seed the tables with the WHOLE prefix (r3: seeding only the last
+  // 32 KiB silently missed every match whose target lay deeper in the
+  // overlap — streaming/concurrent ratios were up to 2x worse than
+  // one-shot on periodic data)
+  for (long long q = 0; q + 8 < start; q += 2) {
     uint64_t v = ld64(src + q);
     if (level <= 1) {
       table[zhash(v, HBITS)] = (int32_t)q;

@@ -565,13 +565,20 @@ def compress(data, level: int = 2, checksum: bool = False,
     return bytes(out)
 
 
-def compress_concurrent(data, workers: int = 4, job_size: int = 1 << 20,
+def compress_concurrent(data, workers: int = 4, job_size: int | None = None,
                         checksum: bool = False, level: int = 1) -> bytes:
     """Host-parallel single-frame encode (reference: WithConcurrentBlocks,
     zstd/enc_jobs.go): the input splits into jobs, each job gets the
     previous job's tail as overlap prefix, workers encode block sequences
     concurrently (the native core releases the GIL), and the frame is
-    assembled in job order. Output is one valid frame."""
+    assembled in job order. Output is one valid frame.
+
+    job_size defaults to the per-level window ladder (reference
+    encoder_options.go:246/356: fastest 4 MiB, higher levels 8 MiB), so
+    concurrent ratio tracks one-shot compress()."""
+    if job_size is None:
+        window = 1 << (22 if level <= 1 else 23)
+        job_size = window - window // 8
     import ctypes
     from concurrent.futures import ThreadPoolExecutor
 
