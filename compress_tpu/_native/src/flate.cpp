@@ -461,8 +461,13 @@ static void emit_run_block(FW* w, const Tok* toks, long long ntok,
                            int last, const uint32_t* h_lit,
                            const uint32_t* h_dst, long long extra_bits);
 
+// endmode: 2 = mark the final content block final (one-shot);
+// 1 = end with a FINAL empty stored block; 0 = end with a NON-final
+// empty stored block (sync flush — output stays byte-aligned so
+// successive chunk calls concatenate into one valid deflate stream)
 static long long deflate_fast(const uint8_t* src, long long n, uint8_t* dst,
-                              long long cap, int level) {
+                              long long cap, int level,
+                              long long start, int endmode) {
   static const struct { int bits, skip, insert; } FF[4] = {
       {0, 0, 0}, {15, 5, 0}, {16, 5, 1}, {17, 6, 2}};
   int bits = FF[level].bits;
@@ -482,7 +487,7 @@ static long long deflate_fast(const uint8_t* src, long long n, uint8_t* dst,
   w.acc = 0;
   w.bits = 0;
   long long ntok = 0;
-  long long blk_start = 0;
+  long long blk_start = start;
   uint32_t h_lit[288] = {0}, h_dst[32] = {0};
   long long extra_bits = 0;
   auto flush = [&](long long upto, int last) {
@@ -495,7 +500,10 @@ static long long deflate_fast(const uint8_t* src, long long n, uint8_t* dst,
     memset(h_dst, 0, sizeof(h_dst));
     extra_bits = 0;
   };
-  long long s = 0, next_emit = 0;
+  // seed the table with the carried window (streaming continuation)
+  for (long long q = start > FWIN ? start - FWIN : 0; q + 4 <= start; q++)
+    head[fhash(fld32(src + q), bits)] = (int32_t)q;
+  long long s = start, next_emit = start;
   long long limit = n - 12;
   // literal run token: dist = 0xFFFF, val = run length (split at 32000)
   auto emit_run = [&](long long upto) {
@@ -551,7 +559,19 @@ static long long deflate_fast(const uint8_t* src, long long n, uint8_t* dst,
     }
   }
   emit_run(n);
-  flush(n, 1);
+  if (endmode == 2) {
+    flush(n, 1);
+  } else {
+    if (ntok > 0 || blk_start < n) flush(n, 0);
+    // sync-flush tail: empty stored block, final iff endmode == 1
+    fw_bits(&w, endmode == 1 ? 1 : 0, 1);
+    fw_bits(&w, 0, 2);
+    fw_align(&w);
+    w.out[w.n++] = 0;
+    w.out[w.n++] = 0;
+    w.out[w.n++] = (uint8_t)0xFF;
+    w.out[w.n++] = (uint8_t)0xFF;
+  }
   fw_align(&w);
   free(head);
   free(toks);
@@ -713,7 +733,8 @@ static void emit_run_block(FW* w, const Tok* toks, long long ntok,
 }
 
 static long long deflate_chain(const uint8_t* src, long long n, uint8_t* dst,
-                               long long cap, int level) {
+                               long long cap, int level,
+                               long long start, int endmode) {
   const FCfg cfg = FCFG[level];
   int32_t* head = (int32_t*)malloc(sizeof(int32_t) << FHB);
   int32_t* prev = (int32_t*)malloc(sizeof(int32_t) * (size_t)(n > 0 ? n : 1));
@@ -732,7 +753,7 @@ static long long deflate_chain(const uint8_t* src, long long n, uint8_t* dst,
   w.bits = 0;
 
   long long ntok = 0;
-  long long blk_start = 0;
+  long long blk_start = start;
 
   // flush a token block once enough input is covered
   auto flush = [&](long long upto, int last) {
@@ -748,7 +769,13 @@ static long long deflate_chain(const uint8_t* src, long long n, uint8_t* dst,
     head[hh] = (int32_t)(pos);                           \
   } while (0)
 
-  long long s = 0;
+  // seed the chains with the carried window (streaming continuation)
+  for (long long q = start > FWIN ? start - FWIN : 0; q + 4 <= start; q++) {
+    uint32_t hh = fhash(fld32(src + q), FHB);
+    prev[q] = head[hh];
+    head[hh] = (int32_t)q;
+  }
+  long long s = start;
   long long limit = n - 12;  // safe 8-byte loads in matcher
   const bool lazy = cfg.lazy > 0;
 
@@ -836,13 +863,24 @@ static long long deflate_chain(const uint8_t* src, long long n, uint8_t* dst,
     s++;
     if (ntok >= FBLOCK + 400 || s - blk_start >= FSPAN) flush(s, 0);
   }
-  if (ntok > 0 || blk_start == 0) {
-    flush(n, 1);
+  if (endmode == 2) {
+    if (ntok > 0 || blk_start == start) {
+      flush(n, 1);
+    } else {
+      // all tokens already flushed: emit an empty final fixed block
+      fw_bits(&w, 1, 1);
+      fw_bits(&w, 1, 2);
+      fw_bits(&w, 0, 7);  // fixed EOB (code 0, 7 bits)
+    }
   } else {
-    // all tokens already flushed: emit an empty final fixed block
-    fw_bits(&w, 1, 1);
-    fw_bits(&w, 1, 2);
-    fw_bits(&w, 0, 7);  // fixed EOB (code 0, 7 bits)
+    if (ntok > 0 || blk_start < n) flush(n, 0);
+    fw_bits(&w, endmode == 1 ? 1 : 0, 1);
+    fw_bits(&w, 0, 2);
+    fw_align(&w);
+    w.out[w.n++] = 0;
+    w.out[w.n++] = 0;
+    w.out[w.n++] = (uint8_t)0xFF;
+    w.out[w.n++] = (uint8_t)0xFF;
   }
   fw_align(&w);
 #undef FINSERT
@@ -880,10 +918,57 @@ long long ct_deflate_level(const uint8_t* src, long long n, uint8_t* dst,
   // ~2x zlib-1 speed at zlib-1-class size); L2/L3 keep shallow CHAINS so
   // their sizes stay below zlib-2/zlib-3 (the r2 size guarantee), now on
   // the 64-bit fused bit writer
-  if (level == 1) return deflate_fast(src, n, dst, cap, 1);
-  if (level == 2) return deflate_chain(src, n, dst, cap, 1);
-  if (level == 3) return deflate_chain(src, n, dst, cap, 2);
-  return deflate_chain(src, n, dst, cap, level);
+  if (level == 1) return deflate_fast(src, n, dst, cap, 1, 0, 2);
+  if (level == 2) return deflate_chain(src, n, dst, cap, 1, 0, 2);
+  if (level == 3) return deflate_chain(src, n, dst, cap, 2, 0, 2);
+  return deflate_chain(src, n, dst, cap, level, 0, 2);
+}
+
+// streaming continuation entry: encode src[start, n) as deflate blocks
+// with the carried 32 KiB window below `start` (the reference
+// flate.Writer role). Ends with a sync-flush empty stored block (final
+// iff last) so successive calls concatenate byte-aligned.
+long long ct_deflate_blocks(const uint8_t* src, long long n,
+                            long long start, uint8_t* dst, long long cap,
+                            int level, int last) {
+  if (n < 0 || start < 0 || start > n ||
+      cap < (n - start) + (n - start) / 8 + 1024)
+    return -1;
+  if (level < 1) level = 1;
+  if (level > 9) level = 9;
+  int endmode = last ? 1 : 0;
+  if (n - start < 16) {
+    // tiny chunk: stored block (if any) + sync tail
+    FW w;
+    w.out = dst;
+    w.n = 0;
+    w.acc = 0;
+    w.bits = 0;
+    if (n > start) {
+      fw_bits(&w, 0, 1);
+      fw_bits(&w, 0, 2);
+      fw_align(&w);
+      long long len = n - start;
+      dst[w.n++] = (uint8_t)len;
+      dst[w.n++] = (uint8_t)(len >> 8);
+      dst[w.n++] = (uint8_t)~len;
+      dst[w.n++] = (uint8_t)(~len >> 8);
+      memcpy(dst + w.n, src + start, len);
+      w.n += len;
+    }
+    fw_bits(&w, last ? 1 : 0, 1);
+    fw_bits(&w, 0, 2);
+    fw_align(&w);
+    dst[w.n++] = 0;
+    dst[w.n++] = 0;
+    dst[w.n++] = (uint8_t)0xFF;
+    dst[w.n++] = (uint8_t)0xFF;
+    return w.n;
+  }
+  if (level == 1) return deflate_fast(src, n, dst, cap, 1, start, endmode);
+  if (level == 2) return deflate_chain(src, n, dst, cap, 1, start, endmode);
+  if (level == 3) return deflate_chain(src, n, dst, cap, 2, start, endmode);
+  return deflate_chain(src, n, dst, cap, level, start, endmode);
 }
 
 // legacy entry (level-6 quality class)

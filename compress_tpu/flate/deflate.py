@@ -312,3 +312,99 @@ def stateless_deflate(data, dictionary: bytes | None = None) -> bytes:
         bw.align_byte()
         return bw.bytes()
     return deflate(bytes(data), 5)
+
+
+class Writer:
+    """Streaming raw-DEFLATE writer with bounded memory (reference:
+    flate.NewWriter, flate/deflate.go:894).
+
+    write() accumulates ~1 MiB then encodes it as deflate blocks via the
+    native continuation entry, carrying the previous 32 KiB as match
+    window; each chunk ends with a sync-flush empty stored block (byte
+    alignment), so chunks concatenate into one valid stream. flush()
+    encodes buffered bytes immediately (Z_SYNC_FLUSH semantics); close()
+    marks the stream final."""
+
+    CHUNK = 1 << 20
+
+    def __init__(self, dst, level: int = DEFAULT_COMPRESSION):
+        self.dst = dst
+        self.level = min(max(int(level), 1), 9)
+        self._buf = bytearray()
+        self._tail = b""          # carried 32 KiB window
+        self._closed = False
+        self.n_input = 0
+
+    def _encode(self, chunk: bytes, last: bool) -> bytes:
+        import ctypes
+
+        from compress_tpu import _native
+
+        lib = _native.raw()
+        seg = self._tail + chunk
+        start = len(self._tail)
+        if lib is not None and hasattr(lib, "ct_deflate_blocks"):
+            if not getattr(lib, "_dblk_proto", False):
+                lib.ct_deflate_blocks.restype = ctypes.c_longlong
+                lib.ct_deflate_blocks.argtypes = [
+                    ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+                    ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int,
+                    ctypes.c_int]
+                lib._dblk_proto = True
+            cap = len(chunk) + len(chunk) // 8 + 4096
+            dstb = ctypes.create_string_buffer(cap)
+            r = lib.ct_deflate_blocks(seg, len(seg), start, dstb, cap,
+                                      self.level, 1 if last else 0)
+            if r >= 0:
+                self._tail = seg[-MAX_OFFSET:]
+                return dstb.raw[:r]
+        # NONATIVE fallback: python token path per chunk (no cross-chunk
+        # window; ratio dips slightly at boundaries) + sync-flush tail
+        bw = H.BitWriterLSB()
+        if chunk:
+            ops = _tokens(chunk, self.level, MAX_OFFSET)
+            blocks, cur, cur_len = [], [], 0
+            for op in ops:
+                cur.append(op)
+                cur_len += op[1] + op[2]
+                if cur_len >= BLOCK_TOKENS:
+                    blocks.append(cur)
+                    cur, cur_len = [], 0
+            if cur:
+                blocks.append(cur)
+            for opsb in blocks:
+                _emit_block(bw, chunk, opsb, final=False)
+        bw.add(1 if last else 0, 1)
+        bw.add(0, 2)
+        bw.align_byte()
+        bw.out += b"\x00\x00\xff\xff"
+        self._tail = (self._tail + chunk)[-MAX_OFFSET:]
+        return bw.bytes()
+
+    def write(self, data) -> int:
+        if self._closed:
+            raise ValueError("writer closed")
+        data = bytes(data)
+        self._buf += data
+        self.n_input += len(data)
+        while len(self._buf) >= self.CHUNK:
+            chunk = bytes(self._buf[: self.CHUNK])
+            del self._buf[: self.CHUNK]
+            self.dst.write(self._encode(chunk, False))
+        return len(data)
+
+    def flush(self):
+        if self._closed:
+            raise ValueError("writer closed")
+        if self._buf:
+            chunk = bytes(self._buf)
+            self._buf.clear()
+            self.dst.write(self._encode(chunk, False))
+
+    def close(self):
+        if self._closed:
+            return
+        chunk = bytes(self._buf)
+        self._buf.clear()
+        self.dst.write(self._encode(chunk, True))
+        self._closed = True

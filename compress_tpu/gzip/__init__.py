@@ -114,3 +114,74 @@ def decompress(blob, multistream: bool = True, max_size: int = 1 << 31):
 
 
 __all__ = ["compress", "decompress", "Header", "GzipError", "MAGIC"]
+
+
+class Writer:
+    """Streaming gzip writer with bounded memory (reference: gzip.Writer,
+    gzip/gzip.go:36): header on first write, deflate blocks stream via
+    flate.Writer's native continuation entry, CRC-32 and ISIZE trail at
+    close()."""
+
+    def __init__(self, dst, level: int = 6, header: Header | None = None):
+        import zlib as _zlib
+
+        from compress_tpu.flate.deflate import Writer as _FW
+
+        self.dst = dst
+        self._hdr = header or Header()
+        self._level = level
+        self._fw = None
+        self._crc = 0
+        self._n = 0
+        self._closed = False
+        self._zlib = _zlib
+
+    def _ensure(self):
+        if self._fw is not None:
+            return
+        h = self._hdr
+        flg = 0
+        if h.extra:
+            flg |= _FLG_EXTRA
+        if h.name:
+            flg |= _FLG_NAME
+        if h.comment:
+            flg |= _FLG_COMMENT
+        out = bytearray(MAGIC)
+        out.append(_DEFLATE_CM)
+        out.append(flg)
+        out += h.mtime.to_bytes(4, "little")
+        out.append(2 if self._level >= 9 else (4 if self._level <= 2 else 0))
+        out.append(h.os)
+        if h.extra:
+            out += len(h.extra).to_bytes(2, "little") + h.extra
+        if h.name:
+            out += h.name.encode("latin-1") + b"\x00"
+        if h.comment:
+            out += h.comment.encode("latin-1") + b"\x00"
+        self.dst.write(bytes(out))
+        from compress_tpu.flate.deflate import Writer as _FW
+
+        self._fw = _FW(self.dst, level=max(self._level, 1))
+
+    def write(self, data) -> int:
+        if self._closed:
+            raise GzipError("writer closed")
+        data = bytes(data)
+        self._ensure()
+        self._crc = self._zlib.crc32(data, self._crc)
+        self._n += len(data)
+        return self._fw.write(data)
+
+    def flush(self):
+        self._ensure()
+        self._fw.flush()
+
+    def close(self):
+        if self._closed:
+            return
+        self._ensure()
+        self._fw.close()
+        self.dst.write((self._crc & 0xFFFFFFFF).to_bytes(4, "little"))
+        self.dst.write((self._n & 0xFFFFFFFF).to_bytes(4, "little"))
+        self._closed = True

@@ -90,3 +90,52 @@ def decompress(blob, dictionary: bytes | None = None, max_size: int = 1 << 31) -
 
 
 __all__ = ["compress", "decompress", "ZlibError"]
+
+
+class Writer:
+    """Streaming zlib writer (reference: zlib/writer.go): 2-byte header,
+    streaming deflate blocks, adler32 trailer at close()."""
+
+    def __init__(self, dst, level: int = 6):
+        from compress_tpu.flate.deflate import Writer as _FW
+
+        self.dst = dst
+        self._level = level
+        self._fw = None
+        self._adler = 1
+        self._closed = False
+
+    def _ensure(self):
+        if self._fw is not None:
+            return
+        cmf = _DEFLATE_CM | (7 << 4)
+        flevel = 0 if self._level < 2 else (
+            1 if self._level < 6 else (2 if self._level < 8 else 3))
+        flg = flevel << 6
+        rem = (cmf * 256 + flg) % 31
+        if rem:
+            flg += 31 - rem
+        self.dst.write(bytes([cmf, flg]))
+        from compress_tpu.flate.deflate import Writer as _FW
+
+        self._fw = _FW(self.dst, level=max(self._level, 1))
+
+    def write(self, data) -> int:
+        if self._closed:
+            raise ZlibError("writer closed")
+        data = bytes(data)
+        self._ensure()
+        self._adler = _zlib.adler32(data, self._adler)
+        return self._fw.write(data)
+
+    def flush(self):
+        self._ensure()
+        self._fw.flush()
+
+    def close(self):
+        if self._closed:
+            return
+        self._ensure()
+        self._fw.close()
+        self.dst.write((self._adler & 0xFFFFFFFF).to_bytes(4, "big"))
+        self._closed = True

@@ -129,3 +129,50 @@ def test_zlib_dictionary():
     c = stdzlib.compressobj(6, zdict=d)
     blob3 = c.compress(data) + c.flush()
     assert tzlib.decompress(blob3, dictionary=d) == data
+
+
+def test_flate_streaming_writer():
+    """r3: streaming deflate Writer (reference flate.NewWriter role) —
+    bounded memory, sync-flush chunk boundaries, 32 KiB window carry."""
+    import io
+
+    from compress_tpu.flate.deflate import Writer
+
+    data = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+                "rb").read() * 6
+    for lvl in (1, 4, 9):
+        buf = io.BytesIO()
+        w = Writer(buf, level=lvl)
+        for i in range(0, len(data), 70001):
+            w.write(data[i : i + 70001])
+        w.flush()
+        w.write(b"after flush " * 100)
+        w.close()
+        want = data + b"after flush " * 100
+        assert stdzlib.decompress(buf.getvalue(), -15) == want
+        # bounded buffer
+        assert len(w._buf) == 0
+
+
+def test_gzip_zlib_streaming_writers():
+    import io
+    import gzip as stdgzip
+
+    from compress_tpu import gzip as cg
+    from compress_tpu import zlib as cz
+
+    data = open("/root/reference/testdata/html.txt", "rb").read() * 5
+    buf = io.BytesIO()
+    w = cg.Writer(buf, level=6, header=cg.Header(name="n.txt"))
+    for i in range(0, len(data), 41000):
+        w.write(data[i : i + 41000])
+    w.close()
+    assert stdgzip.decompress(buf.getvalue()) == data
+    assert cg.decompress(buf.getvalue())[0] == data
+
+    buf2 = io.BytesIO()
+    w2 = cz.Writer(buf2, level=3)
+    w2.write(data)
+    w2.close()
+    assert stdzlib.decompress(buf2.getvalue()) == data
+    assert cz.decompress(buf2.getvalue()) == data
