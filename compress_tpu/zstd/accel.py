@@ -105,15 +105,61 @@ def build_sidecar(frame: bytes, max_rounds: int = 4,
             + len(payload).to_bytes(4, "little") + payload)
 
 
+SEG = 1 << 16  # device arena bound: one single-block frame per segment
+
+
 def compress_accel(data, level: int = 1, max_rounds: int = 4) -> bytes:
     """One-shot encode with the device-decode sidecar prepended. The
-    result is a standard zstd stream (sidecar rides a skippable frame);
-    content <= 64 KiB keeps the frame single-block and device-eligible."""
+    result is a standard zstd stream (sidecars ride skippable frames).
+
+    Inputs over 64 KiB are segmented into independent single-block
+    frames, each with its own sidecar — the whole stream stays
+    device-decodable (`split_stream_accel` + decompress_frames_device)
+    and libzstd-decodable; the ratio cost is segment independence, the
+    same trade the device arena imposes."""
     from compress_tpu.zstd.encoder import compress
 
-    frame = compress(bytes(data), level=level)
-    side = build_sidecar(frame, max_rounds)
-    return (side or b"") + frame
+    data = bytes(data)
+    if len(data) <= SEG:
+        frame = compress(data, level=level)
+        side = build_sidecar(frame, max_rounds)
+        return (side or b"") + frame
+    out = bytearray()
+    for lo in range(0, len(data), SEG):
+        frame = compress(data[lo : lo + SEG], level=level)
+        side = build_sidecar(frame, max_rounds)
+        out += (side or b"") + frame
+    return bytes(out)
+
+
+def split_stream_accel(blob: bytes):
+    """Split a compress_accel stream into per-frame (sidecar?, frame)
+    blobs suitable for decompress_frames_device. Uses the cheap
+    structural frame walk (no decoding)."""
+    from compress_tpu.zstd import _frame_extent
+
+    blob = bytes(blob)
+    items = []
+    pos = 0
+    cur_start = 0
+    pending_side = False
+    while pos < len(blob):
+        end, skippable = _frame_extent(blob, pos)
+        if skippable:
+            if pending_side or pos > cur_start:
+                # two skippables in a row / stray data: flush as-is
+                items.append(blob[cur_start:pos])
+                cur_start = pos
+            pending_side = True
+            pos = end
+            continue
+        items.append(blob[cur_start:end])
+        cur_start = end
+        pos = end
+        pending_side = False
+    if cur_start < len(blob):
+        items.append(blob[cur_start:])
+    return items
 
 
 def split_sidecar(blob: bytes):

@@ -152,3 +152,18 @@ def test_hostile_sidecar_falls_back():
         b[k] ^= 1 + int(rng.integers(0, 255))
         out = device_dec.decompress_frames_device([bytes(b)])
         assert out == [data]
+
+
+def test_multi_segment_accel_stream():
+    """r3: inputs over 64 KiB segment into independent single-block
+    frames, all device-decodable and libzstd-decodable as one stream."""
+    data = _twain(200000)
+    blob = A.compress_accel(data, level=1)
+    r = zstandard.ZstdDecompressor().stream_reader(
+        io.BytesIO(blob), read_across_frames=True)
+    assert r.read() == data
+    assert decompress(blob) == data
+    items = A.split_stream_accel(blob)
+    assert len(items) == -(-len(data) // A.SEG)
+    outs = device_dec.decompress_frames_device(items)
+    assert b"".join(outs) == data
