@@ -20,6 +20,61 @@ import time
 import numpy as np
 
 
+def _host_only_bench(big: bytes, calib_ms: float) -> int:
+    """Degraded-chip fallback: host-core numbers only, clearly marked."""
+    host_dec_gbps = -1.0
+    flate_l1_mbps = -1.0
+    z_enc_mbps = -1.0
+    try:
+        from compress_tpu import zstd as z2
+        from compress_tpu.zstd.encoder import compress as zc
+
+        blob = zc(big, level=2)
+        assert z2.decompress(blob) == big
+        best = 0.0
+        for _ in range(6):
+            t = time.time()
+            z2.decompress(blob)
+            best = max(best, len(big) / (time.time() - t))
+        host_dec_gbps = best / 1e9
+        best = 0.0
+        for _ in range(4):
+            t = time.time()
+            zc(big, level=1)
+            best = max(best, len(big) / (time.time() - t))
+        z_enc_mbps = best / 1e6
+    except Exception:
+        pass
+    try:
+        from compress_tpu import flate as F
+
+        fd = big[: 1 << 20]
+        F.deflate(fd, 1)
+        best = 0.0
+        for _ in range(6):
+            t = time.time()
+            F.deflate(fd, 1)
+            best = max(best, len(fd) / (time.time() - t))
+        flate_l1_mbps = best / 1e6
+    except Exception:
+        pass
+    print(json.dumps({
+        "metric": "s2_block_encode_device",
+        "value": -1.0,
+        "unit": "GB/s",
+        "vs_baseline": -1.0,
+        "degraded": True,
+        "skipped_device": "calib_matmul_ms > 1000: device numbers would "
+                          "be meaningless; host-core metrics only",
+        "calib_matmul_ms": round(calib_ms, 3),
+        "zstd_decode_host_gbps": round(host_dec_gbps, 5),
+        "zstd_l1_encode_host_mbps": round(z_enc_mbps, 2),
+        "flate_l1_mbps": round(flate_l1_mbps, 2),
+        "n_bytes": len(big),
+    }))
+    return 0
+
+
 def main():
     import jax
 
@@ -57,6 +112,11 @@ def main():
         # completes; throughputs will understate by the degradation factor
         target = 2 << 20
         big = big[:target]
+    if calib_ms > 1000:
+        # heavily degraded (r2/r3 fault aftermath: 30,000+ ms calib):
+        # device passes would take hours and the numbers would be
+        # meaningless — emit host-side metrics + the calibration signal
+        return _host_only_bench(big, calib_ms)
 
     # ---- S2 block encode ---------------------------------------------------
     nb = len(big) // lz.B
