@@ -101,12 +101,17 @@ def main():
     # design by the same factor.
     a = jnp.ones((2048, 2048), jnp.bfloat16)
     mm = jax.jit(lambda a: a @ a)
+    t0 = time.time()
     mm(a).block_until_ready()
+    first_s = time.time() - t0  # includes compile
+    # adaptive iteration count: on a heavily degraded chip each matmul
+    # takes 30+ s — one timed run is plenty of signal
+    iters_c = 10 if first_s < 2.0 else 1
     t = time.time()
-    for _ in range(10):
+    for _ in range(iters_c):
         y = mm(a)
     np.asarray(y.ravel()[0:1])
-    calib_ms = (time.time() - t) / 10 * 1e3
+    calib_ms = (time.time() - t) / iters_c * 1e3
     if calib_ms > 50:
         # chip/tunnel degraded: shrink the working set so the bench still
         # completes; throughputs will understate by the degradation factor
