@@ -279,3 +279,24 @@ def test_dictbuilder_match_based_beats_fragments():
         d = load_dict(build_dict(samples, content, dict_id=3))
         totals[name] = sum(len(Z.compress(s, dict_=d)) for s in samples[:60])
     assert totals["match"] < totals["frag"]
+
+
+def test_zstd_reader_readahead_pipeline():
+    """r3: Reader(readahead=N) — producer thread decodes ahead; output
+    must match the synchronous reader exactly and errors must propagate."""
+    data = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+                "rb").read() * 6
+    blob = Z.compress(data, level=2, checksum=True)
+    r = zstream.Reader(io.BytesIO(blob), readahead=4)
+    out = bytearray()
+    while True:
+        c = r.read(50021)
+        if not c:
+            break
+        out += c
+    assert bytes(out) == data
+    # truncated stream: the producer's error surfaces on read()
+    r2 = zstream.Reader(io.BytesIO(blob[:-3]), readahead=4)
+    with pytest.raises(Z.ZstdError):
+        while r2.read(65536):
+            pass
