@@ -73,6 +73,18 @@ static inline void fw_align(FW* w) {
   w->bits = 0;
 }
 
+// sync-flush tail: empty stored block (byte-aligns the stream);
+// final iff `final_flag`
+static void fw_sync_block(FW* w, int final_flag) {
+  fw_bits(w, final_flag ? 1 : 0, 1);
+  fw_bits(w, 0, 2);
+  fw_align(w);
+  w->out[w->n++] = 0;
+  w->out[w->n++] = 0;
+  w->out[w->n++] = (uint8_t)0xFF;
+  w->out[w->n++] = (uint8_t)0xFF;
+}
+
 // ---- length/distance code tables (RFC 1951 §3.2.5) ------------------------
 
 static const uint16_t LEN_BASE[29] = {3,  4,  5,  6,  7,  8,  9,  10, 11, 13,
@@ -563,14 +575,7 @@ static long long deflate_fast(const uint8_t* src, long long n, uint8_t* dst,
     flush(n, 1);
   } else {
     if (ntok > 0 || blk_start < n) flush(n, 0);
-    // sync-flush tail: empty stored block, final iff endmode == 1
-    fw_bits(&w, endmode == 1 ? 1 : 0, 1);
-    fw_bits(&w, 0, 2);
-    fw_align(&w);
-    w.out[w.n++] = 0;
-    w.out[w.n++] = 0;
-    w.out[w.n++] = (uint8_t)0xFF;
-    w.out[w.n++] = (uint8_t)0xFF;
+    fw_sync_block(&w, endmode == 1);
   }
   fw_align(&w);
   free(head);
@@ -874,13 +879,7 @@ static long long deflate_chain(const uint8_t* src, long long n, uint8_t* dst,
     }
   } else {
     if (ntok > 0 || blk_start < n) flush(n, 0);
-    fw_bits(&w, endmode == 1 ? 1 : 0, 1);
-    fw_bits(&w, 0, 2);
-    fw_align(&w);
-    w.out[w.n++] = 0;
-    w.out[w.n++] = 0;
-    w.out[w.n++] = (uint8_t)0xFF;
-    w.out[w.n++] = (uint8_t)0xFF;
+    fw_sync_block(&w, endmode == 1);
   }
   fw_align(&w);
 #undef FINSERT
@@ -956,13 +955,7 @@ long long ct_deflate_blocks(const uint8_t* src, long long n,
       memcpy(dst + w.n, src + start, len);
       w.n += len;
     }
-    fw_bits(&w, last ? 1 : 0, 1);
-    fw_bits(&w, 0, 2);
-    fw_align(&w);
-    dst[w.n++] = 0;
-    dst[w.n++] = 0;
-    dst[w.n++] = (uint8_t)0xFF;
-    dst[w.n++] = (uint8_t)0xFF;
+    fw_sync_block(&w, last);
     return w.n;
   }
   if (level == 1) return deflate_fast(src, n, dst, cap, 1, start, endmode);

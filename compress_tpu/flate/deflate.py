@@ -329,7 +329,12 @@ class Writer:
 
     def __init__(self, dst, level: int = DEFAULT_COMPRESSION):
         self.dst = dst
-        self.level = min(max(int(level), 1), 9)
+        level = int(level)
+        if level == -1:
+            level = DEFAULT_COMPRESSION
+        if not (level == HUFFMAN_ONLY or 0 <= level <= 9):
+            raise ValueError(f"unsupported deflate level {level}")
+        self.level = level
         self._buf = bytearray()
         self._tail = b""          # carried 32 KiB window
         self._closed = False
@@ -340,7 +345,7 @@ class Writer:
 
         from compress_tpu import _native
 
-        lib = _native.raw()
+        lib = _native.raw() if 1 <= self.level <= 9 else None
         seg = self._tail + chunk
         start = len(self._tail)
         if lib is not None and hasattr(lib, "ct_deflate_blocks"):
@@ -358,11 +363,30 @@ class Writer:
             if r >= 0:
                 self._tail = seg[-MAX_OFFSET:]
                 return dstb.raw[:r]
-        # NONATIVE fallback: python token path per chunk (no cross-chunk
-        # window; ratio dips slightly at boundaries) + sync-flush tail
+        # python path: token blocks per chunk (no cross-chunk window;
+        # ratio dips slightly at boundaries) + sync-flush tail. Also
+        # serves levels 0 (stored) and -2 (huffman-only).
         bw = H.BitWriterLSB()
+        if chunk and self.level == NO_COMPRESSION:
+            pos = 0
+            while pos < len(chunk):
+                take = min(len(chunk) - pos, 65535)
+                bw.add(0, 1)
+                bw.add(0, 2)
+                bw.align_byte()
+                bw.add(take, 16)
+                bw.add((~take) & 0xFFFF, 16)
+                bw.out += chunk[pos : pos + take]
+                pos += take
+            bw.add(1 if last else 0, 1)
+            bw.add(0, 2)
+            bw.align_byte()
+            bw.out += b"\x00\x00\xff\xff"
+            self._tail = (self._tail + chunk)[-MAX_OFFSET:]
+            return bw.bytes()
         if chunk:
-            ops = _tokens(chunk, self.level, MAX_OFFSET)
+            ops = ([(0, len(chunk), 0, 0)] if self.level == HUFFMAN_ONLY
+                   else _tokens(chunk, self.level, MAX_OFFSET))
             blocks, cur, cur_len = [], [], 0
             for op in ops:
                 cur.append(op)

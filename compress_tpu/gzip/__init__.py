@@ -32,9 +32,9 @@ class Header:
     os: int = 255
 
 
-def compress(data, level: int = 6, header: Header | None = None) -> bytes:
-    data = bytes(data)
-    h = header or Header()
+def _encode_header(h: Header, level: int) -> bytes:
+    """Serialize the RFC 1952 member header (shared by compress() and
+    the streaming Writer)."""
     flg = 0
     if h.extra:
         flg |= _FLG_EXTRA
@@ -54,6 +54,13 @@ def compress(data, level: int = 6, header: Header | None = None) -> bytes:
         out += h.name.encode("latin-1") + b"\x00"
     if h.comment:
         out += h.comment.encode("latin-1") + b"\x00"
+    return bytes(out)
+
+
+def compress(data, level: int = 6, header: Header | None = None) -> bytes:
+    data = bytes(data)
+    h = header or Header()
+    out = bytearray(_encode_header(h, level))
     out += deflate(data, level)
     out += (_zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "little")
     out += (len(data) & 0xFFFFFFFF).to_bytes(4, "little")
@@ -123,10 +130,6 @@ class Writer:
     close()."""
 
     def __init__(self, dst, level: int = 6, header: Header | None = None):
-        import zlib as _zlib
-
-        from compress_tpu.flate.deflate import Writer as _FW
-
         self.dst = dst
         self._hdr = header or Header()
         self._level = level
@@ -134,46 +137,27 @@ class Writer:
         self._crc = 0
         self._n = 0
         self._closed = False
-        self._zlib = _zlib
 
     def _ensure(self):
         if self._fw is not None:
             return
-        h = self._hdr
-        flg = 0
-        if h.extra:
-            flg |= _FLG_EXTRA
-        if h.name:
-            flg |= _FLG_NAME
-        if h.comment:
-            flg |= _FLG_COMMENT
-        out = bytearray(MAGIC)
-        out.append(_DEFLATE_CM)
-        out.append(flg)
-        out += h.mtime.to_bytes(4, "little")
-        out.append(2 if self._level >= 9 else (4 if self._level <= 2 else 0))
-        out.append(h.os)
-        if h.extra:
-            out += len(h.extra).to_bytes(2, "little") + h.extra
-        if h.name:
-            out += h.name.encode("latin-1") + b"\x00"
-        if h.comment:
-            out += h.comment.encode("latin-1") + b"\x00"
-        self.dst.write(bytes(out))
+        self.dst.write(_encode_header(self._hdr, self._level))
         from compress_tpu.flate.deflate import Writer as _FW
 
-        self._fw = _FW(self.dst, level=max(self._level, 1))
+        self._fw = _FW(self.dst, level=self._level)
 
     def write(self, data) -> int:
         if self._closed:
             raise GzipError("writer closed")
         data = bytes(data)
         self._ensure()
-        self._crc = self._zlib.crc32(data, self._crc)
+        self._crc = _zlib.crc32(data, self._crc)
         self._n += len(data)
         return self._fw.write(data)
 
     def flush(self):
+        if self._closed:
+            raise GzipError("writer closed")
         self._ensure()
         self._fw.flush()
 

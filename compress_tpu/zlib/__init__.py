@@ -17,18 +17,23 @@ class ZlibError(ValueError):
     pass
 
 
-def compress(data, level: int = 6, dictionary: bytes | None = None) -> bytes:
-    data = bytes(data)
+def _encode_header(level: int, fdict: bool = False) -> bytes:
+    """RFC 1950 2-byte header (shared by compress() and the Writer)."""
     cmf = _DEFLATE_CM | (7 << 4)  # 32K window
     flevel = 0 if level < 2 else (1 if level < 6 else (2 if level < 8 else 3))
     flg = flevel << 6
-    if dictionary:
+    if fdict:
         flg |= 0x20
     # FCHECK: make (cmf*256 + flg) % 31 == 0
     rem = (cmf * 256 + flg) % 31
     if rem:
         flg += 31 - rem
-    out = bytearray([cmf, flg])
+    return bytes([cmf, flg])
+
+
+def compress(data, level: int = 6, dictionary: bytes | None = None) -> bytes:
+    data = bytes(data)
+    out = bytearray(_encode_header(level, bool(dictionary)))
     if dictionary:
         out += (_zlib.adler32(dictionary) & 0xFFFFFFFF).to_bytes(4, "big")
         # the dictionary is pure history: tokenize dict+data, keep only ops
@@ -97,8 +102,6 @@ class Writer:
     streaming deflate blocks, adler32 trailer at close()."""
 
     def __init__(self, dst, level: int = 6):
-        from compress_tpu.flate.deflate import Writer as _FW
-
         self.dst = dst
         self._level = level
         self._fw = None
@@ -108,17 +111,10 @@ class Writer:
     def _ensure(self):
         if self._fw is not None:
             return
-        cmf = _DEFLATE_CM | (7 << 4)
-        flevel = 0 if self._level < 2 else (
-            1 if self._level < 6 else (2 if self._level < 8 else 3))
-        flg = flevel << 6
-        rem = (cmf * 256 + flg) % 31
-        if rem:
-            flg += 31 - rem
-        self.dst.write(bytes([cmf, flg]))
+        self.dst.write(_encode_header(self._level))
         from compress_tpu.flate.deflate import Writer as _FW
 
-        self._fw = _FW(self.dst, level=max(self._level, 1))
+        self._fw = _FW(self.dst, level=self._level)
 
     def write(self, data) -> int:
         if self._closed:
@@ -129,6 +125,8 @@ class Writer:
         return self._fw.write(data)
 
     def flush(self):
+        if self._closed:
+            raise ZlibError("writer closed")
         self._ensure()
         self._fw.flush()
 

@@ -142,52 +142,55 @@ def split_stream_accel(blob: bytes):
     items = []
     pos = 0
     cur_start = 0
-    pending_side = False
     while pos < len(blob):
         end, skippable = _frame_extent(blob, pos)
         if skippable:
-            if pending_side or pos > cur_start:
-                # two skippables in a row / stray data: flush as-is
-                items.append(blob[cur_start:pos])
-                cur_start = pos
-            pending_side = True
+            # skippables (sidecars or foreign) attach to the NEXT frame
             pos = end
             continue
         items.append(blob[cur_start:end])
         cur_start = end
         pos = end
-        pending_side = False
     if cur_start < len(blob):
-        items.append(blob[cur_start:])
+        # trailing skippables: attach to the last item (decode ignores
+        # them) so no item is skippable-only
+        if items:
+            items[-1] = items[-1] + blob[cur_start:]
+        else:
+            items.append(blob[cur_start:])
     return items
 
 
 def split_sidecar(blob: bytes):
-    """Split a (sidecar?, frame) stream. Returns (sidecar_payload | None,
-    frame_bytes)."""
-    if len(blob) >= 8:
-        magic = int.from_bytes(blob[:4], "little")
-        if (magic & 0xFFFFFFF0) == SKIP_MAGIC:
-            size = int.from_bytes(blob[4:8], "little")
-            payload = blob[8 : 8 + size]
-            if payload[:4] == b"CTAC":  # crc-wrapped sidecar
-                from compress_tpu.utils.crc import crc32c
+    """Split a ([skippables...], frame...) stream. Strips ALL leading
+    skippable frames (foreign ones are ignored); returns
+    (sidecar_payload | None, rest)."""
+    found = None
+    pos = 0
+    while len(blob) - pos >= 8:
+        magic = int.from_bytes(blob[pos : pos + 4], "little")
+        if (magic & 0xFFFFFFF0) != SKIP_MAGIC:
+            break
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        payload = blob[pos + 8 : pos + 8 + size]
+        pos += 8 + size
+        if payload[:4] == b"CTAC":  # crc-wrapped sidecar
+            from compress_tpu.utils.crc import crc32c
 
-                want = int.from_bytes(payload[4:8], "little")
-                payload = payload[8:]
-                if (crc32c(payload) & 0xFFFFFFFF) != want:
-                    return None, blob[8 + size :]
-            if payload[:4] == b"CTA2":  # s2-compressed sidecar
-                from compress_tpu import s2 as _s2
+            want = int.from_bytes(payload[4:8], "little")
+            payload = payload[8:]
+            if (crc32c(payload) & 0xFFFFFFFF) != want:
+                continue  # corrupt: ignore, keep scanning
+        if payload[:4] == b"CTA2":  # s2-compressed sidecar
+            from compress_tpu import s2 as _s2
 
-                try:
-                    payload = _s2.decode(payload[4:])
-                except Exception:  # noqa: BLE001 — treat as foreign
-                    return None, blob[8 + size :]
-            if payload[:4] == ACCEL_MAGIC:
-                return payload, blob[8 + size :]
-            return None, blob[8 + size :]
-    return None, blob
+            try:
+                payload = _s2.decode(payload[4:])
+            except Exception:  # noqa: BLE001 — treat as foreign
+                continue
+        if payload[:4] == ACCEL_MAGIC:
+            found = payload
+    return found, blob[pos:]
 
 
 class BlockAccel:

@@ -32,7 +32,12 @@ from compress_tpu.zstd.frame import parse_frame_header
 
 
 def _parse_single_block(frame: bytes):
-    h = parse_frame_header(frame)
+    try:
+        h = parse_frame_header(frame)
+    except Exception:  # noqa: BLE001 — malformed: host decode decides
+        return None
+    if h.skippable:
+        return None
     pos = h.header_size
     bh = int.from_bytes(frame[pos : pos + 3], "little")
     pos += 3
@@ -40,6 +45,20 @@ def _parse_single_block(frame: bytes):
     if not last or btype != B.BLOCK_COMPRESSED:
         return None
     body = frame[pos : pos + bsize]
+    # the item must be exactly ONE frame: trailing bytes (multi-frame
+    # blobs) would be silently dropped by the device path (r3 review).
+    # Trailing SKIPPABLE frames are fine — decode ignores them.
+    end = pos + bsize + (4 if h.has_checksum else 0)
+    while end < len(frame):
+        try:
+            t = parse_frame_header(frame, end)
+        except Exception:  # noqa: BLE001
+            return None
+        if not t.skippable:
+            return None
+        end += t.header_size + t.skippable_size
+    if end != len(frame):
+        return None
     return body
 
 

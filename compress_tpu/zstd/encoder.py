@@ -577,8 +577,12 @@ def compress_concurrent(data, workers: int = 4, job_size: int | None = None,
     encoder_options.go:246/356: fastest 4 MiB, higher levels 8 MiB), so
     concurrent ratio tracks one-shot compress()."""
     if job_size is None:
+        # size-aware: keep all workers busy on mid-size inputs (ratio
+        # cost of smaller jobs is ~0.1-0.3%), cap at the level's window
         window = 1 << (22 if level <= 1 else 23)
-        job_size = window - window // 8
+        n_hint = len(data) if isinstance(data, (bytes, bytearray)) else 0
+        per_worker = max(n_hint // max(workers, 1), 1 << 20)
+        job_size = min(window - window // 8, per_worker)
     import ctypes
     from concurrent.futures import ThreadPoolExecutor
 

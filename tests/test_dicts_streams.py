@@ -256,7 +256,12 @@ def test_dictbuilder_match_based_beats_fragments():
     """r3: real-match coverage training (reference dict/builder.go:93
     role) must beat the fragment-frequency heuristic on a JSON-records
     corpus by a measured margin."""
+    import os
+
     import compress_tpu.dictbuilder as DB
+
+    if os.environ.get("COMPRESS_TPU_NONATIVE") == "1":
+        pytest.skip("match trainer needs the native s2 matcher")
     from compress_tpu.zstd.dict import build_dict, load_dict
 
     names = [b"alice", b"bob", b"carol", b"dave"]
