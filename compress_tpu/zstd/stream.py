@@ -77,12 +77,21 @@ class Writer:
 
     def __init__(self, dst, level: int = 2, checksum: bool = False,
                  window_log: int | None = None, dict_=None,
-                 padding: int = 0, job_size: int | None = None):
+                 padding: int = 0, job_size: int | None = None,
+                 workers: int = 0):
         self.dst = dst
         self.level = min(max(int(level), 1), 4)
         self.checksum = checksum
         self.dict_ = dict_
         self.padding = padding
+        # workers > 0: jobs encode on a thread pool while the caller keeps
+        # writing (the reference's async stream encode, encoder.go:386 two-
+        # goroutine pipeline / enc_jobs workers). The native job entry
+        # releases the GIL, so encode genuinely overlaps the caller. Job
+        # order is preserved by queuing futures FIFO.
+        self._workers = int(workers)
+        self._pool = None
+        self._futures = None
         if window_log is None and job_size is None:
             # per-level window ladder (reference encoder_options.go:246:
             # fastest 4 MiB window, higher levels 8 MiB); jobs fill the
@@ -126,11 +135,11 @@ class Writer:
         self._written += len(hdr)
         self._header_written = True
 
-    def _encode_job(self, chunk: bytes) -> bytes:
-        """chunk → non-last in-frame block bytes, prefix = carried tail."""
-        seg = self._tail + chunk
-        plen = len(self._tail)
-        blocks = None
+    @staticmethod
+    def _encode_seg(seg: bytes, plen: int, level: int) -> bytes:
+        """seg[plen:] → non-last in-frame block bytes (prefix = seg[:plen]).
+        Pure function: safe to run on worker threads (the native entry
+        releases the GIL)."""
         import ctypes
 
         from compress_tpu import _native
@@ -138,16 +147,49 @@ class Writer:
 
         lib = bind_job_entry(_native.raw())
         if lib is not None:
-            cap = len(chunk) + len(chunk) // 8 + 4096
+            n = len(seg) - plen
+            cap = n + n // 8 + 4096
             dstb = ctypes.create_string_buffer(cap)
             r = lib.ct_zstd_compress_blocks_level(seg, len(seg), plen, dstb,
-                                                  cap, self.level)
+                                                  cap, level)
             if r >= 0:
-                blocks = dstb.raw[:r]
-        if blocks is None:
-            blocks = _encode_job_blocks_py(seg, plen, self.level)
+                return dstb.raw[:r]
+        return _encode_job_blocks_py(seg, plen, level)
+
+    def _encode_job(self, chunk: bytes) -> bytes:
+        """chunk → non-last in-frame block bytes, prefix = carried tail."""
+        seg = self._tail + chunk
+        plen = len(self._tail)
+        blocks = self._encode_seg(seg, plen, self.level)
         self._tail = seg[-self._overlap:] if self._overlap else b""
         return blocks
+
+    def _submit_job(self, chunk: bytes):
+        """Async path: queue the job on the pool; prefixes come from the
+        INPUT stream, so jobs are independent given their slices."""
+        if self._pool is None:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self._workers)
+            self._futures = deque()
+        seg = self._tail + chunk
+        plen = len(self._tail)
+        self._tail = seg[-self._overlap:] if self._overlap else b""
+        self._futures.append(
+            self._pool.submit(self._encode_seg, seg, plen, self.level))
+        # backpressure: bound in-flight jobs (reference jobs channel depth)
+        while len(self._futures) > 2 * self._workers:
+            self._drain_one()
+
+    def _drain_one(self):
+        blocks = self._futures.popleft().result()
+        self.dst.write(blocks)
+        self._written += len(blocks)
+
+    def _drain_all(self):
+        while self._futures:
+            self._drain_one()
 
     # -- public API --
 
@@ -163,9 +205,12 @@ class Writer:
             chunk = bytes(self._buf[: self._job_size])
             del self._buf[: self._job_size]
             self._ensure_header()
-            blocks = self._encode_job(chunk)
-            self.dst.write(blocks)
-            self._written += len(blocks)
+            if self._workers > 0:
+                self._submit_job(chunk)
+            else:
+                blocks = self._encode_job(chunk)
+                self.dst.write(blocks)
+                self._written += len(blocks)
         return len(data)
 
     def flush(self):
@@ -178,9 +223,14 @@ class Writer:
         if self._buf:
             chunk = bytes(self._buf)
             self._buf.clear()
-            blocks = self._encode_job(chunk)
-            self.dst.write(blocks)
-            self._written += len(blocks)
+            if self._workers > 0:
+                self._submit_job(chunk)
+            else:
+                blocks = self._encode_job(chunk)
+                self.dst.write(blocks)
+                self._written += len(blocks)
+        if self._futures:
+            self._drain_all()
 
     def read_from(self, src, chunk: int = 1 << 20) -> int:
         """Pump src (a readable) through the writer (reference:
@@ -197,6 +247,8 @@ class Writer:
         if self._closed:
             return
         self.flush()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
         # final empty raw block carries the `last` flag
         self.dst.write((1).to_bytes(3, "little"))
         self._written += 3

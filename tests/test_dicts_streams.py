@@ -305,3 +305,22 @@ def test_zstd_reader_readahead_pipeline():
     with pytest.raises(Z.ZstdError):
         while r2.read(65536):
             pass
+
+
+def test_zstd_writer_async_workers_byte_identical():
+    """r3: Writer(workers=N) pipelines job encoding on threads; output
+    must be byte-identical to the synchronous writer (the reference's
+    async stream encode contract)."""
+    data = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+                "rb").read() * 12
+    b1, b2 = io.BytesIO(), io.BytesIO()
+    w1 = zstream.Writer(b1, level=1, checksum=True)
+    w1.read_from(io.BytesIO(data))
+    w1.close()
+    w2 = zstream.Writer(b2, level=1, checksum=True, workers=3)
+    for i in range(0, len(data), 99991):
+        w2.write(data[i : i + 99991])
+    w2.close()
+    assert b1.getvalue() == b2.getvalue()
+    assert zstandard.ZstdDecompressor().stream_reader(
+        io.BytesIO(b2.getvalue()), read_across_frames=True).read() == data
