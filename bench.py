@@ -165,6 +165,14 @@ def main():
     assert z.decompress(frame) == big[: zdev.JOB], "zstd decode mismatch"
     z_ratio = len(frame) / zdev.JOB
 
+    # honest END-TO-END device encode (device tensors + host assembly):
+    # the kernel-only number above excludes the byte-plumbing the host
+    # must still do (r3 finding: assembly dominated before vectorization)
+    ze2e = big[: min(len(big), 8 << 20)]
+    t = time.time()
+    compress_device(ze2e)
+    z_e2e_gbps = len(ze2e) / (time.time() - t) / 1e9
+
     # ---- device huff0 chunked decode (entropy-decode half of P4) ----------
     hdec_gbps = 0.0
     try:
@@ -244,6 +252,7 @@ def main():
         "zstd_l1_encode_gbps": round(z_gbps, 5),
         "zstd_l1_vs_baseline": round(z_gbps / 0.31847, 5),
         "zstd_l1_ratio": round(z_ratio, 4),
+        "zstd_device_e2e_gbps": round(z_e2e_gbps, 5),
         "huff0_decode_device_gbps": round(hdec_gbps, 5),
         "zstd_decode_host_gbps": round(host_dec_gbps, 5),
         "zstd_decode_device_accel_gbps": round(dev_dec_gbps, 5),

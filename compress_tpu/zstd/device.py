@@ -65,13 +65,29 @@ def _seq_count_header(n: int) -> bytes:
 
 
 def _extract_literals(block: bytes, lls, mls, ns: int) -> bytes:
-    parts = []
-    p = 0
-    for i in range(ns):
-        parts.append(block[p : p + int(lls[i])])
-        p += int(lls[i]) + int(mls[i])
-    parts.append(block[p:])
-    return b"".join(parts)
+    """Gather the per-sequence literal runs + tail (vectorized ragged
+    gather — the per-sequence Python loop was 51% of job assembly)."""
+    if ns == 0:
+        return block
+    lls = np.asarray(lls[:ns], np.int64)
+    mls = np.asarray(mls[:ns], np.int64)
+    starts = np.zeros(ns, np.int64)
+    adv = lls + mls
+    starts[1:] = np.cumsum(adv[:-1])
+    tail_at = int(starts[-1] + adv[-1])
+    total = int(lls.sum())
+    if total == 0:
+        return block[tail_at:]
+    nz = lls > 0
+    st = starts[nz]
+    ln = lls[nz]
+    base = np.repeat(st - (np.cumsum(ln) - ln), ln)
+    idx = base + np.arange(total, dtype=np.int64)
+    buf = np.frombuffer(block, np.uint8)
+    return buf[idx].tobytes() + block[tail_at:]
+
+
+_TABLE_CACHE: dict = {}  # nbits bytes -> serialized table (or None)
 
 
 def _assemble_job(job_bytes: bytes, t, j: int, block: int):
@@ -89,7 +105,7 @@ def _assemble_job(job_bytes: bytes, t, j: int, block: int):
     seq_halves = np.asarray(t["seq_halves"][j])
     seq_total_bits = np.asarray(t["seq_total_bits"][j])
 
-    table_cache: dict = t.setdefault("_table_cache", {})
+    table_cache: dict = _TABLE_CACHE  # process-level: tables recur
 
     def huff_table_blob(b):
         if not bool(huff_ok[b]):
