@@ -176,6 +176,7 @@ def main():
     # the kernel-only number above excludes the byte-plumbing the host
     # must still do (r3 finding: assembly dominated before vectorization)
     ze2e = big[: min(len(big), 8 << 20)]
+    compress_device(ze2e)  # compile + warm (fresh job-batch shape)
     t = time.time()
     compress_device(ze2e)
     z_e2e_gbps = len(ze2e) / (time.time() - t) / 1e9
