@@ -344,29 +344,55 @@ static bool huf_decode_4streams(const HufDT* ht, const uint8_t* ps[4],
                                 const long long lens[4]) {
   int mb = ht->max_bits;
   BitRev br[4];
-  long long common = 1 << 30;
-  for (int k = 0; k < 4; k++) {
+  for (int k = 0; k < 4; k++)
     if (!br_init(&br[k], ps[k], ns[k])) return false;
-    // symbols safely decodable with the fast peek: every peek needs
-    // bitpos >= mb; one symbol consumes <= mb bits, so after t symbols
-    // bitpos >= init - t*mb
-    long long safe = (br[k].bitpos - mb) / mb;
-    if (safe < 0) safe = 0;
-    if (safe > lens[k]) safe = lens[k];
-    if (safe < common) common = safe;
-  }
   const uint8_t* sym = ht->sym;
   const uint8_t* nbt = ht->nb;
   uint32_t mask = (1u << mb) - 1;
-  long long i = 0;
-  for (; i < common; i++) {
+  // Quad loop: ONE 8-byte load yields FOUR symbols per stream (4*mb <= 44
+  // bits always fit the 57-bit budget); the four streams interleave for
+  // ILP (reference decompress_amd64.s 4X role). The safe quad count is
+  // re-derived from the ACTUAL remaining bits each round — the worst-case
+  // bound (mb bits/symbol) alone would push ~half the symbols onto the
+  // slow guarded tail when the average code is ~mb/2 bits.
+  long long i = 0;  // symbols emitted per stream (lockstep)
+  long long minlen = lens[0];
+  for (int k = 1; k < 4; k++)
+    if (lens[k] < minlen) minlen = lens[k];
+  const int mb4 = 4 * mb;
+  const int sh0 = 3 * mb;
+  for (;;) {
+    long long quads = (minlen - i) / 4;
     for (int k = 0; k < 4; k++) {
-      long long bp = br[k].bitpos - mb;
-      uint64_t v;
-      memcpy(&v, br[k].p + (bp >> 3), 8);
-      uint32_t idx = (uint32_t)((v >> (bp & 7)) & mask);
-      outs[k][i] = sym[idx];
-      br[k].bitpos -= nbt[idx];
+      // after t quads bitpos >= bp0 - 4*mb*t; each quad needs bitpos>=4*mb
+      long long q = br[k].bitpos / mb4 - 1;
+      if (q < quads) quads = q;
+    }
+    if (quads <= 0) break;
+    for (long long t = 0; t < quads; t++, i += 4) {
+      for (int k = 0; k < 4; k++) {
+        long long bp = br[k].bitpos;
+        long long lo = bp - mb4;
+        uint64_t w;
+        memcpy(&w, br[k].p + (lo >> 3), 8);
+        int sh = (int)(lo & 7) + sh0;
+        uint32_t i1 = (uint32_t)(w >> sh) & mask;
+        int n1 = nbt[i1];
+        sh -= n1;
+        uint32_t i2 = (uint32_t)(w >> sh) & mask;
+        int n2 = nbt[i2];
+        sh -= n2;
+        uint32_t i3 = (uint32_t)(w >> sh) & mask;
+        int n3 = nbt[i3];
+        sh -= n3;
+        uint32_t i4 = (uint32_t)(w >> sh) & mask;
+        uint8_t* op = outs[k] + i;
+        op[0] = sym[i1];
+        op[1] = sym[i2];
+        op[2] = sym[i3];
+        op[3] = sym[i4];
+        br[k].bitpos = bp - n1 - n2 - n3 - (long long)nbt[i4];
+      }
     }
   }
   // tails: per stream, finish with the guarded scalar loop
@@ -753,89 +779,67 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
   const SeqEnt* D_of = s->d_of.e;
   const SeqEnt* D_ml = s->d_ml.e;
 
+  // The loop peels the LAST sequence (no FSE state update there), so the
+  // body is a single always-updating path: one wide bit-grab feeds the
+  // three extra-bit fields AND the three FSE state updates (the reference
+  // asm's one-refill-per-sequence discipline, seqdec_amd64.s role).
+  // Rep-offset resolution is branchless (the 4-way history branch is
+  // data-dependent and mispredicts ~every other sequence on text).
   for (long long i = 0; i < nseq; i++) {
     SeqEnt el = D_ll[st_ll];
     SeqEnt eo = D_of[st_of];
     SeqEnt em = D_ml[st_ml];
-    // ONE wide bit-grab for the three extra-bit fields AND the three FSE
-    // state updates (extra <= 57 and state bits <= 26; for typical data
-    // the sum fits 57, the single-load budget — the reference asm's
-    // one-refill-per-sequence discipline, seqdec_amd64.s role). Invalid
-    // symbols carry ebits=0xFF, overflow every budget, and die in the
-    // br_read fallback (nb > 31 ⇒ !ok).
     int tot = eo.ebits + em.ebits + el.ebits;
     int stbits = el.nb + em.nb + eo.nb;
     uint32_t of_x, ml_x, ll_x;
     uint64_t w;
-    bool states_done = false;
-    if (i < nseq - 1 && tot + stbits <= 57 && br_grab(&br, tot + stbits, &w)) {
-      int rem = tot + stbits;
+    long long last = (i == nseq - 1);
+    int need = tot + (last ? 0 : stbits);
+    // Invalid symbols carry ebits=0xFF, overflow every budget, and die in
+    // the br_read fallback (nb > 31 => !ok).
+    if (need <= 57 && br_grab(&br, need, &w)) {
+      int rem = need;
       of_x = win_take(w, &rem, eo.ebits);
       ml_x = win_take(w, &rem, em.ebits);
       ll_x = win_take(w, &rem, el.ebits);
-      st_ll = (el.base + win_take(w, &rem, el.nb)) & 511;
-      st_ml = (em.base + win_take(w, &rem, em.nb)) & 511;
-      st_of = (eo.base + win_take(w, &rem, eo.nb)) & 511;
-      states_done = true;
-    } else if (tot <= 57 && br_grab(&br, tot, &w)) {
-      int rem = tot;
-      of_x = win_take(w, &rem, eo.ebits);
-      ml_x = win_take(w, &rem, em.ebits);
-      ll_x = win_take(w, &rem, el.ebits);
+      if (!last) {
+        st_ll = (el.base + win_take(w, &rem, el.nb)) & 511;
+        st_ml = (em.base + win_take(w, &rem, em.nb)) & 511;
+        st_of = (eo.base + win_take(w, &rem, eo.nb)) & 511;
+      }
     } else {
       of_x = br_read(&br, eo.ebits);
       ml_x = br_read(&br, em.ebits);
       ll_x = br_read(&br, el.ebits);
       if (!br.ok) return E_CORRUPT;
+      if (!last) {
+        st_ll = (el.base + br_read(&br, el.nb)) & 511;
+        st_ml = (em.base + br_read(&br, em.nb)) & 511;
+        st_of = (eo.base + br_read(&br, eo.nb)) & 511;
+        if (!br.ok) return E_CORRUPT;
+      }
     }
     uint32_t of_val = eo.vbase + of_x;
     uint32_t ml = em.vbase + ml_x;
     uint32_t ll = el.vbase + ll_x;
 
-    // repeat-offset resolution
-    uint32_t off;
-    if (of_val > 3) {
-      off = of_val - 3;
-      rep[2] = rep[1];
-      rep[1] = rep[0];
-      rep[0] = off;
-    } else {
-      uint32_t code = of_val - 1 + (ll == 0 ? 1 : 0);
-      if (code == 0) {
-        off = rep[0];
-      } else if (code == 1) {
-        off = rep[1];
-        rep[1] = rep[0];
-        rep[0] = off;
-      } else if (code == 2) {
-        off = rep[2];
-        rep[2] = rep[1];
-        rep[1] = rep[0];
-        rep[0] = off;
-      } else {
-        off = rep[0] - 1;
-        if (off == 0) return E_CORRUPT;
-        rep[2] = rep[1];
-        rep[1] = rep[0];
-        rep[0] = off;
-      }
-    }
+    // branchless repeat-offset resolution: sel = 3 for new offsets, else
+    // the history slot; updates compile to cmovs.
+    uint32_t cand3 = rep[0] - 1;
+    uint32_t is_long = of_val > 3;
+    uint32_t code = is_long ? 3u : of_val - 1 + (ll == 0 ? 1u : 0u);
+    uint32_t off = code == 0 ? rep[0] : code == 1 ? rep[1]
+                   : code == 2 ? rep[2] : is_long ? of_val - 3 : cand3;
+    if (off == 0) return E_CORRUPT;  // only reachable via cand3
+    rep[2] = code >= 2 ? rep[1] : rep[2];
+    rep[1] = code >= 1 ? rep[0] : rep[1];
+    rep[0] = off;
 
-    // FSE state updates happen before the copies on all but the last seq
-    // (fallback when the combined grab above didn't fit 57 bits)
-    if (!states_done && i < nseq - 1) {
-      uint64_t w2;
-      int rem = stbits;
-      if (!br_grab(&br, rem, &w2)) return E_CORRUPT;
-      st_ll = (el.base + win_take(w2, &rem, el.nb)) & 511;
-      st_ml = (em.base + win_take(w2, &rem, em.nb)) & 511;
-      st_of = (eo.base + win_take(w2, &rem, eo.nb)) & 511;
-    }
-
-    // literals copy (wide: lits has +32 slack, arena +64)
+    // literals copy (wide: lits has +32 slack, arena o_lim +64)
     if (lit + ll > lit_end || o + ll + ml > o_lim) return E_CORRUPT;
     memcpy(o, lit, 16);
-    if (ll > 16) memcpy(o + 16, lit + 16, ll - 16);
+    memcpy(o + 16, lit + 16, 16);
+    if (ll > 32) memcpy(o + 32, lit + 32, ll - 32);
     o += ll;
     lit += ll;
 
@@ -845,10 +849,11 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
     if (off >= 16) {
       // non-overlapping at 16-byte granularity: unconditional wide copies
       memcpy(o, m_src, 16);
-      if (ml > 16) {
-        uint8_t* dd = o + 16;
-        const uint8_t* ss = m_src + 16;
-        long long rem = (long long)ml - 16;
+      memcpy(o + 16, m_src + 16, 16);
+      if (ml > 32) {
+        uint8_t* dd = o + 32;
+        const uint8_t* ss = m_src + 32;
+        long long rem = (long long)ml - 32;
         do {
           memcpy(dd, ss, 16);
           dd += 16;
@@ -869,8 +874,13 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
         rem -= 8;
       } while (rem > 0);
       o += ml;
+    } else if (off == 1) {
+      // byte run: by far the most common tight offset
+      memset(o, o[-1], ml);
+      o += ml;
     } else {
-      // tight overlap: one period byte-wise, then self-doubling copies
+      // tight overlap (off 2..7, rare): one period byte-wise, then
+      // self-doubling copies
       long long m = ml;
       long long have = 0;
       for (; have < m && have < (long long)off; have++) o[have] = o[have - off];
