@@ -1100,4 +1100,299 @@ long long ct_zstd_compress_blocks(const uint8_t* src, long long n,
   return encode_blocks_(src, n, start, dst, cap, 0, 1);
 }
 
+// ---------------------------------------------------------------------------
+// huff0 weight-table serialization (huff0.write_table fast path)
+//
+// Serializes a huffman table header: FSE-compressed weights when smaller,
+// else raw nibbles (RFC 8878 §4.2.1.1; reference huff0/compress.go
+// writeTable role). The FSE branch mirrors fse/core.py exactly — same
+// normalization, NCount layout, 2-state interleave, and the same
+// verify-by-exhaustion-decode gate (the format terminates weight streams by
+// bit exhaustion, so an ambiguous stream must fall back to raw).
+// ---------------------------------------------------------------------------
+
+// exhaustion decode of an FSE weight stream; returns count or -1
+static int huf_weights_fse_decode(const uint8_t* blob, int blen,
+                                  const int16_t* norm, int nsym, int log,
+                                  uint8_t* out /* >= 256 */) {
+  int size = 1 << log;
+  uint8_t spread[64];
+  int high = size - 1;
+  for (int s = 0; s < nsym; s++)
+    if (norm[s] == -1) spread[high--] = (uint8_t)s;
+  int step = (size >> 1) + (size >> 3) + 3, mask = size - 1, pos = 0;
+  for (int s = 0; s < nsym; s++)
+    for (int i = 0; i < norm[s]; i++) {
+      spread[pos] = (uint8_t)s;
+      do {
+        pos = (pos + step) & mask;
+      } while (pos > high);
+    }
+  int symbol_next[64];
+  for (int s = 0; s < nsym; s++)
+    symbol_next[s] = norm[s] == -1 ? 1 : (norm[s] > 0 ? norm[s] : 0);
+  uint8_t nb[64];
+  int16_t new_state[64];
+  for (int u = 0; u < size; u++) {
+    int s = spread[u];
+    int nxt = symbol_next[s]++;
+    int nbb = log - highbit((uint32_t)nxt);
+    nb[u] = (uint8_t)nbb;
+    new_state[u] = (int16_t)((nxt << nbb) - size);
+  }
+  if (blen <= 0 || blob[blen - 1] == 0) return -1;
+  long long bitpos = (long long)(blen - 1) * 8 + highbit(blob[blen - 1]);
+  auto rd = [&](int n) -> int {
+    if (n == 0) return 0;
+    bitpos -= n;
+    long long bp = bitpos;
+    uint32_t m = (1u << n) - 1;
+    if (bp >= 0) {
+      uint64_t ch = 0;
+      int nbytes = blen - (int)(bp >> 3);
+      if (nbytes > 8) nbytes = 8;
+      memcpy(&ch, blob + (bp >> 3), nbytes);
+      return (int)((ch >> (bp & 7)) & m);
+    }
+    uint64_t ch = 0;
+    memcpy(&ch, blob, blen < 8 ? blen : 8);
+    return (int)((ch << -bp) & m);
+  };
+  int s1 = rd(log), s2 = rd(log);
+  int count = 0;
+  for (int it = 0; it < 255 && count < 254; it++) {
+    out[count++] = spread[s1];
+    s1 = new_state[s1] + rd(nb[s1]);
+    if (bitpos < 0) {
+      out[count++] = spread[s2];
+      return count;
+    }
+    out[count++] = spread[s2];
+    s2 = new_state[s2] + rd(nb[s2]);
+    if (bitpos < 0) {
+      out[count++] = spread[s1];
+      return count;
+    }
+  }
+  return -1;  // did not terminate
+}
+
+// exact port of fse/core.py normalize_count WITH low-prob -1 entries
+// (normalize_c above deliberately avoids them for seq tables; the huff0
+// weight serializer must be byte-identical to the Python path, so this
+// mirrors the numpy code operation-for-operation, including the stable
+// largest-remainder ordering and the recurse-without-lowprob fallback).
+static bool normalize_lowprob_c(const uint32_t* hist, int nsym,
+                                long long total, int log, int16_t* norm,
+                                bool low_allowed) {
+  int size = 1 << log;
+  int nz = 0;
+  for (int s = 0; s < nsym; s++) {
+    norm[s] = 0;
+    if (hist[s]) nz++;
+  }
+  if (total <= 0 || nz == 0 || nz == 1) return false;
+  long long low_threshold = total >> log;
+  bool is_low[64];
+  int n_low = 0;
+  for (int s = 0; s < nsym; s++) {
+    is_low[s] = low_allowed && hist[s] && (long long)hist[s] <= low_threshold;
+    if (is_low[s]) {
+      norm[s] = -1;
+      n_low++;
+    }
+  }
+  long long rest_slots = size - n_low;
+  long long rest_total = 0;
+  int m = 0;
+  int mids[64];
+  for (int s = 0; s < nsym; s++)
+    if (hist[s] && !is_low[s]) {
+      rest_total += hist[s];
+      mids[m++] = s;
+    }
+  if (rest_total <= 0 || rest_slots <= 0)
+    return low_allowed
+               ? normalize_lowprob_c(hist, nsym, total, log, norm, false)
+               : false;
+  if (rest_slots < m) return false;
+  double ratio = (double)rest_slots / (double)rest_total;
+  double frac[64];
+  long long base[64];
+  long long acc = 0;
+  for (int j = 0; j < m; j++) {
+    double ideal = (double)hist[mids[j]] * ratio;
+    double fl = __builtin_floor(ideal);
+    long long b = (long long)fl;
+    if (b < 1) b = 1;
+    base[j] = b;
+    frac[j] = ideal - fl;
+    acc += b;
+  }
+  long long remainder = rest_slots - acc;
+  if (remainder > 0) {
+    // argsort(-frac, stable): descending frac, ties by index ascending
+    int order[64];
+    for (int j = 0; j < m; j++) order[j] = j;
+    for (int a = 1; a < m; a++) {  // insertion sort = stable
+      int t = order[a];
+      int b2 = a - 1;
+      while (b2 >= 0 && frac[order[b2]] < frac[t]) {
+        order[b2 + 1] = order[b2];
+        b2--;
+      }
+      order[b2 + 1] = t;
+    }
+    long long take = remainder < m ? remainder : m;
+    for (long long j = 0; j < take; j++) base[order[j]]++;
+    long long left = remainder - take;
+    long long i = 0;
+    while (left > 0) {
+      base[order[i % m]]++;
+      left--;
+      i++;
+    }
+  } else if (remainder < 0) {
+    // argsort(-base, stable) computed ONCE, then cycle stealing where >1
+    int order[64];
+    for (int j = 0; j < m; j++) order[j] = j;
+    for (int a = 1; a < m; a++) {
+      int t = order[a];
+      int b2 = a - 1;
+      while (b2 >= 0 && base[order[b2]] < base[t]) {
+        order[b2 + 1] = order[b2];
+        b2--;
+      }
+      order[b2 + 1] = t;
+    }
+    long long i = 0;
+    while (remainder < 0) {
+      int j = order[i % m];
+      if (base[j] > 1) {
+        base[j]--;
+        remainder++;
+      }
+      i++;
+    }
+  }
+  for (int j = 0; j < m; j++) norm[mids[j]] = (int16_t)base[j];
+  return true;
+}
+
+long long ct_huf_write_table(const int32_t* nbits /* 256 */, int max_bits,
+                             uint8_t* out, long long cap) {
+  // weights + last present symbol
+  uint8_t w[256];
+  int last = -1;
+  for (int s = 0; s < 256; s++) {
+    w[s] = nbits[s] > 0 ? (uint8_t)(max_bits + 1 - nbits[s]) : 0;
+    if (nbits[s] > 0) last = s;
+  }
+  if (last < 0) return -1;
+  int n = last;  // explicit weights exclude the last present symbol
+
+  // raw nibble encoding
+  uint8_t raw[132];
+  int raw_len = -1;
+  if (n <= 128) {
+    raw[0] = (uint8_t)(127 + n);
+    int rn = 1;
+    for (int i = 0; i < n; i += 2) {
+      int hi = w[i];
+      int lo = i + 1 < n ? w[i + 1] : 0;
+      raw[rn++] = (uint8_t)((hi << 4) | lo);
+    }
+    raw_len = rn;
+  }
+
+  // FSE-compressed weights (accuracy <= 6)
+  int fse_len = -1;
+  uint8_t fse_out[132];
+  if (n >= 2) {
+    uint32_t hist[16] = {0};
+    int max_sym = 0;
+    for (int i = 0; i < n; i++) {
+      hist[w[i]]++;
+      if (w[i] > max_sym) max_sym = w[i];
+    }
+    // optimal_table_log(6, n, max_sym, max 6)
+    int tl = 6;
+    int mbs = highbit((uint32_t)(n - 1)) - 2;
+    if (mbs < 1) mbs = 1;
+    if (tl > mbs) tl = mbs;
+    int mbsym = highbit((uint32_t)max_sym) + 2;
+    if (tl < mbsym) tl = mbsym;
+    if (tl < 5) tl = 5;
+    if (tl > 6) tl = 6;
+    int16_t norm[16];
+    if (tl <= 6 &&
+        normalize_lowprob_c(hist, max_sym + 1, n, tl, norm, true)) {
+      uint8_t blob[384];
+      int hlen = write_ncount_c(norm, max_sym, tl, blob);
+      CTab ct;
+      ctab_build(norm, max_sym + 1, tl, &ct);
+      // 2-state interleaved encode, last-to-first (fse/core.py layout);
+      // worst case 255 weights * 6 state bits + 2 flushes + marker < 256 B
+      BitW bw;
+      uint8_t stream[256];
+      bw_init(&bw, stream);
+      auto first_state = [&](int sym) -> int {
+        int dnb = ct.delta_nb[sym];
+        int nbb = (dnb + (1 << 15)) >> 16;
+        int im = (nbb << 16) - dnb;
+        return ct.state_table[(im >> nbb) + ct.delta_fs[sym]];
+      };
+      auto enc = [&](int state, int sym) -> int {
+        int nbb = (state + ct.delta_nb[sym]) >> 16;
+        bw_add(&bw, (uint32_t)state, nbb);
+        return ct.state_table[(state >> nbb) + ct.delta_fs[sym]];
+      };
+      int ip = n, s1, s2;
+      if (ip & 1) {
+        s1 = first_state(w[ip - 1]);
+        s2 = first_state(w[ip - 2]);
+        s1 = enc(s1, w[ip - 3]);
+        ip -= 3;
+      } else {
+        s2 = first_state(w[ip - 1]);
+        s1 = first_state(w[ip - 2]);
+        ip -= 2;
+      }
+      if (ip & 2) {
+        s2 = enc(s2, w[ip - 1]);
+        s1 = enc(s1, w[ip - 2]);
+        ip -= 2;
+      }
+      while (ip >= 4) {
+        s2 = enc(s2, w[ip - 1]);
+        s1 = enc(s1, w[ip - 2]);
+        s2 = enc(s2, w[ip - 3]);
+        s1 = enc(s1, w[ip - 4]);
+        ip -= 4;
+      }
+      bw_add(&bw, (uint32_t)(s2 - (1 << tl)), tl);
+      bw_add(&bw, (uint32_t)(s1 - (1 << tl)), tl);
+      long long slen = bw_close(&bw);
+      int blen = hlen + (int)slen;
+      if (blen < 128 && (raw_len < 0 || blen + 1 < raw_len)) {
+        memcpy(blob + hlen, stream, slen);
+        // verify unambiguous exhaustion-decode before committing
+        uint8_t back[260];
+        int cnt = huf_weights_fse_decode(stream, (int)slen, norm, max_sym + 1,
+                                         tl, back);
+        if (cnt == n && memcmp(back, w, n) == 0) {
+          fse_out[0] = (uint8_t)blen;
+          memcpy(fse_out + 1, blob, blen);
+          fse_len = 1 + blen;
+        }
+      }
+    }
+  }
+  const uint8_t* pick = fse_len > 0 ? fse_out : raw;
+  long long plen = fse_len > 0 ? fse_len : raw_len;
+  if (plen < 0 || plen > cap) return -1;
+  memcpy(out, pick, plen);
+  return plen;
+}
+
 }  // extern "C"

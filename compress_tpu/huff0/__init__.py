@@ -170,8 +170,46 @@ def build_dtable(weights_full: np.ndarray, max_bits: int):
 # ---------------------------------------------------------------------------
 
 
+def _write_table_native(nbits: np.ndarray, max_bits: int):
+    """Native fast path (ct_huf_write_table); None when unavailable.
+
+    Same output contract as the Python path below: FSE-compressed weights
+    when strictly smaller (and unambiguous under exhaustion decode), else
+    raw nibbles. Reference role: huff0/compress.go writeTable.
+    """
+    import ctypes
+
+    from compress_tpu import _native
+
+    if not _native.available():
+        return None
+    lib = _native.raw()
+    if not getattr(lib, "_huf_wt_bound", False):
+        lib.ct_huf_write_table.restype = ctypes.c_longlong
+        lib.ct_huf_write_table.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_longlong,
+        ]
+        lib._huf_wt_bound = True
+    arr = np.ascontiguousarray(nbits, dtype=np.int32)
+    if arr.shape != (256,):
+        full = np.zeros(256, dtype=np.int32)
+        full[: len(arr)] = arr[:256]
+        arr = full
+    out = ctypes.create_string_buffer(256)
+    r = lib.ct_huf_write_table(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(max_bits), out, 256)
+    if r <= 0:
+        return None
+    return out.raw[:r]
+
+
 def write_table(nbits: np.ndarray, max_bits: int) -> bytes:
     """Serialize weights: FSE-compressed if smaller, else raw nibbles."""
+    fast = _write_table_native(nbits, max_bits)
+    if fast is not None:
+        return fast
     weights = nbits_to_weights(nbits, max_bits)
     last = int(np.nonzero(nbits)[0][-1])
     w_explicit = weights[:last]  # last present symbol's weight implied

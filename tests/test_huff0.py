@@ -123,3 +123,50 @@ def test_reference_fuzz_corpus():
                     except (huff0.IncompressibleError, huff0.UseRLEError, ValueError):
                         continue
                     assert dec(blob) == data, (zp.name, info.filename)
+
+
+def test_write_table_native_matches_python():
+    """The C++ write_table fast path must be byte-identical to the Python
+    serializer (same FSE normalization, layout, and fse-vs-raw choice)."""
+    from compress_tpu import _native
+    from compress_tpu.huff0 import _write_table_native
+
+    if not _native.available():
+        pytest.skip("native core unavailable")
+    import compress_tpu.huff0 as h
+
+    rng = np.random.default_rng(11)
+    checked_fse = checked_raw = 0
+    for trial in range(200):
+        # small alphabets make FSE overhead lose to raw nibbles; large
+        # skewed ones favour FSE — both branches must match
+        if trial % 3 == 0:
+            # dense low-index alphabet with diverse weights: raw nibbles
+            # beat FSE here
+            nsym = int(rng.integers(4, 24))
+            idx = np.arange(nsym)
+        else:
+            nsym = int(rng.integers(2, 256))
+            idx = rng.choice(256, nsym, replace=False)
+        hist = np.zeros(256, dtype=np.int64)
+        if trial % 2:
+            hist[idx] = rng.integers(1, 50, nsym)
+        else:
+            hist[idx] = np.maximum(
+                1, (rng.pareto(1.0, nsym) * 1000).astype(np.int64))
+        nbits, max_bits = h.build_nbits(hist)
+        fast = _write_table_native(nbits, max_bits)
+        assert fast is not None
+        # force the pure-Python path for comparison
+        orig = h._write_table_native
+        h._write_table_native = lambda *a: None
+        try:
+            slow = h.write_table(nbits, max_bits)
+        finally:
+            h._write_table_native = orig
+        assert fast == slow, (trial, fast.hex(), slow.hex())
+        if fast[0] < 128:
+            checked_fse += 1
+        else:
+            checked_raw += 1
+    assert checked_fse and checked_raw  # both branches exercised
