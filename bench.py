@@ -99,10 +99,30 @@ def main():
     # degraded by orders of magnitude for hours (measured 2026-08-17).
     # If calib_matmul_ms is large, every number below understates the
     # design by the same factor.
-    a = jnp.ones((2048, 2048), jnp.bfloat16)
-    mm = jax.jit(lambda a: a @ a)
-    t0 = time.time()
-    mm(a).block_until_ready()
+    # watchdog: a dead tunnel hangs the FIRST device touch indefinitely
+    # (measured 2026-08-17: jax.devices() itself never returned); the
+    # round-end bench must never stall the driver, so give device init a
+    # hard deadline and fall back to host-only metrics past it.
+    import signal
+
+    class _DeviceHang(Exception):
+        pass
+
+    def _on_alarm(_sig, _frm):
+        raise _DeviceHang()
+
+    old_alarm = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(240)
+    try:
+        a = jnp.ones((2048, 2048), jnp.bfloat16)
+        mm = jax.jit(lambda a: a @ a)
+        t0 = time.time()
+        mm(a).block_until_ready()
+    except _DeviceHang:
+        return _host_only_bench(big[: 2 << 20], 1e9)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old_alarm)
     first_s = time.time() - t0  # includes compile
     # warm-up: the tunnel shows multi-second first-dispatch spikes on an
     # otherwise healthy chip (measured 2026-08-17: first call 5.9 s,
