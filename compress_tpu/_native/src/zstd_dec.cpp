@@ -1015,6 +1015,13 @@ static const long long ACC_OUT_BASE = 512 * 128;
 // emit pieces for dst range [d0, d0+L) with per-byte sources sarr/rounds
 // rarr, cutting at non-contiguous sources, round changes, and 128-lane
 // dst row boundaries
+// history rows (previous blocks' output, last byte adjacent to the
+// current block) live ABOVE the 1024-row arena: history byte -j (j >= 1,
+// relative to the current block's start) sits at arena address
+// ACC_HIST_BASE + hist_cap - j. 64 KiB blocks make the decode-side
+// history update a STATIC 512-row shift.
+static const long long ACC_HIST_BASE = 1024 * 128;
+
 static void plan_emit(PlanOut* po, long long d0, const int32_t* sarr,
                       const int16_t* rarr, long long L) {
   long long a = 0;
@@ -1036,10 +1043,16 @@ static void plan_emit(PlanOut* po, long long d0, const int32_t* sarr,
   }
 }
 
+// hist_avail: history bytes reachable before this block (0 for
+// single-block); hist_cap: the decode-side history tensor size in bytes
+// (fixed per frame). A source byte at block-relative position sp < 0 is
+// history, fully resolved at block start (round 0), at arena address
+// ACC_HIST_BASE + hist_cap + sp.
 static bool plan_ops(const int32_t* lls, const int32_t* mls,
                      const int32_t* offs, long long nseq, long long tail_lit,
                      int max_rounds, PlanOut* po, int32_t* esrc,
-                     int16_t* ernd, int32_t* stmp, int16_t* rtmp) {
+                     int16_t* ernd, int32_t* stmp, int16_t* rtmp,
+                     long long hist_avail, long long hist_cap) {
   long long pos = 0, lit_pos = 0;
   for (long long k = 0; k <= nseq; k++) {
     long long ll = k < nseq ? lls[k] : tail_lit;
@@ -1059,13 +1072,19 @@ static bool plan_ops(const int32_t* lls, const int32_t* mls,
     if (k == nseq) break;
     long long L = mls[k];
     long long off = offs[k];
-    if (off <= 0 || off > pos || pos + L > (1 << 16)) return false;
+    if (off <= 0 || off > pos + hist_avail || pos + L > (1 << 16))
+      return false;
     int rmax = 0;
     bool contig = true;
     for (long long i = 0; i < L; i++) {
       long long sp = pos - off + (off < L ? (i % off) : i);
-      stmp[i] = esrc[sp];
-      rtmp[i] = ernd[sp];
+      if (sp < 0) {
+        stmp[i] = (int32_t)(ACC_HIST_BASE + hist_cap + sp);
+        rtmp[i] = 0;
+      } else {
+        stmp[i] = esrc[sp];
+        rtmp[i] = ernd[sp];
+      }
       if (rtmp[i] > rmax) rmax = rtmp[i];
       if (i && (stmp[i] != stmp[i - 1] + 1 || rtmp[i] != rtmp[i - 1]))
         contig = false;
@@ -1080,11 +1099,17 @@ static bool plan_ops(const int32_t* lls, const int32_t* mls,
           ernd[pos + i] = rtmp[i];
         }
       } else {
-        // read the output bytes directly, one round later
+        // read the output bytes directly, one round later (history bytes
+        // keep their round-0 absolute address — they are not re-written)
         for (long long i = 0; i < L; i++) {
           long long sp = pos - off + (off < L ? (i % off) : i);
-          stmp[i] = (int32_t)(ACC_OUT_BASE + sp);
-          rtmp[i] = (int16_t)rnd_direct;
+          if (sp < 0) {
+            stmp[i] = (int32_t)(ACC_HIST_BASE + hist_cap + sp);
+            rtmp[i] = 0;
+          } else {
+            stmp[i] = (int32_t)(ACC_OUT_BASE + sp);
+            rtmp[i] = (int16_t)rnd_direct;
+          }
         }
         plan_emit(po, pos, stmp, rtmp, L);
         for (long long i = 0; i < L; i++) {
@@ -1234,7 +1259,7 @@ long long ct_s2_build_plan(const uint8_t* src, long long slen,
     if (psrc && plen && prnd && esrc && ernd2 && stmp && rtmp) {
       PlanOut po{psrc, plen, prnd, 0, pcap, 1, true};
       bool planned = plan_ops(k_ll, mls, ofs, nop, pend_lit, max_rounds,
-                              &po, esrc, ernd2, stmp, rtmp);
+                              &po, esrc, ernd2, stmp, rtmp, 0, 0);
       if (planned) {
         ByteSink sink{out, 0, cap, true};
         sink.u32((uint64_t)total);
@@ -1274,27 +1299,72 @@ long long ct_s2_build_plan(const uint8_t* src, long long slen,
 // (bit offset + FSE states + reps) — the compact/validation channel.
 // The default plan-only sidecar omits them (r3 review #4: nothing in the
 // plan-driven decode path reads them, and they cost ~2.75 B/sequence).
-long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
-                                int max_rounds, int opts, uint8_t* out,
-                                long long cap) {
-  ByteSink sink{out, 0, cap, true};
-  sink.u8('C'); sink.u8('T'); sink.u8('A'); sink.u8('1');
-  sink.u16(1);  // n_blocks
-  long long flags_at = sink.pos;
-  sink.u8(0);
-  if (!sink.ok) return E_SPACE;
+// pieces worst case per block (full flatten, max_rounds=1): every output
+// byte may open a new piece at a row boundary or source discontinuity
+static const long long SIDE_PCAP = 2ll * (1 << 16) + (1 << 16) + 1024;
 
-  if (n < 5) return 0;
-  uint32_t bh = (uint32_t)src[0] | ((uint32_t)src[1] << 8) |
-                ((uint32_t)src[2] << 16);
-  int last = bh & 1;
-  int btype = (bh >> 1) & 3;
-  long long bsize = bh >> 3;
-  if (!last || btype != 2 || 3 + bsize > n) return 0;
-  const uint8_t* bp = src + 3;
+// carried per-frame state for the multi-block walk (RFC 8878: rep
+// offsets, FSE tables in repeat mode, and the huff table for treeless
+// literals all persist across blocks within one frame)
+struct SideSt {
+  uint32_t rep[3];
+  FseDT ts[3];
+  HufDT huf;
+};
+
+// shared scratch (allocated once per frame by the outer walk)
+struct SideScr {
+  int32_t *lls, *mls, *ofs;
+  int32_t* psrc;
+  uint8_t *plen, *prnd;
+  int32_t *esrc, *stmp;
+  int16_t *ernd, *rtmp;
+};
+
+// walk ONE block and append its sidecar record. Returns the block's
+// decoded size, or -1 (shape not device-eligible) or E_SPACE.
+static long long side_block(const uint8_t* bp, long long bsize, int btype,
+                            SideSt* st, ByteSink* sink, int max_rounds,
+                            int opts, long long hist_avail,
+                            long long hist_cap, SideScr* sc) {
+  long long flags_at = sink->pos;
+  sink->u8(0);
+  if (!sink->ok) return E_SPACE;
+  const bool emit_cks = (opts & 1) != 0;
+
+  if (btype == 0 || btype == 1) {
+    // raw / RLE BLOCK: record as a literal-only plan (the literal stage
+    // ships the bytes; the plan is identity round-0 pieces)
+    long long regen = bsize;
+    if (regen > (1 << 16)) return -1;
+    sink->u8(btype == 0 ? 1 : 2);  // lit_kind raw / RLE
+    sink->u32((uint64_t)regen);
+    sink->u32(0);                  // n_seqs
+    sink->u32((uint64_t)regen);    // total_out
+    if (emit_cks) sink->u16(0);
+    // identity plan: one piece per 128-lane row
+    long long n_pieces = (regen + 127) / 128;
+    sink->u32((uint64_t)n_pieces);
+    sink->u8(1);  // n_rounds
+    for (long long i = 0; i < regen; i += 128) sink->u32((uint64_t)i);
+    for (long long i = 0; i < regen; i += 128)
+      sink->u8((uint8_t)(regen - i < 128 ? regen - i : 128));
+    for (long long i = 0; i < n_pieces; i++) sink->u8(0);
+    if (!sink->ok) return E_SPACE;
+    sink->p[flags_at] = (uint8_t)(1 | (emit_cks ? 2 : 0));
+    return regen;
+  }
 
   // ---- literals section: 4X/1X compressed, raw, or RLE ----
   // lit_kind: 0 = 4X compressed, 1 = raw, 2 = RLE, 3 = 1X compressed
+  if (bsize < 1) return -1;
+  // the header parse below reads up to 5 bytes; copy what exists so a
+  // truncated block cannot read past the buffer (caught by the
+  // pos + comp > bsize check after)
+  uint8_t hdr[5] = {0, 0, 0, 0, 0};
+  memcpy(hdr, bp, bsize < 5 ? (size_t)bsize : (size_t)5);
+  const uint8_t* bph = bp;
+  bp = hdr;
   uint8_t b0 = bp[0];
   int lit_type = b0 & 3;
   int sf = (b0 >> 2) & 3;
@@ -1338,30 +1408,62 @@ long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
     }
     lit_kind = n_streams == 4 ? 0 : 3;
   } else {
-    return 0;  // treeless: needs a previous table, impossible single-block
+    // treeless: reuse the carried table from an earlier block
+    if (st->huf.max_bits < 0) return -1;
+    if (sf == 0) {
+      uint32_t v = b0 | ((uint32_t)bp[1] << 8) | ((uint32_t)bp[2] << 16);
+      regen = (v >> 4) & 0x3FF;
+      comp = (v >> 14) & 0x3FF;
+      pos = 3;
+      n_streams = 1;
+    } else if (sf == 1) {
+      uint32_t v = b0 | ((uint32_t)bp[1] << 8) | ((uint32_t)bp[2] << 16);
+      regen = (v >> 4) & 0x3FF;
+      comp = (v >> 14) & 0x3FF;
+      pos = 3;
+      n_streams = 4;
+    } else if (sf == 2) {
+      uint64_t v = b0 | ((uint64_t)bp[1] << 8) | ((uint64_t)bp[2] << 16) |
+                   ((uint64_t)bp[3] << 24);
+      regen = (v >> 4) & 0x3FFF;
+      comp = (v >> 18) & 0x3FFF;
+      pos = 4;
+      n_streams = 4;
+    } else {
+      uint64_t v = b0 | ((uint64_t)bp[1] << 8) | ((uint64_t)bp[2] << 16) |
+                   ((uint64_t)bp[3] << 24) | ((uint64_t)bp[4] << 32);
+      regen = (v >> 4) & 0x3FFFF;
+      comp = (v >> 22) & 0x3FFFF;
+      pos = 5;
+      n_streams = 4;
+    }
+    lit_kind = n_streams == 4 ? 0 : 3;
   }
-  if (regen > (1 << 16) || pos + comp > bsize) return 0;
-  HufDT* ht = (HufDT*)malloc(sizeof(HufDT));
-  if (!ht) return E_CORRUPT;
-  struct Free { void* a[8]; int n = 0; ~Free() { while (n) free(a[--n]); } } fr;
-  fr.a[fr.n++] = ht;
+  bp = bph;  // header parsed; all further reads are bounds-checked
+  if (regen > (1 << 16) || pos + comp > bsize) return -1;
+  HufDT* ht = &st->huf;
   const uint8_t* sp[4] = {nullptr, nullptr, nullptr, nullptr};
   long long sn[4] = {0, 0, 0, 0};
   long long slen[4] = {0, 0, 0, 0};
   if (lit_kind == 0 || lit_kind == 3) {
     const uint8_t* lp = bp + pos;
     long long ln = comp;
-    int used = huf_read_table(ht, lp, ln);
-    if (used < 0) return 0;
-    lp += used;
-    ln -= used;
+    if (lit_type == 2) {
+      int used = huf_read_table(ht, lp, ln);
+      if (used < 0) {
+        ht->max_bits = -1;  // table clobbered mid-read: invalidate carry
+        return -1;
+      }
+      lp += used;
+      ln -= used;
+    }
     if (lit_kind == 0) {
-      if (ln < 6) return 0;
+      if (ln < 6) return -1;
       long long l1 = lp[0] | (lp[1] << 8);
       long long l2 = lp[2] | (lp[3] << 8);
       long long l3 = lp[4] | (lp[5] << 8);
       long long l4 = ln - 6 - l1 - l2 - l3;
-      if (l4 < 0) return 0;
+      if (l4 < 0) return -1;
       long long seg = (regen + 3) / 4;
       const uint8_t* q = lp + 6;
       sp[0] = q;
@@ -1383,49 +1485,53 @@ long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
 
   // ---- sequences section header ----
   long long spos = pos + comp;
-  if (spos >= bsize) return 0;
+  if (spos >= bsize) return -1;
   long long nseq = bp[spos++];
-  if (nseq == 0) return 0;
   if (nseq >= 128) {
     if (nseq == 255) {
-      if (spos + 2 > bsize) return 0;
+      if (spos + 2 > bsize) return -1;
       nseq = (bp[spos] | (bp[spos + 1] << 8)) + 0x7F00;
       spos += 2;
     } else {
-      if (spos + 1 > bsize) return 0;
+      if (spos + 1 > bsize) return -1;
       nseq = ((nseq - 128) << 8) | bp[spos];
       spos += 1;
     }
   }
-  if (spos >= bsize) return 0;
-  uint8_t modes = bp[spos++];
-  FseDT* ts = (FseDT*)malloc(3 * sizeof(FseDT));
-  if (!ts) return E_CORRUPT;
-  fr.a[fr.n++] = ts;
-  static const int16_t* pre[3] = {PRE_LL, PRE_OF, PRE_ML};
-  static const int pre_n[3] = {36, 29, 53};
-  static const int pre_log[3] = {6, 5, 6};
-  static const int max_log[3] = {9, 8, 9};
-  int mode_order[3] = {(modes >> 6) & 3, (modes >> 4) & 3, (modes >> 2) & 3};
-  for (int t = 0; t < 3; t++) {
-    int mode = mode_order[t];
-    if (mode == 0) {
-      int16_t norm[256];
-      for (int i = 0; i < pre_n[t]; i++) norm[i] = pre[t][i];
-      if (!fse_build_dt(&ts[t], norm, pre_n[t] - 1, pre_log[t])) return 0;
-    } else if (mode == 1) {
-      if (spos >= bsize) return 0;
-      fse_dt_rle(&ts[t], bp[spos++]);
-    } else if (mode == 2) {
-      int16_t norm[256];
-      int ms, lg;
-      int u = fse_read_ncount(bp + spos, bsize - spos, norm, &ms, &lg,
-                              max_log[t]);
-      if (u < 0) return 0;
-      spos += u;
-      if (!fse_build_dt(&ts[t], norm, ms, lg)) return 0;
-    } else {
-      return 0;  // repeat: single-block frames have no previous tables
+  FseDT* ts = st->ts;
+  if (nseq > 0) {
+    if (spos >= bsize) return -1;
+    uint8_t modes = bp[spos++];
+    static const int16_t* pre[3] = {PRE_LL, PRE_OF, PRE_ML};
+    static const int pre_n[3] = {36, 29, 53};
+    static const int pre_log[3] = {6, 5, 6};
+    static const int max_log[3] = {9, 8, 9};
+    int mode_order[3] = {(modes >> 6) & 3, (modes >> 4) & 3,
+                         (modes >> 2) & 3};
+    for (int t = 0; t < 3; t++) {
+      int mode = mode_order[t];
+      if (mode == 0) {
+        int16_t norm[256];
+        for (int i = 0; i < pre_n[t]; i++) norm[i] = pre[t][i];
+        if (!fse_build_dt(&ts[t], norm, pre_n[t] - 1, pre_log[t])) return -1;
+      } else if (mode == 1) {
+        if (spos >= bsize) return -1;
+        fse_dt_rle(&ts[t], bp[spos++]);
+      } else if (mode == 2) {
+        int16_t norm[256];
+        int ms, lg;
+        int u = fse_read_ncount(bp + spos, bsize - spos, norm, &ms, &lg,
+                                max_log[t]);
+        if (u < 0) return -1;
+        spos += u;
+        if (!fse_build_dt(&ts[t], norm, ms, lg)) {
+          ts[t].log = -1;  // clobbered mid-build: invalidate carry
+          return -1;
+        }
+      } else {
+        // repeat: reuse the carried table from an earlier block
+        if (ts[t].log < 0) return -1;
+      }
     }
   }
   // device exactness gate (offset codes <= 23) is CONTENT-gated during
@@ -1433,42 +1539,45 @@ long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
   // disqualifies a stream that never uses them (VERDICT r2 weak #10)
 
   // ---- walk sequences: checkpoints + (ll, ml, resolved off) ----
-  int32_t* lls = (int32_t*)malloc(nseq * 4);
-  int32_t* mls = (int32_t*)malloc(nseq * 4);
-  int32_t* ofs = (int32_t*)malloc(nseq * 4);
-  if (!lls || !mls || !ofs) return E_CORRUPT;
-  fr.a[fr.n++] = lls;
-  fr.a[fr.n++] = mls;
-  fr.a[fr.n++] = ofs;
+  int32_t* lls = sc->lls;
+  int32_t* mls = sc->mls;
+  int32_t* ofs = sc->ofs;
   BitRev br;
-  if (!br_init(&br, bp + spos, bsize - spos)) return 0;
-  uint32_t s_ll = br_read(&br, ts[0].log);
-  uint32_t s_of = br_read(&br, ts[1].log);
-  uint32_t s_ml = br_read(&br, ts[2].log);
-  if (!br.ok) return 0;
-  uint32_t rep[3] = {1, 4, 8};
-  long long seq_nch = (nseq + ACC_ZSEQ_K - 1) / ACC_ZSEQ_K;
-  if (seq_nch > 0xFFFF) return 0;
-  const bool emit_cks = (opts & 1) != 0;
+  if (nseq > (1 << 16)) return -1;  // scratch bound (64K block max anyway)
+  uint32_t s_ll = 0, s_of = 0, s_ml = 0;
+  if (nseq > 0) {
+    if (!br_init(&br, bp + spos, bsize - spos)) return -1;
+    s_ll = br_read(&br, ts[0].log);
+    s_of = br_read(&br, ts[1].log);
+    s_ml = br_read(&br, ts[2].log);
+    if (!br.ok) return -1;
+  } else {
+    br.p = bp;
+    br.bitpos = 0;
+    br.ok = true;
+  }
+  uint32_t* rep = st->rep;
+  long long seq_nch = nseq > 0 ? (nseq + ACC_ZSEQ_K - 1) / ACC_ZSEQ_K : 0;
+  if (seq_nch > 0xFFFF) return -1;
   // write literal checkpoints now (before the variable-size seq section)
-  sink.u8((uint8_t)lit_kind);
-  sink.u32((uint64_t)regen);
-  sink.u32((uint64_t)nseq);
-  long long total_at = sink.pos;
-  sink.u32(0);  // total_out patched below
+  sink->u8((uint8_t)lit_kind);
+  sink->u32((uint64_t)regen);
+  sink->u32((uint64_t)nseq);
+  long long total_at = sink->pos;
+  sink->u32(0);  // total_out patched below
   int n_ck_streams = lit_kind == 0 ? 4 : (lit_kind == 3 ? 1 : 0);
   for (int k = 0; k < n_ck_streams; k++)
-    if (!huf_walk_cks(ht, sp[k], sn[k], slen[k], &sink)) return 0;
-  if (emit_cks) sink.u16((uint32_t)seq_nch);
+    if (!huf_walk_cks(ht, sp[k], sn[k], slen[k], sink)) return -1;
+  if (emit_cks) sink->u16((uint32_t)seq_nch);
   auto seq_ck = [&]() {
-    if (!emit_cks) return;
-    sink.u32((uint64_t)br.bitpos);
-    sink.u16(s_ll);
-    sink.u16(s_of);
-    sink.u16(s_ml);
-    sink.u32(rep[0]);
-    sink.u32(rep[1]);
-    sink.u32(rep[2]);
+    if (!emit_cks || nseq == 0) return;
+    sink->u32((uint64_t)br.bitpos);
+    sink->u16(s_ll);
+    sink->u16(s_of);
+    sink->u16(s_ml);
+    sink->u32(rep[0]);
+    sink->u32(rep[1]);
+    sink->u32(rep[2]);
   };
   seq_ck();
   long long total_out = 0;
@@ -1477,11 +1586,11 @@ long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
     uint8_t of_c = ts[1].sym[s_of];
     uint8_t ml_c = ts[2].sym[s_ml];
     uint8_t ll_c = ts[0].sym[s_ll];
-    if (ml_c > 52 || ll_c > 35 || of_c > 23) return 0;
+    if (ml_c > 52 || ll_c > 35 || of_c > 23) return -1;
     uint32_t of_x = br_read(&br, of_c);
     uint32_t ml_x = br_read(&br, ML_BITS[ml_c]);
     uint32_t ll_x = br_read(&br, LL_BITS[ll_c]);
-    if (!br.ok) return 0;
+    if (!br.ok) return -1;
     uint32_t of_val = of_c ? ((1u << of_c) + of_x) : 1;
     uint32_t ml = ML_BASE[ml_c] + ml_x;
     uint32_t ll = LL_BASE[ll_c] + ll_x;
@@ -1506,7 +1615,7 @@ long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
         rep[0] = off;
       } else {
         off = rep[0] - 1;
-        if (off == 0) return 0;
+        if (off == 0) return -1;
         rep[2] = rep[1];
         rep[1] = rep[0];
         rep[0] = off;
@@ -1521,56 +1630,119 @@ long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
       s_ll = ts[0].base[s_ll] + br_read(&br, ts[0].nb[s_ll]);
       s_ml = ts[2].base[s_ml] + br_read(&br, ts[2].nb[s_ml]);
       s_of = ts[1].base[s_of] + br_read(&br, ts[1].nb[s_of]);
-      if (!br.ok) return 0;
+      if (!br.ok) return -1;
     }
     if ((i + 1) % ACC_ZSEQ_K == 0 && i + 1 < nseq) seq_ck();
   }
-  if (br.bitpos != 0 || lit_used > regen) return 0;
+  if (br.bitpos != 0 || lit_used > regen) return -1;
+  if (nseq == 0 && spos != bsize) return -1;
   long long tail_lit = regen - lit_used;
   total_out += tail_lit;
-  if (total_out > (1 << 16) || !sink.ok) return 0;
-  out[total_at] = total_out & 0xFF;
-  out[total_at + 1] = (total_out >> 8) & 0xFF;
-  out[total_at + 2] = (total_out >> 16) & 0xFF;
-  out[total_at + 3] = 0;
+  if (total_out > (1 << 16) || !sink->ok) return -1;
+  sink->p[total_at] = total_out & 0xFF;
+  sink->p[total_at + 1] = (total_out >> 8) & 0xFF;
+  sink->p[total_at + 2] = (total_out >> 16) & 0xFF;
+  sink->p[total_at + 3] = 0;
 
   // ---- execute plan ----
-  // worst case (full flatten, max_rounds=1): every output byte may open a
-  // new piece at a row boundary or source discontinuity
-  long long pcap = 2 * nseq + total_out + 1024;
-  int32_t* psrc = (int32_t*)malloc(pcap * 4);
-  uint8_t* plen = (uint8_t*)malloc(pcap);
-  uint8_t* prnd = (uint8_t*)malloc(pcap);
-  int32_t* esrc = (int32_t*)malloc((1 << 16) * 4);
-  int16_t* ernd2 = (int16_t*)malloc((1 << 16) * 2);
-  int32_t* stmp = (int32_t*)malloc((1 << 16) * 4);
-  int16_t* rtmp = (int16_t*)malloc((1 << 16) * 2);
-  if (!psrc || !plen || !prnd || !esrc || !ernd2 || !stmp || !rtmp) {
-    free(psrc); free(plen); free(prnd); free(esrc); free(ernd2);
-    free(stmp); free(rtmp);
-    return E_CORRUPT;
-  }
-  PlanOut po{psrc, plen, prnd, 0, pcap, 1, true};
-  bool planned = plan_ops(lls, mls, ofs, nseq, tail_lit, max_rounds, &po,
-                          esrc, ernd2, stmp, rtmp);
+  PlanOut po{sc->psrc, sc->plen, sc->prnd, 0, SIDE_PCAP, 1, true};
+  if (!plan_ops(lls, mls, ofs, nseq, tail_lit, max_rounds, &po, sc->esrc,
+                sc->ernd, sc->stmp, sc->rtmp, hist_avail, hist_cap))
+    return -1;
+  if (po.n > 0xFFFFFFFFll) return -1;
+  sink->u32((uint64_t)po.n);
+  sink->u8((uint8_t)po.n_rounds);
+  if (!sink->ok || sink->pos + 6 * po.n > sink->cap) return E_SPACE;
+  for (long long i = 0; i < po.n; i++) sink->u32((uint64_t)sc->psrc[i]);
+  memcpy(sink->p + sink->pos, sc->plen, po.n);
+  sink->pos += po.n;
+  memcpy(sink->p + sink->pos, sc->prnd, po.n);
+  sink->pos += po.n;
+  sink->p[flags_at] = (uint8_t)(1 | (emit_cks ? 2 : 0));  // eligible
+  return total_out;
+}
+
+long long ct_zstd_build_sidecar(const uint8_t* src, long long n,
+                                int max_rounds, int opts, int hist_blocks,
+                                uint8_t* out, long long cap) {
+  if (hist_blocks < 0 || hist_blocks > 128) return 0;  // cap 8 MiB history
+  ByteSink sink{out, 0, cap, true};
+  sink.u8('C'); sink.u8('T'); sink.u8('A'); sink.u8('3');
+  long long nblk_at = sink.pos;
+  sink.u16(0);  // n_blocks patched below
+  sink.u16((uint32_t)hist_blocks);
+  if (!sink.ok) return E_SPACE;
+
+  SideSt st;
+  st.rep[0] = 1;
+  st.rep[1] = 4;
+  st.rep[2] = 8;
+  st.ts[0].log = st.ts[1].log = st.ts[2].log = -1;
+  st.huf.max_bits = -1;
+  SideScr sc;
+  sc.lls = (int32_t*)malloc(((1 << 16) + 8) * 4);
+  sc.mls = (int32_t*)malloc(((1 << 16) + 8) * 4);
+  sc.ofs = (int32_t*)malloc(((1 << 16) + 8) * 4);
+  sc.psrc = (int32_t*)malloc(SIDE_PCAP * 4);
+  sc.plen = (uint8_t*)malloc(SIDE_PCAP);
+  sc.prnd = (uint8_t*)malloc(SIDE_PCAP);
+  sc.esrc = (int32_t*)malloc((1 << 16) * 4);
+  sc.ernd = (int16_t*)malloc((1 << 16) * 2);
+  sc.stmp = (int32_t*)malloc((1 << 16) * 4);
+  sc.rtmp = (int16_t*)malloc((1 << 16) * 2);
+  bool alloc_ok = sc.lls && sc.mls && sc.ofs && sc.psrc && sc.plen &&
+                  sc.prnd && sc.esrc && sc.ernd && sc.stmp && sc.rtmp;
   long long ret = 0;
-  if (planned && po.n <= 0xFFFFFFFFll) {
-    sink.u32((uint64_t)po.n);
-    sink.u8((uint8_t)po.n_rounds);
-    if (sink.ok && sink.pos + 6 * po.n <= cap) {
-      for (long long i = 0; i < po.n; i++) sink.u32((uint64_t)psrc[i]);
-      memcpy(out + sink.pos, plen, po.n);
-      sink.pos += po.n;
-      memcpy(out + sink.pos, prnd, po.n);
-      sink.pos += po.n;
-      out[flags_at] = (uint8_t)(1 | (emit_cks ? 2 : 0));  // eligible
-      ret = sink.pos;
-    } else {
-      ret = E_SPACE;
+  long long pos = 0, decoded = 0, n_blocks = 0;
+  long long hist_cap = (long long)hist_blocks << 16;
+  bool any_compressed = false;
+  if (!alloc_ok) {
+    ret = E_CORRUPT;
+    goto done;
+  }
+  for (;;) {
+    if (pos + 3 > n || n_blocks >= 0xFFFF) goto done;  // ret stays 0
+    {
+      uint32_t bh = (uint32_t)src[pos] | ((uint32_t)src[pos + 1] << 8) |
+                    ((uint32_t)src[pos + 2] << 16);
+      pos += 3;
+      int last = bh & 1;
+      int btype = (bh >> 1) & 3;
+      long long bsize = bh >> 3;
+      long long raw = btype == 1 ? 1 : bsize;
+      if (btype == 3 || bsize > (1 << 17) || pos + raw > n) goto done;
+      long long hist_avail = decoded < hist_cap ? decoded : hist_cap;
+      long long t = side_block(src + pos, bsize, btype, &st, &sink,
+                               max_rounds, opts, hist_avail, hist_cap, &sc);
+      if (t == E_SPACE) {
+        ret = E_SPACE;
+        goto done;
+      }
+      if (t < 0) goto done;  // ineligible shape: whole frame falls back
+      if (btype == 2) any_compressed = true;
+      decoded += t;
+      n_blocks++;
+      pos += raw;
+      if (last) break;
+      // non-final blocks must decode to EXACTLY 64 KiB: the device-side
+      // history update is a static 512-row shift
+      if (t != (1 << 16)) goto done;
     }
   }
-  free(psrc); free(plen); free(prnd); free(esrc); free(ernd2);
-  free(stmp); free(rtmp);
+  if (!sink.ok) {
+    ret = E_SPACE;
+    goto done;
+  }
+  // a frame of only raw/RLE blocks gains nothing from device decode:
+  // skip the sidecar (raw/RLE records exist for blocks INSIDE mixed
+  // multi-block frames, where the history shift still needs them)
+  if (!any_compressed) goto done;
+  out[nblk_at] = (uint8_t)(n_blocks & 0xFF);
+  out[nblk_at + 1] = (uint8_t)(n_blocks >> 8);
+  ret = sink.pos;
+done:
+  free(sc.lls); free(sc.mls); free(sc.ofs); free(sc.psrc); free(sc.plen);
+  free(sc.prnd); free(sc.esrc); free(sc.ernd); free(sc.stmp); free(sc.rtmp);
   return ret;
 }
 

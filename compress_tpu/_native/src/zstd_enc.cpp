@@ -710,10 +710,13 @@ static const ZCfg ZCFG4 = {1024, 1024, 512};
 // mark_last sets the last-block flag on the final block.
 static long long encode_blocks_(const uint8_t* src, long long n,
                                 long long start, uint8_t* dst, long long cap,
-                                int mark_last, int level) {
+                                int mark_last, int level, int block_log = 17,
+                                long long max_window = 0) {
   if (n - start <= 0 || n > (1ll << 31) - (1 << 20)) return -1;
   if (level < 1) level = 1;
   if (level > 4) level = 4;
+  if (block_log < 10 || block_log > 17) block_log = 17;
+  long long bsz = 1ll << block_log;
   if (!g_init) {
     ctab_build(PRE_LL, 36, 6, &g_ll);
     ctab_build(PRE_OF, 29, 5, &g_of);
@@ -758,6 +761,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
 
   long long d = 0;
   long long window = n < (8ll << 20) ? n : (8ll << 20);
+  if (max_window > 0 && window > max_window) window = max_window;
   if (window < 1024) window = 1024;
 
   Emit E;
@@ -793,7 +797,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
     }
   }
   while (pos < n) {
-    long long bend = pos + (1 << 17) < n ? pos + (1 << 17) : n;
+    long long bend = pos + bsz < n ? pos + bsz : n;
     long long regen = bend - pos;
     int last = mark_last && bend == n;
 
@@ -1070,6 +1074,43 @@ long long ct_zstd_compress_level(const uint8_t* src, long long n,
   memcpy(dst + d, &n, 4);
   d += 4;
   long long b = encode_blocks_(src, n, 0, dst + d, cap - d - 8, 1, level);
+  if (b < 0) return -1;
+  d += b;
+  if (checksum) {
+    uint32_t c = (uint32_t)xxh;
+    memcpy(dst + d, &c, 4);
+    d += 4;
+  }
+  return d;
+}
+
+// one whole frame with explicit block size + window cap (the accel
+// multi-block path: 64 KiB blocks keep the device history shift static,
+// the window cap bounds the device history tensor)
+long long ct_zstd_compress_frame_bs(const uint8_t* src, long long n,
+                                    uint8_t* dst, long long cap,
+                                    int checksum, unsigned long long xxh,
+                                    int level, int block_log,
+                                    long long max_window) {
+  if (n <= 16) return -1;
+  long long d = 0;
+  memcpy(dst + d, "\x28\xb5\x2f\xfd", 4);
+  d += 4;
+  long long window = n < (8ll << 20) ? n : (8ll << 20);
+  if (max_window > 0 && window > max_window) window = max_window;
+  if (window < 1024) window = 1024;
+  int wlog = 10;
+  while ((1ll << (wlog + 1)) <= window) wlog++;
+  long long wbase = 1ll << wlog;
+  int mantissa = (int)((window - wbase) / (wbase >> 3));
+  if (wbase + (long long)mantissa * (wbase >> 3) < window) mantissa++;
+  if (mantissa > 7) { mantissa = 0; wlog++; }
+  dst[d++] = (uint8_t)((2 << 6) | (checksum ? 4 : 0));
+  dst[d++] = (uint8_t)(((wlog - 10) << 3) | mantissa);
+  memcpy(dst + d, &n, 4);
+  d += 4;
+  long long b = encode_blocks_(src, n, 0, dst + d, cap - d - 8, 1, level,
+                               block_log, max_window);
   if (b < 0) return -1;
   d += b;
   if (checksum) {

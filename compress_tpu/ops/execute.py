@@ -40,6 +40,7 @@ import jax.numpy as jnp
 
 ARENA_ROWS = 1024      # 512 literal rows + 512 output rows
 OUT_BASE = 512 * 128   # arena byte where output begins
+HIST_BASE = ARENA_ROWS * 128  # history address space (multi-block frames)
 BLOCK = 1 << 16
 
 
@@ -229,9 +230,16 @@ def _rotate_lanes(rows, delta):
     return jnp.round(out)
 
 
-def _round_step(arena, src, dst, length, chunk):
-    """One execute round. arena (B, 1024, 128) f32. src/dst/len (B, N)."""
+def _round_step(arena, src, dst, length, chunk, source=None):
+    """One execute round. arena (B, 1024, 128) f32. src/dst/len (B, N).
+
+    source (B, R, 128) overrides the gather source (default: the arena
+    itself) — the multi-block path routes history-tensor pieces with the
+    carried history as the source; dst always lands in the arena."""
     B, N = src.shape
+    if source is None:
+        source = arena
+    src_rows = source.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
     add = jnp.zeros_like(arena)
     for lo in range(0, N, chunk):
@@ -243,11 +251,11 @@ def _round_step(arena, src, dst, length, chunk):
         g0 = s - b0                     # lane-aligned source base
         delta = g0 % 128                # jnp: result in [0,128) even g0<0
         r0 = (g0 - delta) // 128
-        oh0 = jax.nn.one_hot(jnp.clip(r0, 0, ARENA_ROWS - 1), ARENA_ROWS,
+        oh0 = jax.nn.one_hot(jnp.clip(r0, 0, src_rows - 1), src_rows,
                              dtype=jnp.bfloat16)
-        oh1 = jax.nn.one_hot(jnp.clip(r0 + 1, 0, ARENA_ROWS - 1),
-                             ARENA_ROWS, dtype=jnp.bfloat16)
-        ab = arena.astype(jnp.bfloat16)
+        oh1 = jax.nn.one_hot(jnp.clip(r0 + 1, 0, src_rows - 1),
+                             src_rows, dtype=jnp.bfloat16)
+        ab = source.astype(jnp.bfloat16)
         row0 = jnp.einsum("bcs,bsl->bcl", oh0, ab,
                           preferred_element_type=jnp.float32)
         row1 = jnp.einsum("bcs,bsl->bcl", oh1, ab,
@@ -284,3 +292,113 @@ def execute_rounds(lit_rows, src, dst, length, round_caps, chunk=512):
 
 execute_rounds_jit = jax.jit(execute_rounds, static_argnames=("round_caps",
                                                               "chunk"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-block frames: lax.scan over 64 KiB blocks with a carried history
+# tensor (reference role: zstd window/history across blocks,
+# zstd/history.go — re-designed as a static 512-row shift per step)
+# ---------------------------------------------------------------------------
+
+
+def pack_plans_mb(plans_kb, hist_cap_bytes):
+    """Stack per-frame, per-block plans for the scan executor.
+
+    plans_kb: list over frames of lists over blocks of plan dicts
+    (frames may have different block counts; shorter frames pad with
+    no-op steps). Pieces with src >= HIST_BASE are split into the
+    round-0 history-routing stage, with src rebased to the history
+    tensor (0..hist_cap_bytes).
+
+    Returns (hsrc, hdst, hlen, src, dst, length, advance, round_caps,
+    hcap): h* are (K, hcap, B); src/dst/length (K, total, B) round-major;
+    advance (K, B) f32."""
+    Bn = len(plans_kb)
+    K = max(len(pb) for pb in plans_kb)
+    n_rounds = 1
+    hmax = 1
+    for pb in plans_kb:
+        for p in pb:
+            n_rounds = max(n_rounds, p["n_rounds"])
+            hmax = max(hmax, int((p["src"] >= HIST_BASE).sum()))
+    hcap = max(64, 1 << int(np.ceil(np.log2(hmax))))
+    round_caps = []
+    for r in range(n_rounds):
+        cap = 1
+        for pb in plans_kb:
+            for p in pb:
+                local = p["src"] < HIST_BASE
+                cap = max(cap, int((local & (p["round"] == r)).sum()))
+        round_caps.append(max(64, 1 << int(np.ceil(np.log2(cap)))))
+    total = sum(round_caps)
+    hsrc = np.zeros((K, hcap, Bn), np.int32)
+    hdst = np.full((K, hcap, Bn), OUT_BASE, np.int32)
+    hlen = np.zeros((K, hcap, Bn), np.int32)
+    src = np.zeros((K, total, Bn), np.int32)
+    dst = np.full((K, total, Bn), OUT_BASE, np.int32)
+    length = np.zeros((K, total, Bn), np.int32)
+    advance = np.zeros((K, Bn), np.float32)
+    for b, pb in enumerate(plans_kb):
+        for k, p in enumerate(pb):
+            advance[k, b] = 1.0
+            hist = p["src"] >= HIST_BASE
+            hn = int(hist.sum())
+            if hn:
+                if int(p["round"][hist].max()) != 0:
+                    raise ValueError("history piece beyond round 0")
+                hs = p["src"][hist].astype(np.int64) - HIST_BASE
+                if hs.min() < 0 or int(
+                        (hs + p["len"][hist]).max()) > hist_cap_bytes:
+                    raise ValueError("history source out of range")
+                hsrc[k, :hn, b] = hs
+                hdst[k, :hn, b] = p["dst"][hist]
+                hlen[k, :hn, b] = p["len"][hist]
+            base = 0
+            for r, cap in enumerate(round_caps):
+                m = (~hist) & (p["round"] == r)
+                cnt = int(m.sum())
+                if cnt > cap:
+                    raise ValueError("round capacity overflow")
+                src[k, base : base + cnt, b] = p["src"][m]
+                dst[k, base : base + cnt, b] = p["dst"][m]
+                length[k, base : base + cnt, b] = p["len"][m]
+                base += cap
+    return (hsrc, hdst, hlen, src, dst, length, advance,
+            tuple(round_caps), hcap)
+
+
+def execute_blocks_hist(lit_rows, hsrc, hdst, hlen, src, dst, length,
+                        advance, round_caps, hist_rows, chunk=512):
+    """Scan the blocks of B frames with a carried history tensor.
+
+    lit_rows (K, B, 512, 128) f32; h*/(src,dst,length) per pack_plans_mb;
+    advance (K, B) — 1.0 shifts this frame's history after the step
+    (padded no-op steps pass 0.0). hist_rows static (hist_blocks * 512).
+    Returns (K, B, 512, 128) output rows."""
+    Bn = lit_rows.shape[1]
+    H0 = jnp.zeros((Bn, hist_rows, 128), jnp.float32)
+
+    def step(H, xs):
+        lit, hs, hd, hl, s, d, ln, adv = xs
+        arena = jnp.concatenate(
+            [lit, jnp.zeros((Bn, 512, 128), jnp.float32)], axis=1)
+        # history pieces route first (round 0: sources fully resolved)
+        arena = _round_step(arena, hs.T, hd.T, hl.T, chunk, source=H)
+        base = 0
+        for cap in round_caps:
+            sl = slice(base, base + cap)
+            arena = _round_step(arena, s[sl].T, d[sl].T, ln[sl].T, chunk)
+            base += cap
+        out = arena[:, 512:, :]
+        new_h = jnp.concatenate([H[:, 512:, :], out], axis=1)
+        H = jnp.where(adv[:, None, None] > 0, new_h, H)
+        return H, out
+
+    _, outs = jax.lax.scan(
+        step, H0, (lit_rows, hsrc, hdst, hlen, src, dst, length, advance))
+    return outs
+
+
+execute_blocks_hist_jit = jax.jit(
+    execute_blocks_hist, static_argnames=("round_caps", "hist_rows",
+                                          "chunk"))

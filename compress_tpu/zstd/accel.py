@@ -38,7 +38,7 @@ import numpy as np
 from compress_tpu.zstd import frame as F
 
 SKIP_MAGIC = 0x184D2A50  # first of the 16 skippable magics; ours uses +0xA
-ACCEL_MAGIC = b"CTA1"
+ACCEL_MAGIC = b"CTA3"
 
 
 def _lib():
@@ -51,18 +51,21 @@ def _lib():
         lib.ct_zstd_build_sidecar.restype = ctypes.c_longlong
         lib.ct_zstd_build_sidecar.argtypes = [
             ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int,
-            ctypes.c_int, ctypes.c_char_p, ctypes.c_longlong]
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_longlong]
         lib._accel_proto = True
     return lib
 
 
 def build_sidecar(frame: bytes, max_rounds: int = 4,
-                  seq_cks: bool = False) -> bytes | None:
+                  seq_cks: bool = False,
+                  hist_blocks: int = 0) -> bytes | None:
     """Build the accel sidecar (as a complete skippable frame) for one
-    single-block zstd frame, or None when the frame shape is not
-    device-eligible / native is unavailable. seq_cks=True also embeds
-    the per-8-sequence checkpoint records (compact/validation channel;
-    the plan-driven decode path does not need them)."""
+    zstd frame, or None when the frame shape is not device-eligible /
+    native is unavailable. Multi-block frames are eligible when every
+    non-final block decodes to exactly 64 KiB and all match offsets fit
+    hist_blocks*64KiB of history (the device history tensor). seq_cks=True
+    also embeds the per-8-sequence checkpoint records (compact/validation
+    channel; the plan-driven decode path does not need them)."""
     lib = _lib()
     if lib is None:
         return None
@@ -72,16 +75,16 @@ def build_sidecar(frame: bytes, max_rounds: int = 4,
     out = ctypes.create_string_buffer(cap)
     opts = 1 if seq_cks else 0
     r = lib.ct_zstd_build_sidecar(body, len(body) - 16, int(max_rounds),
-                                  opts, out, cap)
+                                  opts, int(hist_blocks), out, cap)
     while r == -3:  # E_SPACE
         cap *= 4
         out = ctypes.create_string_buffer(cap)
         r = lib.ct_zstd_build_sidecar(body, len(body) - 16, int(max_rounds),
-                                      opts, out, cap)
+                                      opts, int(hist_blocks), out, cap)
     if r <= 0:
         return None
     payload = out.raw[:r]
-    if not (payload[6] & 1):  # flags: not eligible
+    if not (payload[8] & 1):  # first block's flags: not eligible
         return None
     # the sidecar pays format bytes for decode parallelism; s2-compress
     # the payload itself (checkpoints/pieces are highly regular) to cut
@@ -105,21 +108,58 @@ def build_sidecar(frame: bytes, max_rounds: int = 4,
             + len(payload).to_bytes(4, "little") + payload)
 
 
-SEG = 1 << 16  # device arena bound: one single-block frame per segment
+SEG = 1 << 16  # device arena bound: one 64 KiB block per execute step
 
 
-def compress_accel(data, level: int = 1, max_rounds: int = 4) -> bytes:
+def _compress_frame_bs(data: bytes, level: int, block_log: int,
+                       max_window: int) -> bytes | None:
+    """One frame with an explicit block size and window cap (native)."""
+    from compress_tpu import _native
+
+    lib = _native.raw()
+    if lib is None or not hasattr(lib, "ct_zstd_compress_frame_bs"):
+        return None
+    if not getattr(lib, "_accel_fbs", False):
+        lib.ct_zstd_compress_frame_bs.restype = ctypes.c_longlong
+        lib.ct_zstd_compress_frame_bs.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_ulonglong,
+            ctypes.c_int, ctypes.c_int, ctypes.c_longlong]
+        lib._accel_fbs = True
+    cap = len(data) + len(data) // 2 + (1 << 16)
+    out = ctypes.create_string_buffer(cap)
+    r = lib.ct_zstd_compress_frame_bs(data, len(data), out, cap, 0, 0,
+                                      int(level), int(block_log),
+                                      int(max_window))
+    if r <= 0:
+        return None
+    return out.raw[:r]
+
+
+def compress_accel(data, level: int = 1, max_rounds: int = 4,
+                   multi_block: bool = False,
+                   hist_blocks: int = 8) -> bytes:
     """One-shot encode with the device-decode sidecar prepended. The
     result is a standard zstd stream (sidecars ride skippable frames).
 
-    Inputs over 64 KiB are segmented into independent single-block
-    frames, each with its own sidecar — the whole stream stays
-    device-decodable (`split_stream_accel` + decompress_frames_device)
-    and libzstd-decodable; the ratio cost is segment independence, the
-    same trade the device arena imposes."""
+    Default mode segments inputs over 64 KiB into independent
+    single-block frames, each with its own sidecar. multi_block=True
+    instead emits ONE frame of 64 KiB blocks whose matches reach back
+    hist_blocks*64 KiB (the device keeps that much history in a carried
+    tensor — better ratio than segment independence, same libzstd
+    compatibility)."""
     from compress_tpu.zstd.encoder import compress
 
     data = bytes(data)
+    if multi_block and len(data) > SEG:
+        frame = _compress_frame_bs(data, level, 16,
+                                   int(hist_blocks) << 16)
+        if frame is not None:
+            side = build_sidecar(frame, max_rounds,
+                                 hist_blocks=hist_blocks)
+            if side is not None:
+                return side + frame
+        # native unavailable or shape fell out: segmented fallback
     if len(data) <= SEG:
         frame = compress(data, level=level)
         side = build_sidecar(frame, max_rounds)
@@ -202,13 +242,14 @@ class BlockAccel:
 
 
 def parse_sidecar(payload: bytes):
-    """Parse the sidecar payload into BlockAccel list (None entries for
-    ineligible blocks). Pure numpy frombuffer slicing — zero per-symbol
-    host work by construction."""
+    """Parse the sidecar payload into (hist_blocks, BlockAccel list) —
+    None entries for ineligible blocks. Pure numpy frombuffer slicing —
+    zero per-symbol host work by construction."""
     if payload[:4] != ACCEL_MAGIC:
         raise ValueError("bad sidecar magic")
     n_blocks = int.from_bytes(payload[4:6], "little")
-    pos = 6
+    hist_blocks = int.from_bytes(payload[6:8], "little")
+    pos = 8
     out = []
     for _ in range(n_blocks):
         flags = payload[pos]
@@ -259,15 +300,17 @@ def parse_sidecar(payload: bytes):
                                 ).astype(np.int32)
         pos += n_pieces
         out.append(a)
-    return out
+    return hist_blocks, out
 
 
-def accel_plan(a: BlockAccel):
+def accel_plan(a: BlockAccel, hist_blocks: int = 0):
     """BlockAccel -> ops/execute pack_plans-compatible plan dict. dst is
     the exclusive cumsum of piece lengths (pieces cover the output in
-    order, exactly once). Raises ValueError on inconsistent (hostile /
-    corrupt) sidecars — callers fall back to host decode."""
-    from compress_tpu.ops.execute import ARENA_ROWS, OUT_BASE
+    order, exactly once). Sources at or above HIST_BASE read the carried
+    history tensor (multi-block frames). Raises ValueError on
+    inconsistent (hostile / corrupt) sidecars — callers fall back to
+    host decode."""
+    from compress_tpu.ops.execute import ARENA_ROWS, HIST_BASE, OUT_BASE
 
     total = int(a.length.sum())
     if total != int(a.total_out) or total > (1 << 16):
@@ -277,9 +320,13 @@ def accel_plan(a: BlockAccel):
                                              dtype=np.int64)])
     if len(a.length) and int(((dst_rel & 127) + a.length).max()) > 128:
         raise ValueError("sidecar plan piece crosses a row boundary")
-    if len(a.src) and (int(a.src.min()) < 0
-                       or int(a.src.max()) >= ARENA_ROWS * 128):
-        raise ValueError("sidecar plan source out of range")
+    hist_top = HIST_BASE + (int(hist_blocks) << 16)
+    if len(a.src):
+        s = a.src.astype(np.int64)
+        bad = (s < 0) | ((s >= ARENA_ROWS * 128) & (s < HIST_BASE)) | (
+            s + a.length > hist_top) & (s >= HIST_BASE)
+        if bool(bad.any()):
+            raise ValueError("sidecar plan source out of range")
     if int(a.n_rounds) < 1 or int(a.n_rounds) > 64:
         raise ValueError("sidecar plan rounds out of range")
     dst = OUT_BASE + np.concatenate(

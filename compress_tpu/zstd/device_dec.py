@@ -31,6 +31,21 @@ from compress_tpu.zstd import seqs as S
 from compress_tpu.zstd.frame import parse_frame_header
 
 
+def _only_trailing_skippables(frame: bytes, end: int):
+    """True when frame[end:] is empty or only skippable frames — the item
+    must be exactly ONE frame: trailing content frames would be silently
+    dropped by the device path (r3 review)."""
+    while end < len(frame):
+        try:
+            t = parse_frame_header(frame, end)
+        except Exception:  # noqa: BLE001
+            return False
+        if not t.skippable:
+            return False
+        end += t.header_size + t.skippable_size
+    return end == len(frame)
+
+
 def _parse_single_block(frame: bytes):
     try:
         h = parse_frame_header(frame)
@@ -45,21 +60,43 @@ def _parse_single_block(frame: bytes):
     if not last or btype != B.BLOCK_COMPRESSED:
         return None
     body = frame[pos : pos + bsize]
-    # the item must be exactly ONE frame: trailing bytes (multi-frame
-    # blobs) would be silently dropped by the device path (r3 review).
-    # Trailing SKIPPABLE frames are fine — decode ignores them.
     end = pos + bsize + (4 if h.has_checksum else 0)
-    while end < len(frame):
-        try:
-            t = parse_frame_header(frame, end)
-        except Exception:  # noqa: BLE001
-            return None
-        if not t.skippable:
-            return None
-        end += t.header_size + t.skippable_size
-    if end != len(frame):
+    if not _only_trailing_skippables(frame, end):
         return None
     return body
+
+
+def _parse_blocks(frame: bytes):
+    """Structural multi-block walk: [(btype, regen_or_None, body)] or
+    None. regen is the block header size field (output size for RLE
+    blocks, body size for raw, compressed size for compressed)."""
+    try:
+        h = parse_frame_header(frame)
+    except Exception:  # noqa: BLE001
+        return None
+    if h.skippable:
+        return None
+    pos = h.header_size
+    out = []
+    while True:
+        if pos + 3 > len(frame):
+            return None
+        bh = int.from_bytes(frame[pos : pos + 3], "little")
+        pos += 3
+        last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+        if btype == 3 or bsize > (1 << 17):
+            return None
+        raw = 1 if btype == B.BLOCK_RLE else bsize
+        if pos + raw > len(frame):
+            return None
+        out.append((btype, bsize, frame[pos : pos + raw]))
+        pos += raw
+        if last:
+            break
+    end = pos + (4 if h.has_checksum else 0)
+    if not _only_trailing_skippables(frame, end):
+        return None
+    return out
 
 
 def _parse_4x_literals(body: bytes):
@@ -190,6 +227,34 @@ def _accel_lit_ok(lit, acc) -> bool:
     return True
 
 
+def _prep_multiblock(frame: bytes, accs, hist_blocks: int):
+    """Validate a multi-block accel frame and build its per-block literal
+    descriptors. Returns (lits, accs, hist_blocks) or None (host
+    fallback). lits[k] follows _parse_literals_any's tuple shape."""
+    if hist_blocks < 1 or hist_blocks > 128:
+        return None
+    blocks = _parse_blocks(frame)
+    if blocks is None or len(blocks) != len(accs):
+        return None
+    lits = []
+    for (btype, bsize, body), acc in zip(blocks, accs):
+        if acc is None:
+            return None
+        if btype == B.BLOCK_RAW:
+            lit = (1, len(body), None, body, None, len(body))
+        elif btype == B.BLOCK_RLE:
+            lit = (2, bsize, None, body[:1], None, 1)
+        else:
+            lit = _parse_literals_any(body)
+            if lit is None:
+                return None
+        if lit[0] != acc.lit_kind or lit[1] != acc.regen \
+                or not _accel_lit_ok(lit, acc):
+            return None
+        lits.append(lit)
+    return lits, accs, hist_blocks
+
+
 def decompress_frames_device(frames, max_rounds: int = 4):
     """Batched device decode; returns list of bytes. See module doc.
 
@@ -214,10 +279,16 @@ def decompress_frames_device(frames, max_rounds: int = 4):
         acc = None
         if side_payload is not None:
             try:
-                blocks = AC.parse_sidecar(side_payload)
-                acc = blocks[0] if len(blocks) == 1 else None
+                hist_blocks, ab = AC.parse_sidecar(side_payload)
             except (ValueError, IndexError):
-                acc = None
+                hist_blocks, ab = 0, None
+            if ab is not None and len(ab) == 1:
+                acc = ab[0]
+            elif ab is not None and len(ab) > 1:
+                mb = _prep_multiblock(frame, ab, hist_blocks)
+                if mb is not None:
+                    metas.append(("accel_mb", (mb, frame)))
+                    continue
         body = _parse_single_block(frame)
         if body is None:
             metas.append(("host", frame))
@@ -268,8 +339,25 @@ def decompress_frames_device(frames, max_rounds: int = 4):
                               (stream, n_seqs, t_ll, t_of, t_ml))))
 
     # ---- literals on device (batched huff0 scan) --------------------------
-    lit_decoded = [None] * len(metas)
-    items = []   # (meta index, [(stream, cks, n_syms)], table)
+    # keyed by meta index i (single-block) or (i, k) (multi-block)
+    lit_decoded = {}
+
+    def _lit_item(key, lit, acc):
+        """Queue one literal section for the batched scan (or resolve
+        raw/RLE immediately). Returns an items entry or None."""
+        lkind, regen, lens, streams, table, _spos = lit
+        if lkind == 1:      # raw literals: bytes ship in the frame
+            lit_decoded[key] = streams
+            return None
+        if lkind == 2:      # RLE
+            lit_decoded[key] = streams * regen
+            return None
+        sym_t, nb_t, max_bits = table
+        trip = [(streams[q], acc.lit_cks[q], lens[q])
+                for q in range(len(streams))]
+        return (key, trip, ED.expand_table(sym_t, nb_t, max_bits))
+
+    items = []   # (key, [(stream, cks, n_syms)], table)
     for i, (kind, m) in enumerate(metas):
         if kind == "dev":
             regen, lens, streams, (sym_t, nb_t, max_bits), _seq = m
@@ -281,17 +369,15 @@ def decompress_frames_device(frames, max_rounds: int = 4):
             items.append((i, trip, ED.expand_table(sym_t, nb_t, max_bits)))
         elif kind == "accel":
             lit, acc, _fr = m
-            lkind, regen, lens, streams, table, _spos = lit
-            if lkind == 1:      # raw literals: bytes ship in the frame
-                lit_decoded[i] = streams
-                continue
-            if lkind == 2:      # RLE
-                lit_decoded[i] = streams * regen
-                continue
-            sym_t, nb_t, max_bits = table
-            trip = [(streams[q], acc.lit_cks[q], lens[q])
-                    for q in range(len(streams))]
-            items.append((i, trip, ED.expand_table(sym_t, nb_t, max_bits)))
+            it = _lit_item(i, lit, acc)
+            if it is not None:
+                items.append(it)
+        elif kind == "accel_mb":
+            (lits, accs, _hb), _fr = m
+            for k, (lit, acc) in enumerate(zip(lits, accs)):
+                it = _lit_item((i, k), lit, acc)
+                if it is not None:
+                    items.append(it)
     if items:
         K = 32
         built = []
@@ -341,6 +427,7 @@ def decompress_frames_device(frames, max_rounds: int = 4):
 
     # ---- execute on device ------------------------------------------------
     plans, lit_rows, order = [], [], []
+    mb_groups = {}   # hist_blocks -> [(i, plans_k, lits_k)]
     si = 0
     results = [None] * len(frames)
     for i, (kind, m) in enumerate(metas):
@@ -348,6 +435,21 @@ def decompress_frames_device(frames, max_rounds: int = 4):
             from compress_tpu import zstd as Zm
 
             results[i] = Zm.decompress(m)
+            continue
+        if kind == "accel_mb":
+            from compress_tpu.zstd import accel as AC2
+
+            (lits_k, accs, hb), fr = m
+            try:
+                plans_k = [AC2.accel_plan(a, hb) for a in accs]
+            except ValueError:
+                from compress_tpu import zstd as Zm
+
+                results[i] = Zm.decompress(fr)
+                continue
+            mb_groups.setdefault(hb, []).append(
+                (i, plans_k, [lit_decoded[(i, k)]
+                              for k in range(len(accs))]))
             continue
         lits = lit_decoded[i]
         if kind == "accel":
@@ -396,6 +498,29 @@ def decompress_frames_device(frames, max_rounds: int = 4):
         for j, i in enumerate(order):
             n_out = int(np.sum(plans[j]["len"]))
             results[i] = out[j, :n_out].astype(np.uint8).tobytes()
+
+    # multi-block frames: scan executor with the carried history tensor,
+    # one dispatch per history size (hist_rows is a static kernel shape)
+    for hb, group in mb_groups.items():
+        plans_kb = [g[1] for g in group]
+        (hsrc, hdst, hlen, src, dst, length, advance, caps,
+         _hcap) = X.pack_plans_mb(plans_kb, hb << 16)
+        K = hsrc.shape[0]
+        Bn = len(group)
+        lit_kb = np.zeros((K, Bn, 512 * 128), np.float32)
+        for b, (_i, p_k, lits_k) in enumerate(group):
+            for k, lits in enumerate(lits_k):
+                lit_kb[k, b, : len(lits)] = np.frombuffer(lits, np.uint8)
+        outs = X.execute_blocks_hist_jit(
+            lit_kb.reshape(K, Bn, 512, 128), hsrc, hdst, hlen, src, dst,
+            length, advance, caps, hb * 512)
+        outs = np.asarray(outs, np.float32).reshape(K, Bn, -1)
+        for b, (i, p_k, _l) in enumerate(group):
+            parts = []
+            for k, p in enumerate(p_k):
+                n_out = int(np.sum(p["len"]))
+                parts.append(outs[k, b, :n_out].astype(np.uint8).tobytes())
+            results[i] = b"".join(parts)
     return results
 
 

@@ -38,7 +38,7 @@ def test_sidecar_roundtrip_and_plan_simulation():
         assert side is not None
         payload, rest = A.split_sidecar(side + frame)
         assert rest == frame
-        a = A.parse_sidecar(payload)[0]
+        a = A.parse_sidecar(payload)[1][0]
         assert a is not None
         want = decompress(frame)
         assert a.total_out == len(want)
@@ -98,7 +98,7 @@ def test_checkpoint_parity_with_host_walks():
     frame = compress(data, level=1)
     side = A.build_sidecar(frame)
     payload, _ = A.split_sidecar(side + frame)
-    a = A.parse_sidecar(payload)[0]
+    a = A.parse_sidecar(payload)[1][0]
     body = device_dec._parse_single_block(frame)
     lit = device_dec._parse_4x_literals(body)
     regen, lens, streams, (sym_t, nb_t, max_bits), _spos = lit
@@ -175,3 +175,65 @@ def test_multi_segment_accel_stream():
     assert len(items) == -(-len(data) // A.SEG)
     outs = device_dec.decompress_frames_device(items)
     assert b"".join(outs) == data
+
+
+def test_multi_block_accel_roundtrip():
+    """r3: multi_block=True emits ONE frame of 64 KiB blocks with
+    cross-block matches (carried-history device decode). Bit-exact on
+    device with zero host walks, libzstd-decodable, and smaller than
+    the segmented stream on repetitive input."""
+    data = (_twain(65536) * 5)[:300_000]
+    blob = A.compress_accel(data, level=1, multi_block=True)
+    seg = A.compress_accel(data, level=1)
+    assert len(blob) < len(seg)  # history reaches across blocks
+    r = zstandard.ZstdDecompressor().stream_reader(
+        io.BytesIO(blob), read_across_frames=True)
+    assert r.read() == data
+    items = A.split_stream_accel(blob)
+    assert len(items) == 1  # one frame, one sidecar
+    outs = device_dec.decompress_frames_device(items)
+    assert b"".join(outs) == data
+
+
+def test_multi_block_zero_host_walks(monkeypatch):
+    torig = device_dec._hwalk
+    calls = {"n": 0}
+
+    def counting(*args, **kw):
+        calls["n"] += 1
+        return torig(*args, **kw)
+
+    monkeypatch.setattr(device_dec, "_hwalk", counting)
+    srcs = [(_twain(40000) * 4)[:150_000],
+            (_twain(30000, 50000) * 6)[:170_000]]
+    blobs = [A.compress_accel(s, level=1 + i, multi_block=True)
+             for i, s in enumerate(srcs)]
+    items = [it for b in blobs for it in A.split_stream_accel(b)]
+    out = device_dec.decompress_frames_device(items)
+    assert b"".join(out) == b"".join(srcs)
+    assert calls["n"] == 0
+
+
+def test_multi_block_hostile_sidecar_falls_back():
+    data = (_twain(50000) * 3)[:140_000]
+    blob = A.compress_accel(data, level=1, multi_block=True)
+    payload_len = int.from_bytes(blob[4:8], "little")
+    rng = np.random.default_rng(3)
+    for _ in range(16):
+        b = bytearray(blob)
+        k = 8 + int(rng.integers(0, payload_len))
+        b[k] ^= 1 + int(rng.integers(0, 255))
+        out = device_dec.decompress_frames_device([bytes(b)])
+        assert out == [data]
+
+
+def test_multi_block_mixed_batch():
+    """Multi-block, single-block, and sidecar-less frames in ONE batch."""
+    mb = (_twain(60000) * 3)[:160_000]
+    sb = _twain(11000)
+    plain = _twain(7000, 90000)
+    items = (A.split_stream_accel(A.compress_accel(mb, multi_block=True))
+             + [A.compress_accel(sb)]
+             + [compress(plain, level=1)])
+    out = device_dec.decompress_frames_device(items)
+    assert b"".join(out) == mb + sb + plain
