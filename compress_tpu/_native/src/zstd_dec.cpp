@@ -1114,7 +1114,7 @@ static bool plan_ops(const int32_t* lls, const int32_t* mls,
         plan_emit(po, pos, stmp, rtmp, L);
         for (long long i = 0; i < L; i++) {
           esrc[pos + i] = stmp[i];
-          ernd[pos + i] = (int16_t)rnd_direct;
+          ernd[pos + i] = rtmp[i];  // history bytes stay round 0
         }
       }
     } else {

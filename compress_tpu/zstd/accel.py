@@ -152,6 +152,10 @@ def compress_accel(data, level: int = 1, max_rounds: int = 4,
 
     data = bytes(data)
     if multi_block and len(data) > SEG:
+        # a frame of n blocks can reach back at most n-1 blocks: don't
+        # make the device carry (and shift) history it can never read
+        n_blocks = -(-len(data) // SEG)
+        hist_blocks = max(1, min(int(hist_blocks), n_blocks - 1))
         frame = _compress_frame_bs(data, level, 16,
                                    int(hist_blocks) << 16)
         if frame is not None:
@@ -321,14 +325,21 @@ def accel_plan(a: BlockAccel, hist_blocks: int = 0):
     if len(a.length) and int(((dst_rel & 127) + a.length).max()) > 128:
         raise ValueError("sidecar plan piece crosses a row boundary")
     hist_top = HIST_BASE + (int(hist_blocks) << 16)
-    if len(a.src):
-        s = a.src.astype(np.int64)
-        bad = (s < 0) | ((s >= ARENA_ROWS * 128) & (s < HIST_BASE)) | (
-            s + a.length > hist_top) & (s >= HIST_BASE)
-        if bool(bad.any()):
-            raise ValueError("sidecar plan source out of range")
     if int(a.n_rounds) < 1 or int(a.n_rounds) > 64:
         raise ValueError("sidecar plan rounds out of range")
+    if len(a.src):
+        s = a.src.astype(np.int64)
+        is_hist = s >= HIST_BASE
+        bad = (s < 0) \
+            | (~is_hist & (s + a.length > ARENA_ROWS * 128)) \
+            | (is_hist & (s + a.length > hist_top))
+        if bool(bad.any()):
+            raise ValueError("sidecar plan source out of range")
+        # history sources are fully resolved at block start: round 0 only
+        if bool((is_hist & (a.round != 0)).any()):
+            raise ValueError("sidecar history piece beyond round 0")
+        if bool(((a.round < 0) | (a.round >= int(a.n_rounds))).any()):
+            raise ValueError("sidecar plan piece round out of range")
     dst = OUT_BASE + np.concatenate(
         [[0], np.cumsum(a.length[:-1], dtype=np.int64)]).astype(np.int32)
     return {

@@ -138,11 +138,13 @@ def _parse_4x_literals(body: bytes):
     return regen, lens, streams, (sym_t, nb_t, max_bits), pos + comp
 
 
-def _parse_literals_any(body: bytes):
+def _parse_literals_any(body: bytes, prev_table=None):
     """Parse any literal section (accel path). Returns (kind, regen, lens,
     streams, table, spos): kind 0 = 4X (lens/streams lists of 4 + table),
     1 = raw (streams = literal bytes), 2 = RLE (streams = 1 byte),
-    3 = 1X (lens/streams singleton lists + table)."""
+    3 = 1X (lens/streams singleton lists + table). Treeless sections
+    reuse prev_table (the carried huffman table in multi-block frames)
+    and return None without one."""
     b0 = body[0]
     lit_type = b0 & 3
     sf = (b0 >> 2) & 3
@@ -157,8 +159,43 @@ def _parse_literals_any(body: bytes):
         if lit_type == B.LIT_RAW:
             return 1, regen, None, body[pos : pos + regen], None, pos + regen
         return 2, regen, None, body[pos : pos + 1], None, pos + 1
+    if lit_type == B.LIT_TREELESS:
+        if prev_table is None:
+            return None
+        if sf in (0, 1):
+            v = int.from_bytes(body[:3], "little")
+            regen, comp, pos = (v >> 4) & 0x3FF, (v >> 14) & 0x3FF, 3
+            n_streams = 1 if sf == 0 else 4
+        elif sf == 2:
+            v = int.from_bytes(body[:4], "little")
+            regen, comp, pos = (v >> 4) & 0x3FFF, v >> 18, 4
+            n_streams = 4
+        else:
+            v = int.from_bytes(body[:5], "little")
+            regen, comp, pos = (v >> 4) & 0x3FFFF, v >> 22, 5
+            n_streams = 4
+        sec = body[pos : pos + comp]
+        if len(sec) != comp:
+            return None
+        if n_streams == 1:
+            return 3, regen, [regen], [sec], prev_table, pos + comp
+        if comp < 6:
+            return None
+        sizes = [int.from_bytes(sec[2 * k : 2 * k + 2], "little")
+                 for k in range(3)]
+        sp = 6
+        seg = (regen + 3) // 4
+        lens = [seg, seg, seg, regen - 3 * seg]
+        streams = []
+        for q in range(4):
+            size = sizes[q] if q < 3 else comp - sp
+            if size < 0 or sp + size > comp:
+                return None
+            streams.append(sec[sp : sp + size])
+            sp += size
+        return 0, regen, lens, streams, prev_table, pos + comp
     if lit_type != B.LIT_COMPRESSED:
-        return None  # treeless needs history
+        return None
     if sf == 0:  # 1 stream
         v = int.from_bytes(body[:3], "little")
         regen = (v >> 4) & 0x3FF
@@ -237,6 +274,7 @@ def _prep_multiblock(frame: bytes, accs, hist_blocks: int):
     if blocks is None or len(blocks) != len(accs):
         return None
     lits = []
+    prev_table = None   # huffman table carry (treeless sections, RFC 8878)
     for (btype, bsize, body), acc in zip(blocks, accs):
         if acc is None:
             return None
@@ -245,9 +283,11 @@ def _prep_multiblock(frame: bytes, accs, hist_blocks: int):
         elif btype == B.BLOCK_RLE:
             lit = (2, bsize, None, body[:1], None, 1)
         else:
-            lit = _parse_literals_any(body)
+            lit = _parse_literals_any(body, prev_table)
             if lit is None:
                 return None
+            if lit[4] is not None:
+                prev_table = lit[4]
         if lit[0] != acc.lit_kind or lit[1] != acc.regen \
                 or not _accel_lit_ok(lit, acc):
             return None
@@ -502,19 +542,28 @@ def decompress_frames_device(frames, max_rounds: int = 4):
     # multi-block frames: scan executor with the carried history tensor,
     # one dispatch per history size (hist_rows is a static kernel shape)
     for hb, group in mb_groups.items():
-        plans_kb = [g[1] for g in group]
-        (hsrc, hdst, hlen, src, dst, length, advance, caps,
-         _hcap) = X.pack_plans_mb(plans_kb, hb << 16)
-        K = hsrc.shape[0]
-        Bn = len(group)
-        lit_kb = np.zeros((K, Bn, 512 * 128), np.float32)
-        for b, (_i, p_k, lits_k) in enumerate(group):
-            for k, lits in enumerate(lits_k):
-                lit_kb[k, b, : len(lits)] = np.frombuffer(lits, np.uint8)
-        outs = X.execute_blocks_hist_jit(
-            lit_kb.reshape(K, Bn, 512, 128), hsrc, hdst, hlen, src, dst,
-            length, advance, caps, hb * 512)
-        outs = np.asarray(outs, np.float32).reshape(K, Bn, -1)
+        try:
+            plans_kb = [g[1] for g in group]
+            (hsrc, hdst, hlen, src, dst, length, advance, caps,
+             _hcap) = X.pack_plans_mb(plans_kb, hb << 16)
+            K = hsrc.shape[0]
+            Bn = len(group)
+            lit_kb = np.zeros((K, Bn, 512 * 128), np.float32)
+            for b, (_i, p_k, lits_k) in enumerate(group):
+                for k, lits in enumerate(lits_k):
+                    lit_kb[k, b, : len(lits)] = np.frombuffer(lits, np.uint8)
+            outs = X.execute_blocks_hist_jit(
+                lit_kb.reshape(K, Bn, 512, 128), hsrc, hdst, hlen, src, dst,
+                length, advance, caps, hb * 512)
+            outs = np.asarray(outs, np.float32).reshape(K, Bn, -1)
+        except ValueError:
+            # hostile/inconsistent sidecar plans (e.g. a history piece
+            # tagged round > 0): host-decode this group, keep the batch
+            from compress_tpu import zstd as Zm
+
+            for i, _p, _l in group:
+                results[i] = Zm.decompress(metas[i][1][1])
+            continue
         for b, (i, p_k, _l) in enumerate(group):
             parts = []
             for k, p in enumerate(p_k):

@@ -196,14 +196,23 @@ def test_multi_block_accel_roundtrip():
 
 
 def test_multi_block_zero_host_walks(monkeypatch):
+    from compress_tpu.ops import execute as X
+
     torig = device_dec._hwalk
-    calls = {"n": 0}
+    calls = {"n": 0, "exec": 0}
 
     def counting(*args, **kw):
         calls["n"] += 1
         return torig(*args, **kw)
 
+    xorig = X.execute_blocks_hist_jit
+
+    def counting_exec(*args, **kw):
+        calls["exec"] += 1
+        return xorig(*args, **kw)
+
     monkeypatch.setattr(device_dec, "_hwalk", counting)
+    monkeypatch.setattr(X, "execute_blocks_hist_jit", counting_exec)
     srcs = [(_twain(40000) * 4)[:150_000],
             (_twain(30000, 50000) * 6)[:170_000]]
     blobs = [A.compress_accel(s, level=1 + i, multi_block=True)
@@ -212,6 +221,35 @@ def test_multi_block_zero_host_walks(monkeypatch):
     out = device_dec.decompress_frames_device(items)
     assert b"".join(out) == b"".join(srcs)
     assert calls["n"] == 0
+    # the carried-history device executor actually ran (a silent host
+    # fallback would pass the roundtrip vacuously)
+    assert calls["exec"] >= 1
+
+
+def test_multi_block_repetitive_cross_boundary(monkeypatch):
+    """Matches that straddle the block boundary with mixed history+local
+    sources (off < ml across the boundary) exercised the planner's
+    direct-read branch; a r3 review bug tagged history bytes round>0
+    there. Periodic data at many periods hits all branch shapes."""
+    from compress_tpu.ops import execute as X
+
+    calls = {"exec": 0}
+    xorig = X.execute_blocks_hist_jit
+
+    def counting_exec(*args, **kw):
+        calls["exec"] += 1
+        return xorig(*args, **kw)
+
+    monkeypatch.setattr(X, "execute_blocks_hist_jit", counting_exec)
+    srcs = []
+    for period in (3, 7, 64, 1000, 65521):
+        unit = _twain(period)
+        srcs.append((unit * (200_000 // period + 1))[:200_000])
+    blobs = [A.compress_accel(s, level=1, multi_block=True) for s in srcs]
+    items = [it for b in blobs for it in A.split_stream_accel(b)]
+    out = device_dec.decompress_frames_device(items)
+    assert out == srcs
+    assert calls["exec"] >= 1
 
 
 def test_multi_block_hostile_sidecar_falls_back():
