@@ -219,6 +219,7 @@ static inline void fse_dt_rle(FseDT* dt, uint8_t sym) {
 struct HufDT {
   uint8_t sym[1 << 11];
   uint8_t nb[1 << 11];
+  uint16_t ent[1 << 11];  // nb << 8 | sym: ONE load on the decode chain
   int max_bits = -1;
 };
 
@@ -304,6 +305,8 @@ static int huf_read_table(HufDT* ht, const uint8_t* p, long long n) {
     }
   }
   if (posn != (1 << max_bits)) return -1;
+  for (int i = 0; i < (1 << max_bits); i++)
+    ht->ent[i] = (uint16_t)((ht->nb[i] << 8) | ht->sym[i]);
   return used;
 }
 
@@ -312,7 +315,39 @@ static bool huf_decode_stream(const HufDT* ht, const uint8_t* p, long long n,
   BitRev br;
   if (!br_init(&br, p, n)) return false;
   int mb = ht->max_bits;
-  for (long long i = 0; i < out_len; i++) {
+  // quad fast path (same shape as the 4X loop): one 8-byte load yields
+  // four symbols; safe quad count re-derived from actual remaining bits
+  const uint16_t* ent = ht->ent;
+  const uint32_t mask = (1u << mb) - 1;
+  const int mb4 = 4 * mb, sh0 = 3 * mb;
+  long long i = 0;
+  for (;;) {
+    long long quads = (out_len - i) / 4;
+    long long q = br.bitpos / mb4 - 1;
+    if (q < quads) quads = q;
+    if (quads <= 0) break;
+    for (long long t = 0; t < quads; t++, i += 4) {
+      long long bp = br.bitpos;
+      long long lo = bp - mb4;
+      uint64_t w;
+      memcpy(&w, br.p + (lo >> 3), 8);
+      int sh = (int)(lo & 7) + sh0;
+      uint32_t e1 = ent[(w >> sh) & mask];
+      sh -= (int)(e1 >> 8);
+      uint32_t e2 = ent[(w >> sh) & mask];
+      sh -= (int)(e2 >> 8);
+      uint32_t e3 = ent[(w >> sh) & mask];
+      sh -= (int)(e3 >> 8);
+      uint32_t e4 = ent[(w >> sh) & mask];
+      out[i] = (uint8_t)e1;
+      out[i + 1] = (uint8_t)e2;
+      out[i + 2] = (uint8_t)e3;
+      out[i + 3] = (uint8_t)e4;
+      br.bitpos =
+          bp - (long long)((e1 >> 8) + (e2 >> 8) + (e3 >> 8) + (e4 >> 8));
+    }
+  }
+  for (; i < out_len; i++) {
     // peek mb bits (tolerate partial at the very end: pad with zeros)
     uint32_t idx;
     if (br.bitpos >= mb) {
@@ -348,6 +383,7 @@ static bool huf_decode_4streams(const HufDT* ht, const uint8_t* ps[4],
     if (!br_init(&br[k], ps[k], ns[k])) return false;
   const uint8_t* sym = ht->sym;
   const uint8_t* nbt = ht->nb;
+  const uint16_t* ent = ht->ent;
   uint32_t mask = (1u << mb) - 1;
   // Quad loop: ONE 8-byte load yields FOUR symbols per stream (4*mb <= 44
   // bits always fit the 57-bit budget); the four streams interleave for
@@ -376,22 +412,23 @@ static bool huf_decode_4streams(const HufDT* ht, const uint8_t* ps[4],
         uint64_t w;
         memcpy(&w, br[k].p + (lo >> 3), 8);
         int sh = (int)(lo & 7) + sh0;
-        uint32_t i1 = (uint32_t)(w >> sh) & mask;
-        int n1 = nbt[i1];
-        sh -= n1;
-        uint32_t i2 = (uint32_t)(w >> sh) & mask;
-        int n2 = nbt[i2];
-        sh -= n2;
-        uint32_t i3 = (uint32_t)(w >> sh) & mask;
-        int n3 = nbt[i3];
-        sh -= n3;
-        uint32_t i4 = (uint32_t)(w >> sh) & mask;
+        // fused nb|sym entries: ONE load per link of the serial
+        // shift->index->load chain (the chain is the quad's critical
+        // path; the 4 streams overlap it via the k-unroll)
+        uint32_t e1 = ent[(w >> sh) & mask];
+        sh -= (int)(e1 >> 8);
+        uint32_t e2 = ent[(w >> sh) & mask];
+        sh -= (int)(e2 >> 8);
+        uint32_t e3 = ent[(w >> sh) & mask];
+        sh -= (int)(e3 >> 8);
+        uint32_t e4 = ent[(w >> sh) & mask];
         uint8_t* op = outs[k] + i;
-        op[0] = sym[i1];
-        op[1] = sym[i2];
-        op[2] = sym[i3];
-        op[3] = sym[i4];
-        br[k].bitpos = bp - n1 - n2 - n3 - (long long)nbt[i4];
+        op[0] = (uint8_t)e1;
+        op[1] = (uint8_t)e2;
+        op[2] = (uint8_t)e3;
+        op[3] = (uint8_t)e4;
+        br[k].bitpos =
+            bp - (long long)((e1 >> 8) + (e2 >> 8) + (e3 >> 8) + (e4 >> 8));
       }
     }
   }
@@ -785,6 +822,81 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
   // asm's one-refill-per-sequence discipline, seqdec_amd64.s role).
   // Rep-offset resolution is branchless (the 4-way history branch is
   // data-dependent and mispredicts ~every other sequence on text).
+  //
+  // Software pipeline (reference decompressSequencesLong role,
+  // zstd/seqdec.go:221 + prefetch variant): decode runs DEPTH sequences
+  // ahead of execution and prefetches each match source as soon as its
+  // offset is known, so the (cache-missing) match reads overlap the
+  // FSE/bit work instead of serializing with it. All validation happens
+  // at decode time; execution runs unchecked.
+  enum { SDEPTH = 8 };
+  struct SeqRec {
+    uint32_t ll, ml, off;
+  };
+  SeqRec ring[SDEPTH];
+  long long cum_out = 0;  // output bytes after the pending sequence
+  long long cum_lit = 0;  // literal bytes consumed through the pending seq
+  long long exec_i = 0;
+
+  auto exec_one = [&](const SeqRec& r) {
+    uint32_t ll = r.ll, ml = r.ml, off = r.off;
+    // literals copy (wide: lits has +32 slack, arena o_lim +64)
+    memcpy(o, lit, 16);
+    memcpy(o + 16, lit + 16, 16);
+    if (ll > 32) memcpy(o + 32, lit + 32, ll - 32);
+    o += ll;
+    lit += ll;
+
+    // match copy: single source (arena holds history + current output)
+    const uint8_t* m_src = o - off;
+    if (off >= 16) {
+      // non-overlapping at 16-byte granularity: unconditional wide copies
+      memcpy(o, m_src, 16);
+      memcpy(o + 16, m_src + 16, 16);
+      if (ml > 32) {
+        uint8_t* dd = o + 32;
+        const uint8_t* ss = m_src + 32;
+        long long rem = (long long)ml - 32;
+        do {
+          memcpy(dd, ss, 16);
+          dd += 16;
+          ss += 16;
+          rem -= 16;
+        } while (rem > 0);
+      }
+      o += ml;
+    } else if (off >= 8) {
+      // 8-byte steps never overlap their own write
+      uint8_t* dd = o;
+      const uint8_t* ss = m_src;
+      long long rem = ml;
+      do {
+        memcpy(dd, ss, 8);
+        dd += 8;
+        ss += 8;
+        rem -= 8;
+      } while (rem > 0);
+      o += ml;
+    } else if (off == 1) {
+      // byte run: by far the most common tight offset
+      memset(o, o[-1], ml);
+      o += ml;
+    } else {
+      // tight overlap (off 2..7, rare): one period byte-wise, then
+      // self-doubling copies
+      long long m = ml;
+      long long have = 0;
+      for (; have < m && have < (long long)off; have++)
+        o[have] = o[have - off];
+      while (have < m) {
+        long long take = have < m - have ? have : m - have;
+        memcpy(o + have, o, take);
+        have += take;
+      }
+      o += ml;
+    }
+  };
+
   for (long long i = 0; i < nseq; i++) {
     SeqEnt el = D_ll[st_ll];
     SeqEnt eo = D_of[st_of];
@@ -835,62 +947,27 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
     rep[1] = code >= 1 ? rep[0] : rep[1];
     rep[0] = off;
 
-    // literals copy (wide: lits has +32 slack, arena o_lim +64)
-    if (lit + ll > lit_end || o + ll + ml > o_lim) return E_CORRUPT;
-    memcpy(o, lit, 16);
-    memcpy(o + 16, lit + 16, 16);
-    if (ll > 32) memcpy(o + 32, lit + 32, ll - 32);
-    o += ll;
-    lit += ll;
+    // decode-time validation (execution is unchecked)
+    cum_lit += ll;
+    if (cum_lit > regen) return E_CORRUPT;
+    if ((long long)off > cum_out + ll + hist) return E_CORRUPT;
+    cum_out += ll + ml;
+    if (cum_out > (1 << 17)) return E_CORRUPT;
 
-    // match copy: single source (arena holds history + current output)
-    if ((long long)off > (o - base) + hist) return E_CORRUPT;
-    const uint8_t* m_src = o - off;
-    if (off >= 16) {
-      // non-overlapping at 16-byte granularity: unconditional wide copies
-      memcpy(o, m_src, 16);
-      memcpy(o + 16, m_src + 16, 16);
-      if (ml > 32) {
-        uint8_t* dd = o + 32;
-        const uint8_t* ss = m_src + 32;
-        long long rem = (long long)ml - 32;
-        do {
-          memcpy(dd, ss, 16);
-          dd += 16;
-          ss += 16;
-          rem -= 16;
-        } while (rem > 0);
-      }
-      o += ml;
-    } else if (off >= 8) {
-      // 8-byte steps never overlap their own write
-      uint8_t* dd = o;
-      const uint8_t* ss = m_src;
-      long long rem = ml;
-      do {
-        memcpy(dd, ss, 8);
-        dd += 8;
-        ss += 8;
-        rem -= 8;
-      } while (rem > 0);
-      o += ml;
-    } else if (off == 1) {
-      // byte run: by far the most common tight offset
-      memset(o, o[-1], ml);
-      o += ml;
-    } else {
-      // tight overlap (off 2..7, rare): one period byte-wise, then
-      // self-doubling copies
-      long long m = ml;
-      long long have = 0;
-      for (; have < m && have < (long long)off; have++) o[have] = o[have - off];
-      while (have < m) {
-        long long take = have < m - have ? have : m - have;
-        memcpy(o + have, o, take);
-        have += take;
-      }
-      o += ml;
+    // prefetch the match source region for the execute phase
+    const uint8_t* pm = base + (cum_out - ml) - off;
+    __builtin_prefetch(pm, 0, 1);
+    __builtin_prefetch(pm + 64, 0, 1);
+
+    ring[i & (SDEPTH - 1)] = {ll, ml, off};
+    if (i >= SDEPTH - 1) {
+      exec_one(ring[exec_i & (SDEPTH - 1)]);
+      exec_i++;
     }
+  }
+  while (exec_i < nseq) {
+    exec_one(ring[exec_i & (SDEPTH - 1)]);
+    exec_i++;
   }
   if (br.bitpos != 0) return E_CORRUPT;
   // trailing literals
