@@ -271,6 +271,29 @@ def main():
     except Exception:
         dev_dec_gbps = -1.0
 
+    # ---- multi-block accel frames (r3: carried-history scan decode) -------
+    # the carried-history scan is MXU-heavy: skip entirely on a degraded
+    # chip (it would stall the round-end bench for minutes)
+    mb_dec_gbps = -1.0
+    try:
+        if calib_ms > 50:
+            raise RuntimeError("degraded chip: skip mb decode bench")
+        from compress_tpu.zstd import accel as AC
+        from compress_tpu.zstd import device_dec as DD
+
+        nmb = 4
+        msrcs = [big[i * 393216 : (i + 1) * 393216] for i in range(nmb)]
+        mblobs = [AC.compress_accel(s, level=1, multi_block=True)
+                  for s in msrcs]
+        items = [it for b in mblobs for it in AC.split_stream_accel(b)]
+        outs = DD.decompress_frames_device(items)  # compile + warm
+        assert b"".join(outs) == b"".join(msrcs), "mb accel decode mismatch"
+        t = time.time()
+        outs = DD.decompress_frames_device(items)
+        mb_dec_gbps = sum(len(s) for s in msrcs) / (time.time() - t) / 1e9
+    except Exception:
+        mb_dec_gbps = -1.0
+
     print(json.dumps({
         "metric": "s2_block_encode_device",
         "value": round(s2_gbps, 5),
@@ -284,6 +307,7 @@ def main():
         "huff0_decode_device_gbps": round(hdec_gbps, 5),
         "zstd_decode_host_gbps": round(host_dec_gbps, 5),
         "zstd_decode_device_accel_gbps": round(dev_dec_gbps, 5),
+        "zstd_decode_device_mb_gbps": round(mb_dec_gbps, 5),
         "flate_l1_mbps": round(flate_l1_mbps, 2),
         "calib_matmul_ms": round(calib_ms, 3),
         # r2 lesson: a degraded chip produced unusable numbers; mark them
