@@ -14,6 +14,7 @@ from compress_tpu.parallel.engine import (
     encode_blocks_sharded,
     encode_step_stats,
     s2_stream_encode_device,
+    zstd_decode_sharded,
     zstd_encode_sharded,
 )
 
@@ -22,4 +23,6 @@ __all__ = [
     "encode_blocks_sharded",
     "encode_step_stats",
     "s2_stream_encode_device",
+    "zstd_decode_sharded",
+    "zstd_encode_sharded",
 ]

@@ -236,3 +236,19 @@ def zstd_encode_sharded(data: bytes, mesh: Mesh | None = None,
     if checksum:
         out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
     return bytes(out)
+
+
+def zstd_decode_sharded(frames, mesh: Mesh | None = None,
+                        max_rounds: int = 4):
+    """Batched device decode sharded over the mesh (reference P4/P5 at
+    pod scale: frames are independent, so decode is pure data
+    parallelism — the literal scan and LZ-execute batches carry a
+    'data'-sharded leading axis; outputs gather on the host in order).
+
+    Accepts the same items as zstd.device_dec.decompress_frames_device
+    (accel-sidecar frames decode with zero per-symbol host work)."""
+    from compress_tpu.zstd import device_dec
+
+    mesh = mesh or block_mesh()
+    return device_dec.decompress_frames_device(frames, max_rounds,
+                                               mesh=mesh)

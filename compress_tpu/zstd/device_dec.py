@@ -31,6 +31,31 @@ from compress_tpu.zstd import seqs as S
 from compress_tpu.zstd.frame import parse_frame_header
 
 
+def _put_sharded(mesh, arr, axis: int):
+    """Pad `axis` to a multiple of the mesh size and place the array
+    sharded over it ('data' axis). mesh=None -> plain device array.
+    Padding rows are no-ops by construction (zero lengths / zero symbol
+    counts), so the kernels ignore them and callers slice by the
+    original batch size."""
+    import jax
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return jnp.asarray(arr)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    nd = int(mesh.devices.size)
+    arr = np.asarray(arr)
+    pad = (-arr.shape[axis]) % nd
+    if pad:
+        widths = [(0, 0)] * arr.ndim
+        widths[axis] = (0, pad)
+        arr = np.pad(arr, widths)
+    spec = [None] * arr.ndim
+    spec[axis] = "data"
+    return jax.device_put(arr, NamedSharding(mesh, PartitionSpec(*spec)))
+
+
 def _only_trailing_skippables(frame: bytes, end: int):
     """True when frame[end:] is empty or only skippable frames — the item
     must be exactly ONE frame: trailing content frames would be silently
@@ -295,7 +320,7 @@ def _prep_multiblock(frame: bytes, accs, hist_blocks: int):
     return lits, accs, hist_blocks
 
 
-def decompress_frames_device(frames, max_rounds: int = 4):
+def decompress_frames_device(frames, max_rounds: int = 4, mesh=None):
     """Batched device decode; returns list of bytes. See module doc.
 
     Frames may be preceded by an encoder-emitted accel sidecar (a
@@ -303,7 +328,13 @@ def decompress_frames_device(frames, max_rounds: int = 4):
     host work — literal/sequence checkpoints and the execute plan come
     from the sidecar (r3, VERDICT r2 missing #1). Plain frames keep the
     r2 host-walk (`make_accel`-style) path; unsupported shapes fall back
-    to the host decoder."""
+    to the host decoder.
+
+    mesh: optional jax.sharding.Mesh with a 'data' axis — the literal
+    scan and execute batches shard over it (frames are independent, so
+    decode scales batch-parallel across chips; reference P4/P5 role at
+    pod scale). Use parallel.engine.zstd_decode_sharded for the
+    all-devices default."""
     import jax.numpy as jnp
 
     from compress_tpu import zstd as Z
@@ -445,8 +476,8 @@ def decompress_frames_device(frames, max_rounds: int = 4):
                 nsym[j, base : base + nc] = ns
                 base += nc
         syms, _ = ED.huff0_decode_chunks(
-            jnp.asarray(windows), jnp.asarray(lbit), jnp.asarray(nsym),
-            jnp.asarray(tarr), k=K)
+            _put_sharded(mesh, windows, 0), _put_sharded(mesh, lbit, 0),
+            _put_sharded(mesh, nsym, 0), _put_sharded(mesh, tarr, 0), k=K)
         syms = np.asarray(syms, np.int32)
         for j, (i, _tr, _t) in enumerate(items):
             parts = []
@@ -532,9 +563,11 @@ def decompress_frames_device(frames, max_rounds: int = 4):
         order.append(i)
     if plans:
         src, dst, length, caps = X.pack_plans(plans)
-        out = X.execute_rounds_jit(np.stack(lit_rows), src, dst, length,
-                                   caps)
-        out = np.asarray(out, np.float32).reshape(len(plans), -1)
+        out = X.execute_rounds_jit(
+            _put_sharded(mesh, np.stack(lit_rows), 0),
+            _put_sharded(mesh, src, 1), _put_sharded(mesh, dst, 1),
+            _put_sharded(mesh, length, 1), caps)
+        out = np.asarray(out, np.float32).reshape(-1, 512 * 128)
         for j, i in enumerate(order):
             n_out = int(np.sum(plans[j]["len"]))
             results[i] = out[j, :n_out].astype(np.uint8).tobytes()

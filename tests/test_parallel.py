@@ -107,3 +107,26 @@ def test_zstd_encode_sharded_roundtrip():
     data = (twain[:3000] * (2 * m * JOB // 3000 + 2))[: 2 * m * JOB + 777]
     frame = zstd_encode_sharded(data, mesh, job=JOB, block=BLOCK, checksum=True)
     assert zstd.decompress(frame) == data
+
+
+def test_zstd_decode_sharded_roundtrip():
+    """Sharded batched device decode (P4/P5 pod-scale role): accel and
+    plain frames mixed, batch not divisible by the mesh (padding path),
+    bit-exact ordered gather."""
+    import os
+
+    from compress_tpu.parallel import block_mesh, zstd_decode_sharded
+    from compress_tpu.zstd import accel as A
+    from compress_tpu.zstd.encoder import compress
+
+    twain = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+                 "rb").read()
+    srcs = [twain[i * 7000 : (i + 1) * 7000] for i in range(11)]
+    items = []
+    for i, s in enumerate(srcs):
+        if i % 3 == 2 or os.environ.get("COMPRESS_TPU_NONATIVE") == "1":
+            items.append(compress(s, level=1))   # no sidecar: host walks
+        else:
+            items.append(A.compress_accel(s, level=1 + i % 2))
+    mesh = block_mesh()
+    assert zstd_decode_sharded(items, mesh) == srcs
