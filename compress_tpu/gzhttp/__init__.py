@@ -68,7 +68,8 @@ class GzipMiddleware:
                  drop_etag: bool = False, random_jitter: int = 0,
                  jitter_buffer: int = 1 << 16,
                  allow_compressed_requests: bool = False,
-                 keep_accept_ranges: bool = False):
+                 keep_accept_ranges: bool = False,
+                 gzip_compress=None, zstd_compress=None):
         self.app = app
         self.min_size = min_size
         self.level = max(1, min(level, 9))
@@ -83,6 +84,12 @@ class GzipMiddleware:
         self.jitter_buffer = jitter_buffer
         self.allow_compressed_requests = allow_compressed_requests
         self.keep_accept_ranges = keep_accept_ranges
+        # pluggable compressor implementations (reference:
+        # gzhttp/writer/interface.go GzipWriterFactory / ZstdWriterFactory
+        # via the Implementation/ZstdImplementation options): callables
+        # (body, level) -> compressed bytes replacing the built-ins
+        self.gzip_compress = gzip_compress
+        self.zstd_compress = zstd_compress
 
     @staticmethod
     def detect_content_type(data: bytes) -> str:
@@ -181,11 +188,18 @@ class GzipMiddleware:
             headers.append(("Content-Type", sniffed))
 
         if enc == "zstd":
-            comp = tzstd.compress(body, level=self.zstd_level, checksum=True)
+            if self.zstd_compress is not None:
+                comp = self.zstd_compress(body, self.zstd_level)
+            else:
+                comp = tzstd.compress(body, level=self.zstd_level,
+                                      checksum=True)
             if self.random_jitter:
                 comp = self._jitter_zstd(comp, body) + comp
         else:
-            comp = tgzip.compress(body, self.level)
+            if self.gzip_compress is not None:
+                comp = self.gzip_compress(body, self.level)
+            else:
+                comp = tgzip.compress(body, self.level)
             if self.random_jitter:
                 comp = self._jitter_gzip(body) + comp
         if len(comp) >= len(body):

@@ -162,6 +162,19 @@ class Writer:
         self._drain()
         self._write_header()
 
+    def async_flush(self):
+        """Reference: Writer.AsyncFlush — hand buffered data to the
+        worker pool and return without waiting for the encodes; a later
+        flush()/close() drains them in order. With workers == 1 this is
+        a plain flush."""
+        if self._buf:
+            blk = bytes(self._buf)
+            self._buf.clear()
+            self._write_block(blk)
+        if self.workers <= 1:
+            self._drain()
+        self._write_header()
+
     def add_skippable_block(self, chunk_id: int, data: bytes):
         """Reference: Writer.AddSkippableBlock — user skippable chunks."""
         if not 0x80 <= chunk_id <= 0xFD:

@@ -185,3 +185,20 @@ def test_content_type_sniffing_untyped_body():
         return lambda b: None
     out2 = b"".join(h2({"HTTP_ACCEPT_ENCODING": "gzip"}, sr2))
     assert out2 == binary  # filtered out by sniffed type
+
+
+def test_pluggable_compressor_implementation():
+    """Reference gzhttp/writer/interface.go role: alternative compressor
+    implementations are injectable per encoding."""
+    calls = {"n": 0}
+
+    def my_gzip(data, level):
+        calls["n"] += 1
+        return stdgzip.compress(data, 6)
+
+    mw = gzhttp.GzipMiddleware(make_app(), min_size=10,
+                               gzip_compress=my_gzip)
+    status, headers, body = call(mw, "gzip")
+    assert headers["content-encoding"] == "gzip"
+    assert stdgzip.decompress(body) == BODY
+    assert calls["n"] == 1

@@ -196,3 +196,25 @@ def test_decode_concurrent_speedup():
     # lenient: pool overhead must not blow up wall time (native decode of
     # 4MB is ~ms-scale, so only gross regressions can trip this)
     assert (t2 - t1) < max((t1 - t0) * 3, 0.25)
+
+
+def test_writer_async_flush():
+    """AsyncFlush hands work to the pool without draining; close()
+    completes the stream byte-identically to the sync path."""
+    import io
+
+    from compress_tpu.s2 import stream as S
+
+    data = (b"async flush corpus " * 4000)[: 64 * 1024 + 777]
+    outs = []
+    for workers in (1, 3):
+        dst = io.BytesIO()
+        w = S.Writer(dst, workers=workers)
+        w.write(data[: 30000])
+        w.async_flush()
+        w.write(data[30000:])
+        w.close()
+        outs.append(dst.getvalue())
+    assert outs[0] == outs[1]
+    r = S.Reader(io.BytesIO(outs[0]))
+    assert r.read() == data
