@@ -1436,4 +1436,281 @@ long long ct_huf_write_table(const int32_t* nbits /* 256 */, int max_bits,
   return plen;
 }
 
+
+// ---------------------------------------------------------------------------
+// Device-encode job assembly (zstd/device.py _assemble_job, ported: the
+// Python byte-plumbing ran at 0.04 GB/s and capped device e2e encode).
+// Reference role: zstd/blockenc.go header paths + literal/seq splicing.
+//
+// Outputs: bodies packed into `out`; blk_len[b] = body length, or
+// -1 (raw block: body bigger than the block) or -2 (RLE block: ONE byte
+// appended to out). Returns total bytes written to out, or E_* (<0).
+// ---------------------------------------------------------------------------
+
+static long long lit_header_raw(uint8_t* o, long long regen, int rle) {
+  if (regen < 32) {
+    o[0] = (uint8_t)((rle ? 1 : 0) | (regen << 3));
+    return 1;
+  }
+  if (regen < 4096) {
+    uint32_t v = (uint32_t)((rle ? 1 : 0) | (1 << 2) | (regen << 4));
+    o[0] = (uint8_t)v;
+    o[1] = (uint8_t)(v >> 8);
+    return 2;
+  }
+  uint32_t v = (uint32_t)((rle ? 1 : 0) | (3 << 2) | (regen << 4));
+  o[0] = (uint8_t)v;
+  o[1] = (uint8_t)(v >> 8);
+  o[2] = (uint8_t)(v >> 16);
+  return 3;
+}
+
+static long long lit_header_comp(uint8_t* o, long long regen,
+                                 long long comp) {
+  if (regen < (1 << 10) && comp < (1 << 10)) {
+    uint32_t v = (uint32_t)(2 | (1 << 2) | (regen << 4) | (comp << 14));
+    o[0] = (uint8_t)v; o[1] = (uint8_t)(v >> 8); o[2] = (uint8_t)(v >> 16);
+    return 3;
+  }
+  if (regen < (1 << 14) && comp < (1 << 14)) {
+    uint32_t v = (uint32_t)(2 | (2 << 2) | (regen << 4) | (comp << 18));
+    o[0] = (uint8_t)v; o[1] = (uint8_t)(v >> 8); o[2] = (uint8_t)(v >> 16);
+    o[3] = (uint8_t)(v >> 24);
+    return 4;
+  }
+  uint64_t v = (uint64_t)2 | (3 << 2) | ((uint64_t)regen << 4) |
+               ((uint64_t)comp << 22);
+  for (int i = 0; i < 5; i++) o[i] = (uint8_t)(v >> (8 * i));
+  return 5;
+}
+
+static long long seq_count_header(uint8_t* o, long long n) {
+  if (n == 0) { o[0] = 0; return 1; }
+  if (n < 128) { o[0] = (uint8_t)n; return 1; }
+  if (n < 0x7F00) {
+    o[0] = (uint8_t)(128 + (n >> 8));
+    o[1] = (uint8_t)(n & 0xFF);
+    return 2;
+  }
+  o[0] = 0xFF;
+  o[1] = (uint8_t)((n - 0x7F00) & 0xFF);
+  o[2] = (uint8_t)((n - 0x7F00) >> 8);
+  return 3;
+}
+
+long long ct_zstd_assemble_job(
+    const uint8_t* blk, long long n, int block, int nblk,
+    const int32_t* n_seqs, const int32_t* lit_cnt, const int32_t* huff_ok,
+    const int32_t* nbits, const int32_t* max_bits,
+    const int32_t* stream_bits, const int32_t* lit_halves,
+    long long lh_stride, const int32_t* seq_halves, long long sh_stride,
+    const int32_t* seq_total_bits, const int32_t* ll, const int32_t* ml,
+    long long ms_stride, const uint8_t* first_hdr, long long first_hdr_len,
+    uint8_t* out, long long cap, long long* blk_len) {
+  if (nblk <= 0 || block <= 0 || n > (long long)nblk * block) return -1;
+  uint8_t* lits = (uint8_t*)malloc(block + 64);
+  uint8_t* tbl = (uint8_t*)malloc(1 << 12);
+  int32_t* memo_key = (int32_t*)malloc(256 * 4);
+  uint8_t* memo_tbl = (uint8_t*)malloc(1 << 12);
+  if (!lits || !tbl || !memo_key || !memo_tbl) {
+    free(lits); free(tbl); free(memo_key); free(memo_tbl);
+    return -2;
+  }
+  int memo_ok = 0;
+  long long memo_len = 0;
+  long long d = 0;
+  int tables_written = 0;
+  long long ret = 0;
+  for (int b = 0; b < nblk; b++) {
+    const uint8_t* bp = blk + (long long)b * block;
+    long long blen = (long long)(b + 1) * block <= n
+                         ? block : n - (long long)b * block;
+    if (blen <= 0) { ret = -1; break; }
+    // whole-block RLE?
+    int all_same = 1;
+    for (long long i = 1; i < blen; i++)
+      if (bp[i] != bp[0]) { all_same = 0; break; }
+    if (all_same) {
+      if (d + 1 > cap) { ret = -3; break; }
+      out[d++] = bp[0];
+      blk_len[b] = -2;
+      continue;
+    }
+    long long ns = n_seqs[b];
+    long long lc = lit_cnt[b];
+    if (ns < 0 || ns > ms_stride || lc < 0 || lc > blen) { ret = -1; break; }
+    // ---- extract literals (run gather over the parse) ----------------
+    const int32_t* lla = ll + (long long)b * ms_stride;
+    const int32_t* mla = ml + (long long)b * ms_stride;
+    long long lp = 0, pos = 0;
+    int bad = 0;
+    for (long long k = 0; k < ns; k++) {
+      long long l = lla[k], m = mla[k];
+      if (l < 0 || m < 0 || pos + l + m > blen || lp + l > blen) {
+        bad = 1; break;
+      }
+      memcpy(lits + lp, bp + pos, l);
+      lp += l;
+      pos += l + m;
+    }
+    if (bad || pos > blen || lp + (blen - pos) != lc) { ret = -1; break; }
+    memcpy(lits + lp, bp + pos, blen - pos);
+    // ---- literal section: raw vs RLE vs compressed -------------------
+    uint8_t lit_hdr[8];
+    long long lit_hl = lit_header_raw(lit_hdr, lc, 0);
+    long long lit_bl = lc;  // payload after the header
+    int lit_rle = 0;
+    if (lc > 0) {
+      int same = 1;
+      for (long long i = 1; i < lc; i++)
+        if (lits[i] != lits[0]) { same = 0; break; }
+      if (same) {
+        uint8_t rle_hdr[8];
+        long long rle_hl = lit_header_raw(rle_hdr, lc, 1);
+        if (rle_hl + 1 < lit_hl + lit_bl) {  // strictly smaller, like the
+          memcpy(lit_hdr, rle_hdr, rle_hl);  // Python path
+          lit_hl = rle_hl;
+          lit_bl = 1;
+          lit_rle = 1;
+        }
+      }
+    }
+    // compressed candidate assembled straight into out (committed only
+    // when smaller than raw/RLE)
+    uint8_t comp_hdr[8];
+    long long comp_hl = 0, comp_bl = 0;
+    if (!lit_rle && huff_ok[b] && lc >= 256) {
+      // tables recur across blocks (the device builds per-job tables):
+      // one-slot memo keyed by the nbits vector covers the common case
+      const int32_t* nb_ = nbits + (long long)b * 256;
+      long long tl;
+      if (memo_ok && memcmp(memo_key, nb_, 256 * 4) == 0) {
+        tl = memo_len;
+        memcpy(tbl, memo_tbl, tl > 0 ? (size_t)tl : 0);
+      } else {
+        tl = ct_huf_write_table(nb_, max_bits[b], tbl, 1 << 12);
+        if (tl > 0 && tl <= (1 << 12)) {
+          memcpy(memo_key, nb_, 256 * 4);
+          memcpy(memo_tbl, tbl, tl);
+          memo_len = tl;
+          memo_ok = 1;
+        }
+      }
+      if (tl > 0) {
+        const int32_t* sb_ = stream_bits + (long long)b * 4;
+        long long sbytes[4], shalves[4];
+        for (int q = 0; q < 4; q++) {
+          sbytes[q] = (sb_[q] + 1 + 7) / 8;
+          shalves[q] = (sb_[q] + 16) >> 4;
+        }
+        long long sbase[4] = {shalves[1] + shalves[2] + shalves[3],
+                              shalves[2] + shalves[3], shalves[3], 0};
+        long long body = tl + 6 + sbytes[0] + sbytes[1] + sbytes[2] +
+                         sbytes[3];
+        long long hwm = sbase[0] + shalves[0];
+        if (sbytes[0] <= 0xFFFF && sbytes[1] <= 0xFFFF &&
+            sbytes[2] <= 0xFFFF && hwm <= lh_stride) {
+          comp_hl = lit_header_comp(comp_hdr, lc, body);
+          if (comp_hl + body < lit_hl + lit_bl &&
+              d + comp_hl + body <= cap) {
+            uint8_t* o = out + d;
+            memcpy(o, comp_hdr, comp_hl);
+            o += comp_hl;
+            memcpy(o, tbl, tl);
+            o += tl;
+            for (int q = 0; q < 3; q++) {
+              o[2 * q] = (uint8_t)sbytes[q];
+              o[2 * q + 1] = (uint8_t)(sbytes[q] >> 8);
+            }
+            o += 6;
+            const int32_t* lh = lit_halves + (long long)b * lh_stride;
+            for (int q = 0; q < 4; q++) {
+              const int32_t* hp = lh + sbase[q];
+              long long hb2 = sbytes[q] / 2;
+              for (long long i = 0; i < hb2; i++) {
+                uint16_t hv = (uint16_t)hp[i];
+                o[2 * i] = (uint8_t)hv;
+                o[2 * i + 1] = (uint8_t)(hv >> 8);
+              }
+              if (sbytes[q] & 1)
+                o[sbytes[q] - 1] = (uint8_t)((uint16_t)hp[hb2]);
+              long long eos = sb_[q];
+              o[eos >> 3] |= (uint8_t)(1 << (eos & 7));
+              o += sbytes[q];
+            }
+            comp_bl = body;
+          } else {
+            comp_hl = 0;
+          }
+        }
+      }
+    }
+    // ---- sequence section --------------------------------------------
+    uint8_t seq_hdr[8];
+    long long seq_hl = seq_count_header(seq_hdr, ns);
+    const uint8_t* seq_modes = nullptr;
+    long long seq_ml_ = 0;
+    uint8_t rep_mode = (uint8_t)((3 << 6) | (3 << 4) | (3 << 2));
+    long long seq_bytes = 0;
+    if (ns > 0) {
+      seq_bytes = (seq_total_bits[b] + 1 + 7) / 8;
+      if ((seq_bytes + 1) / 2 > sh_stride) { ret = -1; break; }
+      if (!tables_written) {
+        seq_modes = first_hdr;
+        seq_ml_ = first_hdr_len;
+      } else {
+        seq_modes = &rep_mode;
+        seq_ml_ = 1;
+      }
+    }
+    long long lit_total = comp_bl > 0 ? comp_hl + comp_bl
+                                      : lit_hl + lit_bl;
+    long long total = lit_total + seq_hl + seq_ml_ + seq_bytes;
+    if (total >= blen) {
+      blk_len[b] = -1;  // raw block wins
+      continue;
+    }
+    if (d + total > cap) { ret = -3; break; }
+    uint8_t* o = out + d;
+    if (comp_bl > 0) {
+      o += comp_hl + comp_bl;  // already written in place at out+d
+    } else {
+      memcpy(o, lit_hdr, lit_hl);
+      o += lit_hl;
+      if (lit_rle) {
+        o[0] = lits[0];
+        o += 1;
+      } else {
+        memcpy(o, lits, lit_bl);
+        o += lit_bl;
+      }
+    }
+    memcpy(o, seq_hdr, seq_hl);
+    o += seq_hl;
+    if (ns > 0) {
+      memcpy(o, seq_modes, seq_ml_);
+      o += seq_ml_;
+      const int32_t* shp = seq_halves + (long long)b * sh_stride;
+      long long hb2 = seq_bytes / 2;
+      for (long long i = 0; i < hb2; i++) {
+        uint16_t hv = (uint16_t)shp[i];
+        o[2 * i] = (uint8_t)hv;
+        o[2 * i + 1] = (uint8_t)(hv >> 8);
+      }
+      if (seq_bytes & 1)
+        o[seq_bytes - 1] = (uint8_t)((uint16_t)shp[hb2]);
+      long long tb2 = seq_total_bits[b];
+      o[tb2 >> 3] |= (uint8_t)(1 << (tb2 & 7));
+      tables_written = 1;
+    }
+    blk_len[b] = total;
+    d += total;
+  }
+  free(lits);
+  free(tbl);
+  free(memo_key);
+  free(memo_tbl);
+  return ret < 0 ? ret : d;
+}
+
 }  // extern "C"

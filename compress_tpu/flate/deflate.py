@@ -73,7 +73,10 @@ def _tokens(src: bytes, level: int, max_offset: int = MAX_OFFSET):
             h = int(hashes[s])
             c = int(table[h])
             table[h] = s
-            if c >= 0 and v32[c] == v32[s] and s - c <= max_offset:
+            # c < s: backward extension + short match can move the scan
+            # BEHIND a stale table entry; a candidate ahead of the scan
+            # position produced negative distances (r3 NONATIVE fuzz)
+            if 0 <= c < s and v32[c] == v32[s] and s - c <= max_offset:
                 cand = c
                 break
             s += 1 + ((s - next_emit) >> 6)

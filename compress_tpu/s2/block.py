@@ -229,7 +229,9 @@ def _encode_block_py(src: bytes, mode: int) -> bytes:
                 cand = s - repeat
                 is_rep = True
                 break
-            if c >= 0 and v32[c] == v32[s]:
+            # c < s: after backward extension a short match can leave the
+            # scan BEHIND a stale table entry (r3 flate fuzz finding)
+            if 0 <= c < s and v32[c] == v32[s]:
                 cand = c
                 is_rep = False
                 break

@@ -99,7 +99,9 @@ class Matcher:
                 if r1 > 0 and s - r1 >= 0 and v32[s] == v32[s - r1]:
                     cand = s - r1
                     break
-                if c >= 0 and v32[c] == v32[s] and (
+                # c < s: after backward extension a short match can leave
+                # the scan BEHIND a stale table entry (r3 flate fuzz)
+                if 0 <= c < s and v32[c] == v32[s] and (
                         self.window is None or s - c <= self.window):
                     cand = c
                     break
