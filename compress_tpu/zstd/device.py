@@ -308,7 +308,7 @@ def _assemble_job_py(job_bytes: bytes, t, j: int, block: int):
 
 def compress_device(data, *, checksum: bool = False, job: int = zdev.JOB,
                     block: int = zdev.BLOCK, encode_fn=None,
-                    max_launch_jobs: int = 16, level: int = 2) -> bytes:
+                    max_launch_jobs: int = 8, level: int = 2) -> bytes:
     """Encode `data` as one zstd frame using the device encoder for all
     full `job`-sized windows; the tail uses the host matcher (rep-free).
 
@@ -327,11 +327,16 @@ def compress_device(data, *, checksum: bool = False, job: int = zdev.JOB,
     out = bytearray(F.write_frame_header(n, job + pre, False, checksum))
     bodies = []
     regens = []
-    for c in range(0, n_jobs, max_launch_jobs):
-        hi = min(c + max_launch_jobs, n_jobs)
-        arr = np.frombuffer(data[c * job : hi * job], np.uint8).reshape(-1, job)
+
+    # double-buffered pipeline: jax dispatch is async, so launching batch
+    # k+1 BEFORE pulling batch k's outputs overlaps device encode with
+    # host assembly (the reference's encode-worker/flusher overlap,
+    # enc_jobs.go jobWorker/jobFlusher)
+    def _launch(c, hi):
         import jax.numpy as jnp
 
+        arr = np.frombuffer(data[c * job : hi * job],
+                            np.uint8).reshape(-1, job)
         prefixes = np.zeros((hi - c, pre), np.uint8)
         has_prefix = np.zeros(hi - c, bool)
         for j in range(c, hi):
@@ -339,15 +344,28 @@ def compress_device(data, *, checksum: bool = False, job: int = zdev.JOB,
                 prefixes[j - c] = np.frombuffer(
                     data[j * job - pre : j * job], np.uint8)
                 has_prefix[j - c] = True
-        t = encode_fn(jnp.asarray(arr), job=job, block=block,
-                      prefixes=jnp.asarray(prefixes),
-                      has_prefix=jnp.asarray(has_prefix), level=level)
+        return encode_fn(jnp.asarray(arr), job=job, block=block,
+                         prefixes=jnp.asarray(prefixes),
+                         has_prefix=jnp.asarray(has_prefix), level=level)
+
+    def _drain(t, c, hi):
         t = {k: np.asarray(v) for k, v in t.items()}
         for j in range(hi - c):
             jb = data[(c + j) * job : (c + j + 1) * job]
-            for b, body in enumerate(_assemble_job(jb, t, j, block)):
+            for body in _assemble_job(jb, t, j, block):
                 bodies.append(body)
                 regens.append(block)
+
+    spans = [(c, min(c + max_launch_jobs, n_jobs))
+             for c in range(0, n_jobs, max_launch_jobs)]
+    pending = None
+    for c, hi in spans:
+        t = _launch(c, hi)
+        if pending is not None:
+            _drain(*pending)
+        pending = (t, c, hi)
+    if pending is not None:
+        _drain(*pending)
 
     tail_b, tail_r = tail_bodies(data[n_jobs * job :])
     bodies += tail_b
