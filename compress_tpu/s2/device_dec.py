@@ -60,9 +60,12 @@ def _parse_payload(payload: bytes):
 
 
 def decode_blocks_device(blocks, *, allow_repeat: bool = True,
-                         max_rounds: int = 4):
+                         max_rounds: int = 4, mesh=None):
     """Decode a batch of S2 (or snappy, allow_repeat=False) blocks on
-    device. Returns list of bytes, bit-exact vs s2.decode."""
+    device. Returns list of bytes, bit-exact vs s2.decode.
+
+    mesh: optional Mesh with a 'data' axis — blocks are independent, so
+    the execute batch shards data-parallel across chips."""
     from compress_tpu.ops import execute as X
 
     lib = _lib()
@@ -96,10 +99,14 @@ def decode_blocks_device(blocks, *, allow_repeat: bool = True,
         lit_rows.append(arr.reshape(512, 128))
         order.append((i, total))
     if plans:
+        from compress_tpu.zstd.device_dec import _put_sharded
+
         src, dst, length, caps = X.pack_plans(plans)
-        out = X.execute_rounds_jit(np.stack(lit_rows), src, dst, length,
-                                   caps)
-        out = np.asarray(out, np.float32).reshape(len(plans), -1)
+        out = X.execute_rounds_jit(
+            _put_sharded(mesh, np.stack(lit_rows), 0),
+            _put_sharded(mesh, src, 1), _put_sharded(mesh, dst, 1),
+            _put_sharded(mesh, length, 1), caps)
+        out = np.asarray(out, np.float32).reshape(-1, 512 * 128)
         for j, (i, total) in enumerate(order):
             results[i] = out[j, :total].astype(np.uint8).tobytes()
     return results

@@ -45,3 +45,17 @@ def test_s2_device_decode_degenerate_repeats():
     srcs = [b"\x00" * 30000, (b"abc" * 12000)[:30000]]
     blocks = [s2.encode(x) for x in srcs]
     assert SD.decode_blocks_device(blocks) == srcs
+
+
+def test_decode_blocks_device_sharded():
+    """Blocks shard data-parallel over the mesh (batch % devices != 0)."""
+    from compress_tpu import s2
+    from compress_tpu.parallel import block_mesh
+    from compress_tpu.s2.device_dec import decode_blocks_device
+
+    twain = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+                 "rb").read()
+    srcs = [twain[i * 5000 : (i + 1) * 5000] for i in range(13)]
+    blocks = [s2.encode(x) for x in srcs]
+    out = decode_blocks_device(blocks, mesh=block_mesh())
+    assert out == srcs
