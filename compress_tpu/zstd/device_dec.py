@@ -31,6 +31,10 @@ from compress_tpu.zstd import seqs as S
 from compress_tpu.zstd.frame import parse_frame_header
 
 
+MAX_DEC_BATCH = 512  # frames per device dispatch: (512, 1024, 128) f32
+#                      arenas = 256 MiB; larger batches chunk
+
+
 def _put_sharded(mesh, arr, axis: int):
     """Pad `axis` to a multiple of the mesh size and place the array
     sharded over it ('data' axis). mesh=None -> plain device array.
@@ -334,7 +338,16 @@ def decompress_frames_device(frames, max_rounds: int = 4, mesh=None):
     scan and execute batches shard over it (frames are independent, so
     decode scales batch-parallel across chips; reference P4/P5 role at
     pod scale). Use parallel.engine.zstd_decode_sharded for the
-    all-devices default."""
+    all-devices default.
+
+    Batches beyond MAX_DEC_BATCH frames dispatch in chunks so the
+    execute arena (B, 1024, 128) f32 stays memory-bounded."""
+    if len(frames) > MAX_DEC_BATCH:
+        out = []
+        for lo in range(0, len(frames), MAX_DEC_BATCH):
+            out.extend(decompress_frames_device(
+                frames[lo : lo + MAX_DEC_BATCH], max_rounds, mesh))
+        return out
     import jax.numpy as jnp
 
     from compress_tpu import zstd as Z
