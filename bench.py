@@ -100,9 +100,31 @@ def main():
     # If calib_matmul_ms is large, every number below understates the
     # design by the same factor.
     # watchdog: a dead tunnel hangs the FIRST device touch indefinitely
-    # (measured 2026-08-17: jax.devices() itself never returned); the
-    # round-end bench must never stall the driver, so give device init a
-    # hard deadline and fall back to host-only metrics past it.
+    # (measured 2026-08-17: jax.devices() itself never returned), and
+    # SIGALRM CANNOT interrupt it — the alarm fires but the interpreter
+    # never regains control from the blocked C call (measured: a bench
+    # run sat 25+ min past its 240 s alarm). The only reliable guard is
+    # an expendable SUBPROCESS probe with a hard timeout; the parent
+    # touches no device API until the probe succeeds.
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp, numpy as np, time\n"
+        "a = jnp.ones((256, 256), jnp.bfloat16)\n"
+        "np.asarray((a @ a).ravel()[0:1])\n"
+        "print('ALIVE')\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           capture_output=True, timeout=270, text=True)
+        tunnel_ok = "ALIVE" in (r.stdout or "")
+    except Exception:
+        tunnel_ok = False
+    if not tunnel_ok:
+        return _host_only_bench(big[: 2 << 20], 1e9)
+
+    # secondary in-process guard (can catch hangs between dispatches
+    # when the interpreter does regain control)
     import signal
 
     class _DeviceHang(Exception):
