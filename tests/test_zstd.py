@@ -268,3 +268,66 @@ def test_flate_long_literal_run_flush():
     ctr = np.arange(0, 1 << 19, dtype=np.uint32).byteswap().tobytes()
     out = flate.deflate(ctr, 1)
     assert stdzlib.decompress(out, -15) == ctr
+
+
+def test_header_inspector_golden():
+    """Reference golden parity: decode all 7,797 headers.zip entries and
+    compare field-for-field with headers-want.json.zst (the reference's
+    TestHeader_Decode corpus; entries absent from the golden map must
+    error here too)."""
+    import json
+    import zipfile
+
+    from compress_tpu.zstd.frame import FrameError, parse_frame_header
+
+    want_blob = (ZSTD_TESTDATA / "headers-want.json.zst").read_bytes()
+    golden = json.loads(Z.decompress(want_blob))
+    zf = zipfile.ZipFile(ZSTD_TESTDATA / "headers.zip")
+    n_ok = n_err = 0
+    for name in zf.namelist():
+        data = zf.read(name)
+        want = golden.get(name)
+        try:
+            h = parse_frame_header(data)
+        except (FrameError, Exception) as e:  # noqa: BLE001
+            assert want is None, (name, "unexpected error", e)
+            n_err += 1
+            continue
+        assert want is not None, (name, "expected error, got", h)
+        n_ok += 1
+        assert h.skippable == want["Skippable"], name
+        if h.skippable:
+            assert h.skippable_id == want["SkippableID"], name
+            assert h.skippable_size == want["SkippableSize"], name
+            assert h.header_size == want["HeaderSize"], name
+            continue
+        assert h.single_segment == want["SingleSegment"], name
+        # reference convention: WindowSize only set when not SingleSegment
+        # (ours carries FCS there for the decoder's allocation)
+        wsz = 0 if h.single_segment else h.window_size
+        assert wsz == want["WindowSize"], name
+        assert h.dict_id == want["DictionaryID"], name
+        assert h.has_checksum == want["HasCheckSum"], name
+        assert h.header_size == want["HeaderSize"], name
+        if want["HasFCS"]:
+            assert h.frame_content_size == want["FrameContentSize"], name
+        else:
+            assert h.frame_content_size is None, name
+        fb = want["FirstBlock"]
+        assert h.first_block_ok == fb["OK"], name
+        if fb["OK"]:
+            assert h.first_block_last == fb["Last"], name
+            # reference mapping (decodeheader.go:222-235): RLE counts as
+            # Compressed with CompressedSize 1
+            compressed = h.first_block_type in (1, 2)
+            assert compressed == fb["Compressed"], name
+            if h.first_block_type == 0:      # raw
+                dec = comp = h.first_block_size
+            elif h.first_block_type == 1:    # RLE
+                dec, comp = h.first_block_size, 1
+            else:                            # compressed
+                dec, comp = 0, h.first_block_size
+            assert dec == fb["DecompressedSize"], name
+            assert comp == fb["CompressedSize"], name
+    # every decodable golden entry must have been checked
+    assert n_ok == len(golden), (n_ok, len(golden), n_err)
