@@ -331,3 +331,46 @@ def test_header_inspector_golden():
             assert comp == fb["CompressedSize"], name
     # every decodable golden entry must have been checked
     assert n_ok == len(golden), (n_ok, len(golden), n_err)
+
+
+def test_encoder_crash_corpus():
+    """comp-crashers.zip: 1,657 inputs that crashed the reference's
+    encoder at some point. Every level must round-trip them (and libzstd
+    must accept the frames)."""
+    import zipfile
+
+    zf = zipfile.ZipFile(ZSTD_TESTDATA / "comp-crashers.zip")
+    dctx = zstandard.ZstdDecompressor()
+    for i, name in enumerate(zf.namelist()):
+        data = zf.read(name)
+        lvl = 1 + i % 4
+        frame = Z.compress(data, level=lvl)
+        assert Z.decompress(frame) == data, (name, lvl)
+        assert dctx.decompress(frame, max_output_size=len(data) + 64) \
+            == data, (name, lvl)
+
+
+def test_regression_corpus_roundtrip():
+    """regression.zip: the reference's mixed encode-regression corpus
+    (36 inputs up to ~1 MB) through levels 1-4 + streaming."""
+    import io
+    import zipfile
+
+    from compress_tpu.zstd import stream as ZS
+
+    zf = zipfile.ZipFile(ZSTD_TESTDATA / "regression.zip")
+    dctx = zstandard.ZstdDecompressor()
+    for i, name in enumerate(zf.namelist()):
+        data = zf.read(name)
+        lvl = 1 + i % 4
+        frame = Z.compress(data, level=lvl)
+        assert Z.decompress(frame) == data, (name, lvl)
+        assert dctx.decompress(frame, max_output_size=len(data) + 64) \
+            == data, (name, lvl)
+        if i % 6 == 0:
+            dst = io.BytesIO()
+            w = ZS.Writer(dst, level=lvl)
+            for lo in range(0, len(data), 99991):
+                w.write(data[lo : lo + 99991])
+            w.close()
+            assert Z.decompress(dst.getvalue()) == data, (name, "stream")
