@@ -252,16 +252,33 @@ __all__ = [
     "split_frames", "Header", "parse_frame_header",
     "ZstdError", "FrameError", "BlockError", "History",
     "SpeedFastest", "SpeedDefault", "SpeedBetter", "SpeedBest",
-    "MAX_DECODED_SIZE", "compress_accel",
+    "MAX_DECODED_SIZE", "compress_accel", "decompress_accel",
 ]
 
 
-def compress_accel(data, level: int = 1, max_rounds: int = 4) -> bytes:
+def compress_accel(data, level: int = 1, max_rounds: int = 4,
+                   multi_block: bool = False) -> bytes:
     """Encode with the device-decode accel sidecar prepended (r3;
-    zstd/accel.py). The result is a standard zstd stream."""
+    zstd/accel.py). The result is a standard zstd stream.
+    multi_block=True emits one frame of 64 KiB blocks with cross-block
+    matches (better ratio; carried-history device decode)."""
     from compress_tpu.zstd.accel import compress_accel as _ca
 
-    return _ca(data, level=level, max_rounds=max_rounds)
+    return _ca(data, level=level, max_rounds=max_rounds,
+               multi_block=multi_block)
+
+
+def decompress_accel(blob, mesh=None) -> bytes:
+    """Decode a compress_accel stream with the batched device decoder
+    (zero per-symbol host work for sidecar frames; host fallback
+    otherwise). mesh: optional 'data'-axis Mesh for multi-chip decode."""
+    from compress_tpu.zstd.accel import split_stream_accel
+    from compress_tpu.zstd.device_dec import decompress_frames_device
+
+    items = split_stream_accel(blob)
+    if not items:
+        return b""
+    return b"".join(decompress_frames_device(items, mesh=mesh))
 
 
 _simple_cache = {}
