@@ -31,11 +31,26 @@ def _sources() -> list[str]:
     )
 
 
+def _cpu_flags() -> list[str]:
+    """Feature flags for the BUILD machine (the .so is lazily compiled
+    where it runs, so -mbmi2 etc. are safe when /proc/cpuinfo shows
+    them; the reference gates the same paths via cpuinfo.HasBMI2)."""
+    flags = ["-msse4.2", "-mavx2"]
+    try:
+        feats = open("/proc/cpuinfo").read()
+        if " bmi2" in feats or "\tbmi2" in feats or "bmi2 " in feats:
+            flags += ["-mbmi", "-mbmi2", "-mlzcnt"]
+    except OSError:
+        pass
+    return flags
+
+
 def _source_hash() -> str:
     h = hashlib.sha256()
     for s in _sources():
         with open(s, "rb") as f:
             h.update(f.read())
+    h.update(" ".join(_cpu_flags()).encode())  # flags key the cache too
     return h.hexdigest()[:16]
 
 
@@ -50,7 +65,7 @@ def _build() -> str | None:
         return so_path
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-msse4.2", "-mavx2", "-fno-exceptions",
+        *_cpu_flags(), "-fno-exceptions",
         "-o", so_path + ".tmp", *_sources(),
     ]
     try:
