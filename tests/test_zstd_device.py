@@ -139,3 +139,40 @@ def test_device_level_ladder():
         sizes[lvl] = len(frame)
     assert sizes[2] < sizes[1]
     assert sizes[3] <= sizes[2] * 1.001 + 16
+
+
+def test_assemble_job_native_differential():
+    """ct_zstd_assemble_job must be byte-identical to the Python
+    assembly across edge shapes (RLE blocks, tiny/huge literal counts,
+    match-free and literal-free blocks)."""
+    import os
+
+    import numpy as np
+
+    if os.environ.get("COMPRESS_TPU_NONATIVE") == "1":
+        import pytest
+
+        pytest.skip("native-only differential")
+    from compress_tpu.ops import zdev
+    from compress_tpu.zstd import device as ZD
+
+    twain = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+                 "rb").read()
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+    shapes = [
+        (twain * 40)[: zdev.JOB],                      # text
+        noise[: zdev.JOB],                             # incompressible
+        (b"\x00" * 40000 + twain[:20000]) * 18,        # RLE blocks + text
+        (bytes(range(256)) * 4096)[: zdev.JOB],        # periodic
+        (twain[:100] * 11000)[: zdev.JOB],             # tiny period
+    ]
+    for si, data in enumerate(shapes):
+        data = data[: zdev.JOB].ljust(zdev.JOB, b"q")
+        jobs = np.frombuffer(data, np.uint8).reshape(1, -1)
+        t = zdev.zstd_encode_jobs(jobs, level=1 + si % 3)
+        t = {k: np.asarray(v) for k, v in t.items()}
+        py = ZD._assemble_job_py(data, t, 0, zdev.BLOCK)
+        nat = ZD._assemble_job_native(data, t, 0, zdev.BLOCK)
+        assert nat is not None
+        assert py == nat, f"shape {si}: native assembly differs"
