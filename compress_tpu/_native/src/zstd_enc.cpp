@@ -1599,10 +1599,15 @@ long long ct_zstd_assemble_job(
       if (tl > 0) {
         const int32_t* sb_ = stream_bits + (long long)b * 4;
         long long sbytes[4], shalves[4];
+        int sb_ok = 1;
         for (int q = 0; q < 4; q++) {
+          // negative/garbage device values (a degraded chip is a
+          // documented real occurrence) would index o[] negatively
+          if (sb_[q] < 0 || sb_[q] > (1 << 22)) sb_ok = 0;
           sbytes[q] = (sb_[q] + 1 + 7) / 8;
           shalves[q] = (sb_[q] + 16) >> 4;
         }
+        if (!sb_ok) { ret = -1; break; }
         long long sbase[4] = {shalves[1] + shalves[2] + shalves[3],
                               shalves[2] + shalves[3], shalves[3], 0};
         long long body = tl + 6 + sbytes[0] + sbytes[1] + sbytes[2] +
@@ -1653,6 +1658,7 @@ long long ct_zstd_assemble_job(
     uint8_t rep_mode = (uint8_t)((3 << 6) | (3 << 4) | (3 << 2));
     long long seq_bytes = 0;
     if (ns > 0) {
+      if (seq_total_bits[b] < 0) { ret = -1; break; }
       seq_bytes = (seq_total_bits[b] + 1 + 7) / 8;
       if ((seq_bytes + 1) / 2 > sh_stride) { ret = -1; break; }
       if (!tables_written) {

@@ -38,6 +38,28 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+def put_sharded(mesh, arr, axis: int):
+    """Pad `axis` to a multiple of the mesh size and place the array
+    sharded over it ('data' axis). mesh=None -> plain device array.
+    Padding rows are no-ops by construction (zero lengths / zero symbol
+    counts), so the kernels ignore them and callers slice by the
+    original batch size."""
+    if mesh is None:
+        return jnp.asarray(arr)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    nd = int(mesh.devices.size)
+    arr = np.asarray(arr)
+    pad = (-arr.shape[axis]) % nd
+    if pad:
+        widths = [(0, 0)] * arr.ndim
+        widths[axis] = (0, pad)
+        arr = np.pad(arr, widths)
+    spec = [None] * arr.ndim
+    spec[axis] = "data"
+    return jax.device_put(arr, NamedSharding(mesh, PartitionSpec(*spec)))
+
+
 ARENA_ROWS = 1024      # 512 literal rows + 512 output rows
 OUT_BASE = 512 * 128   # arena byte where output begins
 HIST_BASE = ARENA_ROWS * 128  # history address space (multi-block frames)

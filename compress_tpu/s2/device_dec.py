@@ -99,7 +99,7 @@ def decode_blocks_device(blocks, *, allow_repeat: bool = True,
         lit_rows.append(arr.reshape(512, 128))
         order.append((i, total))
     if plans:
-        from compress_tpu.zstd.device_dec import _put_sharded
+        from compress_tpu.ops.execute import put_sharded as _put_sharded
 
         src, dst, length, caps = X.pack_plans(plans)
         out = X.execute_rounds_jit(

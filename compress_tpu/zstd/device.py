@@ -101,12 +101,14 @@ def _first_seq_hdr(t, j) -> bytes:
     modes = []
     extras = []
     for k in range(3):
-        if bool(fse_rle[k]):
+        norm = fse_norm[k].astype(np.int64)
+        nz = np.nonzero(norm)[0]
+        if bool(fse_rle[k]) or nz.size == 0:
+            # all-zero norm only happens when NO block in the job has
+            # sequences — the header is never consumed, but must not crash
             modes.append(1)
             extras.append(bytes([int(fse_rle_sym[k])]))
         else:
-            norm = fse_norm[k].astype(np.int64)
-            nz = np.nonzero(norm)[0]
             modes.append(2)
             extras.append(
                 fse_core.write_ncount(norm[: nz[-1] + 1], int(fse_log[k])))
@@ -167,17 +169,18 @@ def _assemble_job_native(job_bytes: bytes, t, j: int, block: int):
         ll_p, ml_p, ll_a.shape[-1], hdr, len(hdr), out, cap, blk_len)
     if r < 0:
         return None
-    res = []
+    raw = out.raw[:r]  # ONE copy; per-block .raw slices would memcpy the
+    res = []           # whole cap buffer per block (r3 review)
     pos = 0
     for b in range(nblk):
         bl = blk_len[b]
         if bl == -1:
             res.append(None)
         elif bl == -2:
-            res.append(("rle", out.raw[pos : pos + 1]))
+            res.append(("rle", raw[pos : pos + 1]))
             pos += 1
         else:
-            res.append(out.raw[pos : pos + bl])
+            res.append(raw[pos : pos + bl])
             pos += bl
     return res
 
@@ -219,25 +222,9 @@ def _assemble_job_py(job_bytes: bytes, t, j: int, block: int):
         return table_cache[key]
 
     # per-job FSE sequence tables: first seq-block carries them (FSE or RLE
-    # mode per table), later seq-blocks use Repeat_Mode
-    from compress_tpu.fse import core as fse_core
-
-    fse_norm = np.asarray(t["fse_norm"][j])
-    fse_log = np.asarray(t["fse_log"][j])
-    fse_rle = np.asarray(t["fse_rle"][j])
-    fse_rle_sym = np.asarray(t["fse_rle_sym"][j])
-    first_modes = []
-    first_extras = []
-    for k in range(3):
-        if bool(fse_rle[k]):
-            first_modes.append(1)
-            first_extras.append(bytes([int(fse_rle_sym[k])]))
-        else:
-            norm = fse_norm[k].astype(np.int64)
-            nz = np.nonzero(norm)[0]
-            first_modes.append(2)
-            first_extras.append(
-                fse_core.write_ncount(norm[: nz[-1] + 1], int(fse_log[k])))
+    # mode per table), later seq-blocks use Repeat_Mode (shared with the
+    # native wrapper: ONE serialization of the first-block header)
+    first_hdr = _first_seq_hdr(t, j)
     tables_written = False
 
     out = []
@@ -289,8 +276,7 @@ def _assemble_job_py(job_bytes: bytes, t, j: int, block: int):
             sbytes = bytearray(seq_halves[b].astype(np.uint16).tobytes()[:sb])
             sbytes[tb >> 3] |= 1 << (tb & 7)
             if not tables_written:
-                m = (first_modes[0] << 6) | (first_modes[1] << 4) | (first_modes[2] << 2)
-                seq_sec += bytes([m]) + b"".join(first_extras)
+                seq_sec += first_hdr
             else:
                 seq_sec += bytes([(3 << 6) | (3 << 4) | (3 << 2)])
             seq_sec += bytes(sbytes)

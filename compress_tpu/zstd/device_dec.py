@@ -35,30 +35,7 @@ MAX_DEC_BATCH = 512  # frames per device dispatch: (512, 1024, 128) f32
 #                      arenas = 256 MiB; larger batches chunk
 
 
-def _put_sharded(mesh, arr, axis: int):
-    """Pad `axis` to a multiple of the mesh size and place the array
-    sharded over it ('data' axis). mesh=None -> plain device array.
-    Padding rows are no-ops by construction (zero lengths / zero symbol
-    counts), so the kernels ignore them and callers slice by the
-    original batch size."""
-    import jax
-    import jax.numpy as jnp
-
-    if mesh is None:
-        return jnp.asarray(arr)
-    from jax.sharding import NamedSharding, PartitionSpec
-
-    nd = int(mesh.devices.size)
-    arr = np.asarray(arr)
-    pad = (-arr.shape[axis]) % nd
-    if pad:
-        widths = [(0, 0)] * arr.ndim
-        widths[axis] = (0, pad)
-        arr = np.pad(arr, widths)
-    spec = [None] * arr.ndim
-    spec[axis] = "data"
-    return jax.device_put(arr, NamedSharding(mesh, PartitionSpec(*spec)))
-
+from compress_tpu.ops.execute import put_sharded as _put_sharded
 
 def _only_trailing_skippables(frame: bytes, end: int):
     """True when frame[end:] is empty or only skippable frames — the item
@@ -152,6 +129,8 @@ def _parse_4x_literals(body: bytes):
         regen = (v >> 4) & 0x3FFFF
         comp = v >> 22
         pos = 5
+    if regen < 6:
+        return None  # 4-stream needs 4 non-degenerate segments
     sec = body[pos : pos + comp]
     sym_t, nb_t, max_bits, tpos = huff0.read_table(sec, 0)
     sizes = [int.from_bytes(sec[tpos + 2 * k : tpos + 2 * k + 2], "little")
@@ -208,7 +187,10 @@ def _parse_literals_any(body: bytes, prev_table=None):
             return None
         if n_streams == 1:
             return 3, regen, [regen], [sec], prev_table, pos + comp
-        if comp < 6:
+        # 4-stream sections need regen >= 6 (RFC 8878 jump table + four
+        # non-degenerate segments); regen < 6 would make the 4th segment
+        # length negative and silently corrupt output (r3 review)
+        if comp < 6 or regen < 6:
             return None
         sizes = [int.from_bytes(sec[2 * k : 2 * k + 2], "little")
                  for k in range(3)]
@@ -602,11 +584,16 @@ def decompress_frames_device(frames, max_rounds: int = 4, mesh=None):
                 lit_kb.reshape(K, Bn, 512, 128), hsrc, hdst, hlen, src, dst,
                 length, advance, caps, hb * 512)
             outs = np.asarray(outs, np.float32).reshape(K, Bn, -1)
-        except ValueError:
+        except ValueError as e:
             # hostile/inconsistent sidecar plans (e.g. a history piece
-            # tagged round > 0): host-decode this group, keep the batch
+            # tagged round > 0): host-decode this group, keep the batch.
+            # Logged loudly — accel_plan already validated the common
+            # hostile cases, so reaching here usually means a packing or
+            # kernel regression silently degrading to host decode.
             from compress_tpu import zstd as Zm
+            from compress_tpu.utils.debuglog import dbg
 
+            dbg("device_dec", "multi-block group fell back to host:", e)
             for i, _p, _l in group:
                 results[i] = Zm.decompress(metas[i][1][1])
             continue
