@@ -20,6 +20,32 @@ import time
 import numpy as np
 
 
+def _benchdec_corpus_gbps() -> float:
+    """Decode the reference's own benchdecoder.zip corpus (the frames
+    behind its DecodeAll rows: kppkn/geo.protodata/plrabn12/html_x_4/...)
+    with the host decoder; returns aggregate GB/s of DECOMPRESSED bytes
+    (best of 5), or -1."""
+    try:
+        import zipfile
+
+        from compress_tpu import zstd as z2
+
+        zf = zipfile.ZipFile(
+            "/root/reference/zstd/testdata/benchdecoder.zip")
+        frames = [zf.read(n) for n in zf.namelist()]
+        outs = [z2.decompress(f) for f in frames]
+        total = sum(len(o) for o in outs)
+        best = 0.0
+        for _ in range(5):
+            t = time.time()
+            for f in frames:
+                z2.decompress(f)
+            best = max(best, total / (time.time() - t))
+        return best / 1e9
+    except Exception:
+        return -1.0
+
+
 def _host_only_bench(big: bytes, calib_ms: float) -> int:
     """Degraded-chip fallback: host-core numbers only, clearly marked."""
     host_dec_gbps = -1.0
@@ -68,6 +94,7 @@ def _host_only_bench(big: bytes, calib_ms: float) -> int:
                           "be meaningless; host-core metrics only",
         "calib_matmul_ms": round(calib_ms, 3),
         "zstd_decode_host_gbps": round(host_dec_gbps, 5),
+        "zstd_decode_benchcorpus_gbps": round(_benchdec_corpus_gbps(), 5),
         "zstd_l1_encode_host_mbps": round(z_enc_mbps, 2),
         "flate_l1_mbps": round(flate_l1_mbps, 2),
         "n_bytes": len(big),
@@ -328,6 +355,7 @@ def main():
         "zstd_device_e2e_gbps": round(z_e2e_gbps, 5),
         "huff0_decode_device_gbps": round(hdec_gbps, 5),
         "zstd_decode_host_gbps": round(host_dec_gbps, 5),
+        "zstd_decode_benchcorpus_gbps": round(_benchdec_corpus_gbps(), 5),
         "zstd_decode_device_accel_gbps": round(dev_dec_gbps, 5),
         "zstd_decode_device_mb_gbps": round(mb_dec_gbps, 5),
         "flate_l1_mbps": round(flate_l1_mbps, 2),
