@@ -581,9 +581,12 @@ def decompress_frames_device(frames, max_rounds: int = 4, mesh=None):
                 for k, lits in enumerate(lits_k):
                     lit_kb[k, b, : len(lits)] = np.frombuffer(lits, np.uint8)
             outs = X.execute_blocks_hist_jit(
-                lit_kb.reshape(K, Bn, 512, 128), hsrc, hdst, hlen, src, dst,
-                length, advance, caps, hb * 512)
-            outs = np.asarray(outs, np.float32).reshape(K, Bn, -1)
+                _put_sharded(mesh, lit_kb.reshape(K, Bn, 512, 128), 1),
+                _put_sharded(mesh, hsrc, 2), _put_sharded(mesh, hdst, 2),
+                _put_sharded(mesh, hlen, 2), _put_sharded(mesh, src, 2),
+                _put_sharded(mesh, dst, 2), _put_sharded(mesh, length, 2),
+                _put_sharded(mesh, advance, 1), caps, hb * 512)
+            outs = np.asarray(outs, np.float32).reshape(K, -1, 512 * 128)
         except ValueError as e:
             # hostile/inconsistent sidecar plans (e.g. a history piece
             # tagged round > 0): host-decode this group, keep the batch.

@@ -130,3 +130,23 @@ def test_zstd_decode_sharded_roundtrip():
             items.append(A.compress_accel(s, level=1 + i % 2))
     mesh = block_mesh()
     assert zstd_decode_sharded(items, mesh) == srcs
+
+
+def test_zstd_decode_sharded_multi_block():
+    """Multi-block (carried-history scan) frames also shard over the
+    mesh, with batch padding."""
+    from compress_tpu.parallel import block_mesh, zstd_decode_sharded
+    from compress_tpu.zstd import accel as A
+
+    twain = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+                 "rb").read()
+    srcs = [(twain[i * 9000 :] * 4)[:140_000] for i in range(3)]
+    items = [it for s in srcs
+             for it in A.split_stream_accel(
+                 A.compress_accel(s, multi_block=True))]
+    if len(items) != 3 or any(
+            A.split_sidecar(it)[0] is None for it in items):
+        import pytest
+
+        pytest.skip("sidecar builder unavailable (NONATIVE)")
+    assert zstd_decode_sharded(items, block_mesh()) == srcs
