@@ -59,3 +59,46 @@ def test_decode_blocks_device_sharded():
     blocks = [s2.encode(x) for x in srcs]
     out = decode_blocks_device(blocks, mesh=block_mesh())
     assert out == srcs
+
+
+def test_s2_device_decode_hostile_inputs():
+    """Corrupt/truncated s2 blocks must never crash or mis-decode: the
+    device path either produces the same result as the host decoder or
+    both reject."""
+    import numpy as np
+
+    from compress_tpu import s2
+    from compress_tpu.s2.device_dec import decode_blocks_device
+
+    twain = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+                 "rb").read()
+    base = s2.encode(twain[:8000])
+    rng = np.random.default_rng(4)
+    for _ in range(48):
+        b = bytearray(base)
+        k = int(rng.integers(0, len(b)))
+        b[k] ^= 1 + int(rng.integers(0, 255))
+        blk = bytes(b)
+        try:
+            want = s2.decode(blk)
+        except Exception:  # noqa: BLE001
+            want = None
+        try:
+            got = decode_blocks_device([blk])[0]
+        except Exception:  # noqa: BLE001
+            got = None
+        # a flipped bit may corrupt silently (s2 blocks carry no
+        # checksum) — but device and host must AGREE
+        assert got == want, (k, "device/host divergence")
+    # truncations
+    for cut in (1, 3, 7, len(base) // 2):
+        blk = base[:-cut]
+        try:
+            want = s2.decode(blk)
+        except Exception:  # noqa: BLE001
+            want = None
+        try:
+            got = decode_blocks_device([blk])[0]
+        except Exception:  # noqa: BLE001
+            got = None
+        assert got == want, (cut, "device/host divergence on truncation")
