@@ -374,3 +374,12 @@ def test_regression_corpus_roundtrip():
                 w.write(data[lo : lo + 99991])
             w.close()
             assert Z.decompress(dst.getvalue()) == data, (name, "stream")
+
+
+def test_large_zip_decode_parity():
+    """large.zip (reference decoder corpus): 10 MiB RLE-heavy frames."""
+    import zipfile
+
+    zf = zipfile.ZipFile(ZSTD_TESTDATA / "large.zip")
+    for name in ("Zeros-100KiB", "Zeros-10MiB"):
+        assert Z.decompress(zf.read(name + ".zst")) == zf.read(name)
