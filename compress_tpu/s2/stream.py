@@ -162,6 +162,17 @@ class Writer:
         self._drain()
         self._write_header()
 
+    def read_from(self, src, chunk: int = DEFAULT_BLOCK_SIZE) -> int:
+        """Compress everything from a file-like source (reference:
+        Writer.ReadFrom — io.ReaderFrom); returns bytes consumed."""
+        total = 0
+        while True:
+            data = src.read(chunk)
+            if not data:
+                return total
+            self.write(data)
+            total += len(data)
+
     def async_flush(self):
         """Reference: Writer.AsyncFlush — hand buffered data to the
         worker pool and return without waiting for the encodes; a later
