@@ -992,6 +992,8 @@ long long ct_zstd_decode_block(void* sp, const uint8_t* src, long long n,
   long long r = decode_block_core(s, src, n, s->arena + s->apos, s->apos);
   if (r < 0) return r;
   if (r > cap) return E_CORRUPT;
+  // RFC 8878 Block_Maximum_Size = min(Window_Size, 128 KB)
+  if (s->window > 0 && r > s->window && r > 1024) return E_CORRUPT;
   memcpy(dst, s->arena + s->apos, r);
   s->apos += r;
   return r;
@@ -1829,9 +1831,14 @@ done:
 // at the first block header and must have 16 readable slack bytes past n;
 // dst must have cap writable bytes. Returns decoded size (consumed bytes
 // via *consumed) or E_CORRUPT / E_SPACE.
+// block_max: RFC 8878 Block_Maximum_Size = min(Window_Size, 128 KB);
+// oversized blocks are corruption (libzstd agrees; found by the
+// reference's decode fuzz corpus). <= 0 means "no window cap" (the
+// caller keeps old behaviour).
 long long ct_zstd_decode_frame(const uint8_t* src, long long n,
                                uint8_t* dst, long long cap,
-                               long long* consumed) {
+                               long long* consumed, long long block_max) {
+  if (block_max <= 0 || block_max > (1 << 17)) block_max = 1 << 17;
   ZState* s = (ZState*)calloc(1, sizeof(ZState));
   if (!s) return E_CORRUPT;
   s->rep[0] = 1;
@@ -1852,13 +1859,13 @@ long long ct_zstd_decode_frame(const uint8_t* src, long long n,
     int btype = (bh >> 1) & 3;
     long long bsize = bh >> 3;
     if (btype == 0) {
-      if (pos + bsize > n) goto done;
+      if (pos + bsize > n || bsize > block_max) goto done;
       if (apos + bsize > cap) { ret = E_SPACE; goto done; }
       memcpy(dst + apos, src + pos, bsize);
       apos += bsize;
       pos += bsize;
     } else if (btype == 1) {
-      if (pos >= n || bsize > (1 << 17)) goto done;
+      if (pos >= n || bsize > block_max) goto done;
       if (apos + bsize > cap) { ret = E_SPACE; goto done; }
       memset(dst + apos, src[pos], bsize);
       apos += bsize;
@@ -1867,7 +1874,7 @@ long long ct_zstd_decode_frame(const uint8_t* src, long long n,
       if (bsize > (1 << 17) || pos + bsize > n) goto done;
       if (apos + (1 << 17) + 64 > cap) { ret = E_SPACE; goto done; }
       long long r = decode_block_core(s, src + pos, bsize, dst + apos, apos);
-      if (r < 0) goto done;
+      if (r < 0 || r > block_max) goto done;
       apos += r;
       pos += bsize;
     } else {

@@ -144,6 +144,11 @@ def decompress(data, max_size: int = MAX_DECODED_SIZE,
                 pos += bsize
             else:
                 raise ZstdError("reserved block type")
+            # RFC 8878 Block_Maximum_Size = min(Window_Size, 128 KB):
+            # libzstd rejects oversized blocks (found by the reference's
+            # decode fuzz corpus — we were lenient here)
+            if len(out) > max_out:
+                raise ZstdError("block exceeds window maximum")
             hist.append(out)
             frame_out += out
             if len(out_all) + len(frame_out) > max_size:

@@ -45,7 +45,7 @@ def _lib():
             lib.ct_zstd_decode_frame.argtypes = [
                 ctypes.c_char_p, ctypes.c_longlong,
                 ctypes.c_char_p, ctypes.c_longlong,
-                ctypes.POINTER(ctypes.c_longlong)]
+                ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong]
         _proto_done = True
     return lib
 
@@ -79,7 +79,7 @@ def decode_frame_body(data: bytes, pos: int, window_size: int,
             r = lib.ct_zstd_decode_frame(
                 body, len(body) - 16,
                 dst.ctypes.data_as(ctypes.c_char_p), cap,
-                ctypes.byref(consumed))
+                ctypes.byref(consumed), int(window_size))
             if r == -3:  # E_SPACE
                 if expected is not None:
                     # the header declared a content size and the blocks
