@@ -115,3 +115,39 @@ def test_fse_fuzz_compress_corpus():
             assert fse.decompress(blob) == raw, name
             n += 1
     assert n > 10
+
+
+def test_lz4_block_fuzz_convert():
+    """s2 FuzzLZ4Block corpus: hostile LZ4 blocks through the LZ4->S2
+    converter — typed errors only; successful conversions must decode."""
+    from compress_tpu import s2
+    from compress_tpu.s2 import lz4convert
+
+    n_ok = 0
+    for name, raw in _entries(REF / "s2/testdata/fuzz/FuzzLZ4Block.zip"):
+        try:
+            blob = lz4convert.convert_block(raw)
+        except Exception as e:  # noqa: BLE001
+            assert isinstance(e, (ValueError, IndexError)), (name, type(e))
+            continue
+        s2.decode(blob)  # must be a valid s2 block
+        n_ok += 1
+
+
+def test_flate_encode_raw_corpus():
+    """flate encode-raw-corpus: 1,995 raw fuzz inputs (sampled) through
+    deflate, stdlib-verified."""
+    import zlib as stdzlib
+
+    from compress_tpu import flate
+
+    n = 0
+    for i, (name, raw) in enumerate(
+            _entries(REF / "flate/testdata/fuzz/encode-raw-corpus.zip")):
+        if i % 5:
+            continue
+        lvl = (1, 4, 6, 9)[i % 4]
+        f = flate.deflate(raw, lvl)
+        assert stdzlib.decompress(f, -15) == raw, (name, lvl)
+        n += 1
+    assert n > 300
