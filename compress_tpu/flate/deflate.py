@@ -202,9 +202,9 @@ def _native_deflate(data: bytes, level: int = 6):
                                    ctypes.c_char_p, ctypes.c_longlong]
         lib._fl_proto = True
     cap = len(data) + len(data) // 8 + 2048
-    dst = ctypes.create_string_buffer(cap)
+    arr, dst = _native.out_buf(cap)
     r = lib.ct_deflate_level(data, len(data), dst, cap, level)
-    return dst.raw[:r] if r >= 0 else None
+    return arr[:r].tobytes() if r >= 0 else None
 
 
 def native_inflate(data: bytes, max_size: int):
@@ -223,10 +223,10 @@ def native_inflate(data: bytes, max_size: int):
     _native_deflate(b"")  # ensure prototypes registered
     cap = min(max_size, max(1 << 20, len(data) * 40))
     while True:
-        dst = ctypes.create_string_buffer(cap)
+        arr, dst = _native.out_buf(cap)
         r = lib.ct_inflate(data + b"\x00" * 8, len(data), dst, cap)
         if r >= 0:
-            return dst.raw[:r]
+            return arr[:r].tobytes()
         if r == -2 and cap < max_size:
             cap = min(max_size, cap * 8)  # output-capacity fail: retry bigger
             continue
@@ -360,12 +360,12 @@ class Writer:
                     ctypes.c_int]
                 lib._dblk_proto = True
             cap = len(chunk) + len(chunk) // 8 + 4096
-            dstb = ctypes.create_string_buffer(cap)
+            arr, dstb = _native.out_buf(cap)
             r = lib.ct_deflate_blocks(seg, len(seg), start, dstb, cap,
                                       self.level, 1 if last else 0)
             if r >= 0:
                 self._tail = seg[-MAX_OFFSET:]
-                return dstb.raw[:r]
+                return arr[:r].tobytes()
         # python path: token blocks per chunk (no cross-chunk window;
         # ratio dips slightly at boundaries) + sync-flush tail. Also
         # serves levels 0 (stored) and -2 (huffman-only).

@@ -94,6 +94,23 @@ def build_nbits(hist: np.ndarray, table_log: int = MAX_TABLELOG) -> tuple[np.nda
     return nbits, int(nbits.max())
 
 
+def estimate_size(hist, nbits) -> int:
+    """Bytes needed to encode a histogram's worth of symbols with the
+    given per-symbol code lengths, excluding the table header (reference:
+    Scratch.EstimateSize, huff0/huff0.go:101). Pair with
+    len(write_table(...)) for the full cost."""
+    h = np.asarray(hist, np.int64)
+    nb = np.asarray(nbits, np.int64)
+    return int((h * nb).sum() + 7) >> 3
+
+
+def append_table(dst: bytes, nbits: np.ndarray, max_bits: int) -> bytes:
+    """Append the serialized table header to dst (reference:
+    cTable.AppendTable role, huff0/huff0.go:141) — the table can then be
+    fed back through read_table for reuse."""
+    return bytes(dst) + write_table(nbits, max_bits)
+
+
 # ---------------------------------------------------------------------------
 # Weights <-> canonical codes
 # ---------------------------------------------------------------------------

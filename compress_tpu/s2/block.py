@@ -362,7 +362,9 @@ def _decode_block_py(dst_len: int, src: bytes, mode: int) -> bytes:
 def _encode_body(src: bytes, mode: int, level: int = 1) -> bytes:
     lib = _native_lib()
     if lib is not None:
-        dst = ctypes.create_string_buffer(max_encoded_len(len(src)))
+        from compress_tpu import _native
+
+        arr, dst = _native.out_buf(max_encoded_len(len(src)))
         if level <= 1:
             m = lib.ct_s2_encode_block(dst, bytes(src), len(src), mode)
         else:
@@ -370,7 +372,7 @@ def _encode_body(src: bytes, mode: int, level: int = 1) -> bytes:
                                              level)
         if m < 0:
             raise MemoryError("native s2 encode failed")
-        return dst.raw[:m]
+        return arr[:m].tobytes()
     # pure-Python fallback implements the fast tier only; output is valid
     # S2/snappy at every level, just without the deeper search
     return _encode_block_py(bytes(src), mode)
@@ -435,11 +437,20 @@ def decode(block, *, allow_repeat: bool = True) -> bytes:
     mode = _MODE_S2 if allow_repeat else _MODE_SNAPPY
     lib = _native_lib()
     if lib is not None:
-        dst = ctypes.create_string_buffer(dlen) if dlen else b""
-        rc = lib.ct_s2_decode_block(dst, dlen, body, len(body), 1 if allow_repeat else 0)
+        if not dlen:
+            rc = lib.ct_s2_decode_block(b"", 0, body, len(body),
+                                        1 if allow_repeat else 0)
+            if rc != 0:
+                raise CorruptError("corrupt block")
+            return b""
+        from compress_tpu import _native
+
+        arr, dst = _native.out_buf(dlen)
+        rc = lib.ct_s2_decode_block(dst, dlen, body, len(body),
+                                    1 if allow_repeat else 0)
         if rc != 0:
             raise CorruptError("corrupt block")
-        return dst.raw[:dlen] if dlen else b""
+        return arr.tobytes()
     return _decode_block_py(dlen, body, mode)
 
 

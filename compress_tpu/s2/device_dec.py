@@ -78,13 +78,15 @@ def decode_blocks_device(blocks, *, allow_repeat: bool = True,
             dlen, pos = read_uvarint(blk)
             body = blk[pos:]
             if 0 < dlen <= (1 << 16):
+                from compress_tpu import _native
+
                 cap = 8 + dlen + 6 * (4 * dlen + 2048) + 64
-                out = ctypes.create_string_buffer(cap)
+                oarr, out = _native.out_buf(cap)
                 r = lib.ct_s2_build_plan(body, len(body), dlen,
                                          1 if allow_repeat else 0,
                                          int(max_rounds), out, cap)
                 if r > 0:
-                    payload = out.raw[:r]
+                    payload = oarr[:r].tobytes()
         if payload is None:
             results[i] = B.decode(blk, allow_repeat=allow_repeat)
             continue

@@ -258,6 +258,7 @@ __all__ = [
     "ZstdError", "FrameError", "BlockError", "History",
     "SpeedFastest", "SpeedDefault", "SpeedBetter", "SpeedBest",
     "MAX_DECODED_SIZE", "compress_accel", "decompress_accel",
+    "max_encoded_size", "encode_to", "decode_to",
 ]
 
 
@@ -302,3 +303,14 @@ def decode_to(dst, src, max_size: int = MAX_DECODED_SIZE) -> bytes:
     out = (bytearray(dst) if dst is not None else bytearray())
     out += decompress(src, max_size=max_size)
     return bytes(out)
+
+
+def max_encoded_size(n: int) -> int:
+    """Worst-case one-frame output size for an n-byte input (reference:
+    Encoder.MaxEncodedSize, zstd/encoder.go:843). Bound: frame header
+    (magic 4 + FHD 1 + window 1 + FCS <= 8) + ceil(n / 128 KiB) raw
+    blocks with 3-byte headers (>= 1 block) + 4-byte checksum."""
+    if n < 0:
+        raise ValueError("negative size")
+    blocks = max((n + (1 << 17) - 1) >> 17, 1)
+    return n + 14 + 3 * blocks + 4

@@ -35,6 +35,7 @@ import ctypes
 
 import numpy as np
 
+from compress_tpu import _native
 from compress_tpu.zstd import frame as F
 
 SKIP_MAGIC = 0x184D2A50  # first of the 16 skippable magics; ours uses +0xA
@@ -72,18 +73,18 @@ def build_sidecar(frame: bytes, max_rounds: int = 4,
     h = F.parse_frame_header(frame)
     body = frame[h.header_size :] + b"\x00" * 16
     cap = 16 * len(frame) + (1 << 16)
-    out = ctypes.create_string_buffer(cap)
+    oarr, out = _native.out_buf(cap)
     opts = 1 if seq_cks else 0
     r = lib.ct_zstd_build_sidecar(body, len(body) - 16, int(max_rounds),
                                   opts, int(hist_blocks), out, cap)
     while r == -3:  # E_SPACE
         cap *= 4
-        out = ctypes.create_string_buffer(cap)
+        oarr, out = _native.out_buf(cap)
         r = lib.ct_zstd_build_sidecar(body, len(body) - 16, int(max_rounds),
                                       opts, int(hist_blocks), out, cap)
     if r <= 0:
         return None
-    payload = out.raw[:r]
+    payload = oarr[:r].tobytes()
     if not (payload[8] & 1):  # first block's flags: not eligible
         return None
     # the sidecar pays format bytes for decode parallelism; s2-compress
@@ -127,13 +128,13 @@ def _compress_frame_bs(data: bytes, level: int, block_log: int,
             ctypes.c_int, ctypes.c_int, ctypes.c_longlong]
         lib._accel_fbs = True
     cap = len(data) + len(data) // 2 + (1 << 16)
-    out = ctypes.create_string_buffer(cap)
+    oarr, out = _native.out_buf(cap)
     r = lib.ct_zstd_compress_frame_bs(data, len(data), out, cap, 0, 0,
                                       int(level), int(block_log),
                                       int(max_window))
     if r <= 0:
         return None
-    return out.raw[:r]
+    return oarr[:r].tobytes()
 
 
 def compress_accel(data, level: int = 1, max_rounds: int = 4,

@@ -160,7 +160,7 @@ def _assemble_job_native(job_bytes: bytes, t, j: int, block: int):
     ml_a, ml_p = i32(t["ml"][j])
     hdr = _first_seq_hdr(t, j)
     cap = len(job_bytes) + nblk * 64 + (1 << 16)
-    out = ctypes.create_string_buffer(cap)
+    oarr, out = _native.out_buf(cap)
     blk_len = (ctypes.c_longlong * nblk)()
     r = lib.ct_zstd_assemble_job(
         job_bytes, len(job_bytes), int(block), int(nblk),
@@ -169,8 +169,8 @@ def _assemble_job_native(job_bytes: bytes, t, j: int, block: int):
         ll_p, ml_p, ll_a.shape[-1], hdr, len(hdr), out, cap, blk_len)
     if r < 0:
         return None
-    raw = out.raw[:r]  # ONE copy; per-block .raw slices would memcpy the
-    res = []           # whole cap buffer per block (r3 review)
+    raw = oarr[:r].tobytes()  # ONE copy of the used prefix only
+    res = []
     pos = 0
     for b in range(nblk):
         bl = blk_len[b]

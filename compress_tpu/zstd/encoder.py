@@ -362,13 +362,13 @@ def _native_compress(data: bytes, checksum: bool, level: int = 1):
             ctypes.c_int]
         lib._zenc_proto = True
     cap = len(data) + len(data) // 8 + 256
-    dst = ctypes.create_string_buffer(cap)
+    arr, dst = _native.out_buf(cap)
     xx = (xxh64(data) & 0xFFFFFFFF) if checksum else 0
     r = lib.ct_zstd_compress_level(data, len(data), dst, cap,
                                    1 if checksum else 0, xx, level)
     if r < 0:
         return None
-    return dst.raw[:r]
+    return arr[:r].tobytes()
 
 
 def _native_compress_dict(data: bytes, checksum: bool, level: int, dict_):
@@ -386,7 +386,7 @@ def _native_compress_dict(data: bytes, checksum: bool, level: int, dict_):
     n = len(data)
     seg = content + data
     cap = n + n // 8 + 4096
-    dst = ctypes.create_string_buffer(cap)
+    arr, dst = _native.out_buf(cap)
     r = lib.ct_zstd_compress_blocks_level(seg, len(seg), len(content),
                                           dst, cap, level)
     if r < 0:
@@ -394,7 +394,7 @@ def _native_compress_dict(data: bytes, checksum: bool, level: int, dict_):
     window = max(n + len(content), 1024)
     out = bytearray(F.write_frame_header(n, window, False, checksum,
                                          dict_id=dict_.id))
-    out += dst.raw[:r]
+    out += arr[:r].tobytes()
     out += (1).to_bytes(3, "little")  # empty raw last block carries `last`
     if checksum:
         out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
@@ -445,12 +445,12 @@ def _native_compress_windowed(data: bytes, checksum: bool, level: int,
         p = max(0, pos - overlap)
         seg = data[p:hi]
         cap = (hi - pos) + (hi - pos) // 8 + 4096
-        dst = ctypes.create_string_buffer(cap)
+        arr, dst = _native.out_buf(cap)
         r = lib.ct_zstd_compress_blocks_level(seg, len(seg), pos - p, dst,
                                               cap, level)
         if r < 0:
             return None
-        out += dst.raw[:r]
+        out += arr[:r].tobytes()
         pos = hi
     out += (1).to_bytes(3, "little")  # empty raw last block carries `last`
     if checksum:
@@ -606,12 +606,12 @@ def compress_concurrent(data, workers: int = 4, job_size: int | None = None,
         p = max(0, lo - pre)
         seg = data[p:hi]
         cap = (hi - lo) + (hi - lo) // 8 + 4096
-        dst = ctypes.create_string_buffer(cap)
+        arr, dst = _native.out_buf(cap)
         r = lib.ct_zstd_compress_blocks_level(seg, len(seg), lo - p, dst,
                                               cap, level)
         if r < 0:
             raise RuntimeError("native job encode failed")
-        return dst.raw[:r]
+        return arr[:r].tobytes()
 
     with ThreadPoolExecutor(max_workers=workers) as ex:
         parts = list(ex.map(job, bounds))

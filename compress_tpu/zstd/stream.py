@@ -149,11 +149,11 @@ class Writer:
         if lib is not None:
             n = len(seg) - plen
             cap = n + n // 8 + 4096
-            dstb = ctypes.create_string_buffer(cap)
+            arr, dstb = _native.out_buf(cap)
             r = lib.ct_zstd_compress_blocks_level(seg, len(seg), plen, dstb,
                                                   cap, level)
             if r >= 0:
-                return dstb.raw[:r]
+                return arr[:r].tobytes()
         return _encode_job_blocks_py(seg, plen, level)
 
     def _encode_job(self, chunk: bytes) -> bytes:
