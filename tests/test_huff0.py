@@ -170,3 +170,28 @@ def test_write_table_native_matches_python():
         else:
             checked_raw += 1
     assert checked_fse and checked_raw  # both branches exercised
+
+
+def test_estimate_size_and_append_table():
+    """estimate_size matches the actual stream bytes for a table built
+    from the exact histogram (reference: EstimateSize, huff0/huff0.go:101;
+    AppendTable, :141)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    data = rng.choice(np.arange(32, dtype=np.uint8), size=4096,
+                      p=np.arange(1, 33) / np.arange(1, 33).sum())
+    hist = np.bincount(data, minlength=256)
+    nbits, max_bits = huff0.build_nbits(hist)
+    est = huff0.estimate_size(hist, nbits)
+    blob = huff0.compress_1x(data)
+    # the 1X container = table header + one stream; est covers the stream
+    hdr = huff0.append_table(b"", nbits, max_bits)
+    assert hdr == huff0.write_table(nbits, max_bits)
+    got_stream = len(blob) - len(hdr)
+    # est excludes stream padding / start marker / container framing:
+    # actual stream lands within a few bytes above the estimate
+    assert est <= got_stream <= est + 4, (got_stream, est)
+    # round trip through read_table proves the appended header is reusable
+    _sym_t, _nb_t, mb2, used = huff0.read_table(hdr)
+    assert used == len(hdr) and mb2 == max_bits

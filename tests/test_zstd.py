@@ -383,3 +383,15 @@ def test_large_zip_decode_parity():
     zf = zipfile.ZipFile(ZSTD_TESTDATA / "large.zip")
     for name in ("Zeros-100KiB", "Zeros-10MiB"):
         assert Z.decompress(zf.read(name + ".zst")) == zf.read(name)
+
+
+def test_max_encoded_size_bound():
+    """compress() output never exceeds max_encoded_size (reference:
+    Encoder.MaxEncodedSize, zstd/encoder.go:843)."""
+    import os
+
+    for n in (0, 1, 100, (1 << 17) - 1, 1 << 17, (1 << 17) + 1, 1 << 19):
+        for data in (os.urandom(n), b"\xaa" * n):
+            for lvl in (1, 2):
+                blob = Z.compress(data, level=lvl, checksum=True)
+                assert len(blob) <= Z.max_encoded_size(n), (n, lvl, len(blob))
