@@ -51,6 +51,92 @@ def compact_logshift(valid, arrays, fill=0):
     return alive, arrays
 
 
+def compact_best(valid, arrays, plane_bits: int = 32, tile: int | None = None):
+    """Dispatch: compact_route (default) unless COMPRESS_TPU_COMPACT=
+    logshift forces the log-shift path (read at trace time — a debug/
+    measurement knob, not a runtime switch)."""
+    import os
+
+    if os.environ.get("COMPRESS_TPU_COMPACT") == "logshift":
+        return compact_logshift(valid, arrays)
+    return compact_route(valid, arrays, plane_bits=plane_bits, tile=tile)
+
+
+def compact_route(valid, arrays, plane_bits: int = 32, tile: int | None = None):
+    """Stable compaction via TWO one-hot MXU routings — zero log-shift
+    rounds. compact_logshift pays ~log2(N) full HBM read+write passes; this
+    pays two einsums (the measured-fast route_tiles pattern).
+
+    Every valid item's destination is its exclusive-cumsum rank (stable).
+    Items first route into (128-lane-row)-relative slots inside their
+    tile — a tile of `tile` items spans at most R = (tile+126)//128 + 1
+    output rows — then whole 128-lane rows route to their global row.
+    Sum-routing is exact because destinations are unique across the whole
+    row (masked slots contribute exact zeros; two tiles sharing a
+    boundary row touch disjoint lanes).
+
+    plane_bits: 8 → values <= 255, bf16 one-hots; 16 → values <= 65535,
+    f32 "highest"; 32 → each array splits into lo/hi 16-bit planes
+    (values must be non-negative int32).
+
+    Falls back to compact_logshift when no tile size divides N.
+    Returns (alive, arrays) like compact_logshift."""
+    B, N = valid.shape
+    if tile is None:
+        tile = next((t for t in (512, 384, 256, 128) if N % t == 0), None)
+    if tile is None:
+        return compact_logshift(valid, arrays)
+    nt = N // tile
+    R = (tile + 126) // 128 + 1
+    out_rows = N // 128  # N % tile == 0 and tile % 128 == 0 => N % 128 == 0
+    v32 = valid.astype(jnp.int32)
+    dest = jnp.cumsum(v32, axis=1) - v32                       # (B, N)
+    counts = dest[:, -1] + v32[:, -1]
+    tstart = dest.reshape(B, nt, tile)[:, :, 0]                # (B, nt)
+    rowbase = tstart >> 7
+    rel = dest.reshape(B, nt, tile) - (rowbase << 7)[:, :, None]
+    rel = jnp.where(valid.reshape(B, nt, tile), rel, R * 128)  # OOB → zeros
+
+    planes, meta = [], []  # meta: (array index, left shift on recombine)
+    for ai, a in enumerate(arrays):
+        if plane_bits == 32:
+            planes.append(jnp.where(valid, a & 0xFFFF, 0))
+            meta.append((ai, 0))
+            planes.append(jnp.where(valid, (a >> 16) & 0x7FFF, 0))
+            meta.append((ai, 16))
+        else:
+            planes.append(jnp.where(valid, a, 0))
+            meta.append((ai, 0))
+    dt = jnp.bfloat16 if plane_bits == 8 else jnp.float32
+    prec = None if plane_bits == 8 else "highest"
+
+    K = len(planes)
+    # both einsums use the proven route_tiles 3-operand pattern
+    # (batch, contract, out) — higher-rank batch dims fail XLA:CPU's dot
+    oh_a = jax.nn.one_hot(rel.reshape(B * nt, tile), R * 128,
+                          dtype=dt)                        # (Bnt, tile, R128)
+    stacked = jnp.stack([p.reshape(B * nt, tile) for p in planes],
+                        axis=-1).astype(dt)                # (Bnt, tile, K)
+    routed = jnp.einsum("mtk,mtr->mrk", stacked, oh_a,
+                        preferred_element_type=jnp.float32, precision=prec)
+    lanes = routed.reshape(B, nt * R, 128 * K)
+    grow = (rowbase[:, :, None]
+            + jnp.arange(R, dtype=jnp.int32)[None, None, :]).reshape(B, nt * R)
+    # rows past out_rows hold only zeros (a valid dest < N ⇒ row < out_rows);
+    # one_hot drops out-of-range indices, so no extra masking is needed
+    oh_b = jax.nn.one_hot(grow, out_rows, dtype=dt)        # (B, ntR, out_rows)
+    out = jnp.einsum("bml,bmo->bol", lanes.astype(dt), oh_b,
+                     preferred_element_type=jnp.float32, precision=prec)
+    out = out.astype(jnp.int32).reshape(B, out_rows, 128, K)
+    out = out.transpose(0, 3, 1, 2).reshape(B, K, out_rows * 128)
+
+    res = [jnp.zeros((B, N), jnp.int32) for _ in arrays]
+    for k, (ai, sh) in enumerate(meta):
+        res[ai] = res[ai] | (out[:, k] << sh)
+    alive = jnp.arange(N, dtype=jnp.int32)[None, :] < counts[:, None]
+    return alive, [jnp.where(alive, r, 0) for r in res]
+
+
 def route_tiles(dests, planes, out_width, *, accumulate_shifts=0,
                 dtype=jnp.bfloat16):
     """Sum-route `planes` values to per-tile slots via a single one-hot.

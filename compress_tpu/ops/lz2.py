@@ -311,12 +311,14 @@ def _emit_batched(blocks, take, lit, L_t, off, bs, tile):
     buf = buf.astype(jnp.int32)                                  # (n, to)
 
     # compaction: tile-major order is already the output order, so a
-    # stable monotone compaction (log-shift, no sort) finishes the job.
-    from compress_tpu.ops.common import compact_logshift
+    # stable monotone compaction (two one-hot routings; log-shift via
+    # COMPRESS_TPU_COMPACT=logshift) finishes the job.
+    from compress_tpu.ops.common import compact_best
 
     w = jnp.arange(to, dtype=jnp.int32)[None, :]
     valid = (w < tile_total.reshape(n, 1)).reshape(nb, nt * to)
-    alive, (bytes_,) = compact_logshift(valid, [buf.reshape(nb, nt * to)])
+    alive, (bytes_,) = compact_best(valid, [buf.reshape(nb, nt * to)],
+                                    plane_bits=8)
     out = jnp.where(alive, bytes_ & 0xFF, 0).astype(jnp.uint8)
     return out, total
 

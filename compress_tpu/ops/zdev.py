@@ -43,7 +43,7 @@ from compress_tpu.fse import core as fse_core
 from compress_tpu.ops import lz2
 from compress_tpu.ops.lz2 import (_chain_extend, _probe_offsets,
                                   _topk_offsets)
-from compress_tpu.ops.common import compact_logshift, floor_log2, route_tiles
+from compress_tpu.ops.common import compact_best, floor_log2, route_tiles
 from compress_tpu.zstd import seqs as S
 
 JOB = 1 << 20          # device job (window) size
@@ -272,8 +272,8 @@ def _bitpack_rows(values, nbits, dest_bit, to, region_end=None, T=512):
 
     w = jnp.arange(to, dtype=jnp.int32)[None, None, :]
     valid = tile_alive[:, :, None] & (w <= ub_local[:, :, None])
-    alive, (halves,) = compact_logshift(valid.reshape(R, nt * to),
-                                        [buf.reshape(R, nt * to)])
+    alive, (halves,) = compact_best(valid.reshape(R, nt * to),
+                                    [buf.reshape(R, nt * to)], plane_bits=16)
     n_halves = jnp.sum(alive.astype(jnp.int32), axis=1)
     return jnp.where(alive, halves, 0), n_halves
 
@@ -577,8 +577,9 @@ def zstd_encode_jobs(jobs, job: int = JOB, block: int = BLOCK,
     n_seqs = jnp.sum(take_b.astype(jnp.int32), axis=1)
     # pack (ll<<10 | ml) so the compaction moves 2 arrays, not 3
     lm = (ll << 10) | L_t
-    _, (lm_c_, of_c_) = compact_logshift(
-        take_b, [lm.reshape(R, block), ofval.reshape(R, block)])
+    _, (lm_c_, of_c_) = compact_best(
+        take_b, [lm.reshape(R, block), ofval.reshape(R, block)],
+        plane_bits=32)
     ll_v = lm_c_[:, :maxseq] >> 10
     ml_v = lm_c_[:, :maxseq] & 1023
     of_v = of_c_[:, :maxseq]
@@ -587,7 +588,8 @@ def zstd_encode_jobs(jobs, job: int = JOB, block: int = BLOCK,
     lit_b = lit.reshape(R, block)
     byte_b = jobs.reshape(R, block).astype(jnp.int32)
     lit_cnt = jnp.sum(lit_b.astype(jnp.int32), axis=1)
-    _, (lits,) = compact_logshift(lit_b, [jnp.where(lit_b, byte_b, 0)])
+    _, (lits,) = compact_best(lit_b, [jnp.where(lit_b, byte_b, 0)],
+                              plane_bits=8)
 
     oh_lit = jax.nn.one_hot(byte_b, 256, dtype=jnp.bfloat16)
     hist = jnp.einsum("rb,rbs->rs", lit_b.astype(jnp.bfloat16), oh_lit,

@@ -99,3 +99,31 @@ def test_device_encode_long_match_repeat_tags(twain):
     body = np.asarray(out[0])[: int(lens[0])]
     assert _decode_body(body) == data
     assert len(body) < lz.B // 12
+
+
+def test_compact_route_matches_logshift():
+    """compact_route (two one-hot routings) is bit-identical to
+    compact_logshift on every payload width and mask density."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from compress_tpu.ops import common as C
+
+    rng = np.random.default_rng(11)
+    for N, tile in ((1536, None), (1664, None), (100, None), (4096, 256)):
+        for dens in (0.0, 0.01, 0.5, 0.97, 1.0):
+            mask = rng.random((3, N)) < dens
+            v = jnp.asarray(mask)
+            byte = jnp.asarray(rng.integers(0, 256, (3, N), dtype=np.int32))
+            wide = jnp.asarray(rng.integers(0, 1 << 26, (3, N), dtype=np.int32))
+            h16 = jnp.asarray(rng.integers(0, 1 << 16, (3, N), dtype=np.int32))
+            for arrays, bits in (([byte], 8), ([h16], 16), ([wide, h16], 32)):
+                a0, r0 = C.compact_logshift(v, arrays)
+                a1, r1 = C.compact_route(v, arrays, plane_bits=bits, tile=tile)
+                assert np.array_equal(np.asarray(a0), np.asarray(a1)), (N, dens)
+                for x, y in zip(r0, r1):
+                    # logshift leaves stale values past the alive prefix;
+                    # both contracts only define the alive region
+                    xa = np.where(np.asarray(a0), np.asarray(x), 0)
+                    ya = np.asarray(y)
+                    assert np.array_equal(xa, ya), (N, dens, bits)

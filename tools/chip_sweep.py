@@ -35,6 +35,8 @@ STEPS = [
      1800),
     ("s2_stage_timing",
      [sys.executable, f"{REPO}/experiments/exp_s2_stages.py"], 1800),
+    ("compact_ab",
+     [sys.executable, f"{REPO}/experiments/exp_compact_ab.py"], 1800),
     ("accel_decode_profile",
      [sys.executable, f"{REPO}/experiments/exp_accel_dec_profile.py"], 1800),
 ]
