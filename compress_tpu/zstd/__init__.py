@@ -68,12 +68,11 @@ def decompress(data, max_size: int = MAX_DECODED_SIZE,
         # back to the pure-Python decoder below
         if not h.dict_id and not dict_map:
             from compress_tpu.zstd import native_dec
+            from compress_tpu.utils.debuglog import dbg
 
             res = native_dec.decode_frame_body(
                 data, pos, max(h.window_size, 1024), max_size - len(out_all),
                 expected=h.frame_content_size)
-            from compress_tpu.utils.debuglog import dbg
-
             dbg("zstd", "decompress frame@%d window=%d native=%s",
                 pos, h.window_size, res is not None)
             if res is not None:
@@ -86,10 +85,12 @@ def decompress(data, max_size: int = MAX_DECODED_SIZE,
                         raise ZstdError("truncated checksum")
                     if not ignore_checksum:
                         want = int.from_bytes(data[pos : pos + 4], "little")
-                        got = xxh64(bytes(frame_out)) & 0xFFFFFFFF
+                        got = xxh64(frame_out) & 0xFFFFFFFF
                         if want != got:
                             raise ZstdError("checksum mismatch")
                     pos += 4
+                if pos == len(data) and not out_all:
+                    return frame_out  # single frame: skip the join copy
                 out_all += frame_out
                 continue
 

@@ -15,10 +15,29 @@ convention, zstd/blockdec.go:42).
 from __future__ import annotations
 
 import ctypes
+import threading
+
+import numpy as np
 
 from compress_tpu.zstd import block as B
 
 _proto_done = False
+
+_tls = threading.local()
+
+
+def _in_scratch(data, pos: int):
+    """Copy data[pos:] + 16 zero-slack bytes into a reused thread-local
+    buffer; returns (c_char_p, body_len). Avoids the per-call bytes
+    concatenation (allocation + copy) that dominated small-frame decode
+    (thread-local: decode_concurrent calls this from worker threads)."""
+    n = len(data) - pos
+    buf = getattr(_tls, "inbuf", None)
+    if buf is None or buf.shape[0] < n + 16:
+        buf = _tls.inbuf = np.empty(max(n + 16, 1 << 16), np.uint8)
+    buf[:n] = np.frombuffer(data, np.uint8, n, pos)
+    buf[n : n + 16] = 0
+    return buf.ctypes.data_as(ctypes.c_char_p), n
 
 
 def _lib():
@@ -66,18 +85,16 @@ def decode_frame_body(data: bytes, pos: int, window_size: int,
     if lib is None or window_size > (64 << 20):
         return None
     if hasattr(lib, "ct_zstd_decode_frame"):
-        import numpy as np
-
-        body = data[pos:] + b"\x00" * 16  # bit-reader over-read slack
+        body_p, body_n = _in_scratch(data, pos)  # bit-reader over-read slack
         guess = expected if expected is not None else max(
-            4 * len(body), 1 << 20)
+            4 * body_n, 1 << 20)
         slack = (1 << 17) + 64
         while True:
             cap = min(guess, max_out) + slack
             dst = np.empty(cap, np.uint8)  # no zero-fill
             consumed = ctypes.c_longlong(0)
             r = lib.ct_zstd_decode_frame(
-                body, len(body) - 16,
+                body_p, body_n,
                 dst.ctypes.data_as(ctypes.c_char_p), cap,
                 ctypes.byref(consumed), int(window_size))
             if r == -3:  # E_SPACE
