@@ -1839,8 +1839,17 @@ long long ct_zstd_decode_frame(const uint8_t* src, long long n,
                                uint8_t* dst, long long cap,
                                long long* consumed, long long block_max) {
   if (block_max <= 0 || block_max > (1 << 17)) block_max = 1 << 17;
-  ZState* s = (ZState*)calloc(1, sizeof(ZState));
-  if (!s) return E_CORRUPT;
+  // reused per-thread state: a fresh ~300 KB calloc per frame costs
+  // ~10 us of mmap+zeroing — dominant on small frames. Thread-local
+  // because ctypes releases the GIL (decode_concurrent runs this
+  // concurrently). Only the cheap fields need resetting; the big
+  // lits/tmp scratch carries no cross-frame semantics.
+  static thread_local ZState* ts = nullptr;
+  if (!ts) {
+    ts = (ZState*)calloc(1, sizeof(ZState));
+    if (!ts) return E_CORRUPT;
+  }
+  ZState* s = ts;
   s->rep[0] = 1;
   s->rep[1] = 4;
   s->rep[2] = 8;
@@ -1887,8 +1896,103 @@ long long ct_zstd_decode_frame(const uint8_t* src, long long n,
     }
   }
 done:
-  free(s);
-  return ret;
+  return ret;  // s is the reused thread-local state
+}
+
+// ---------------------------------------------------------------------------
+// whole-STREAM decode: frame headers, skippable frames, frame bodies and
+// xxhash checksums all in one native call (the reference's DecodeAll role,
+// zstd/decoder.go:319, kept entirely out of Python). Happy-path only:
+// dictionary frames, over-limit windows, corrupt or trailing-garbage
+// inputs return E_UNSUPPORTED/E_CORRUPT and the caller re-runs the
+// Python decoder for the precise error. src needs 16 readable slack
+// bytes past n. Returns total decoded size or E_CORRUPT/E_SPACE/
+// E_UNSUPPORTED.
+// ---------------------------------------------------------------------------
+
+uint64_t ct_xxh64(const uint8_t* p, uint64_t len, uint64_t seed);
+
+long long ct_zstd_decode_all(const uint8_t* src, long long n,
+                             uint8_t* dst, long long cap,
+                             long long max_window, int ignore_checksum) {
+  long long pos = 0, out = 0;
+  while (pos < n) {
+    if (pos + 4 > n) return E_CORRUPT;
+    uint32_t magic;
+    memcpy(&magic, src + pos, 4);
+    if ((magic & 0xFFFFFFF0u) == 0x184D2A50u) {  // skippable frame
+      if (pos + 8 > n) return E_CORRUPT;
+      uint32_t sz;
+      memcpy(&sz, src + pos + 4, 4);
+      if (pos + 8 + (long long)sz > n) return E_CORRUPT;
+      pos += 8 + sz;
+      continue;
+    }
+    if (magic != 0xFD2FB528u) return E_CORRUPT;
+    pos += 4;
+    if (pos >= n) return E_CORRUPT;
+    uint8_t fhd = src[pos++];
+    int fcs_flag = fhd >> 6;
+    int single_seg = (fhd >> 5) & 1;
+    int has_checksum = (fhd >> 2) & 1;
+    int dict_flag = fhd & 3;
+    if (fhd & 0x18) return E_CORRUPT;  // reserved/unused bits must be 0
+    long long window = 0;
+    if (!single_seg) {
+      if (pos >= n) return E_CORRUPT;
+      uint8_t wd = src[pos++];
+      int wexp = wd >> 3;
+      long long base = 1ll << (10 + wexp);
+      window = base + (long long)(wd & 7) * (base >> 3);
+    }
+    if (dict_flag) return E_UNSUPPORTED;  // Python path handles dicts
+    long long fcs = -1;
+    if (fcs_flag == 0) {
+      if (single_seg) {
+        if (pos >= n) return E_CORRUPT;
+        fcs = src[pos++];
+      }
+    } else if (fcs_flag == 1) {
+      if (pos + 2 > n) return E_CORRUPT;
+      fcs = (long long)(src[pos] | (src[pos + 1] << 8)) + 256;
+      pos += 2;
+    } else if (fcs_flag == 2) {
+      if (pos + 4 > n) return E_CORRUPT;
+      uint32_t v;
+      memcpy(&v, src + pos, 4);
+      fcs = v;
+      pos += 4;
+    } else {
+      if (pos + 8 > n) return E_CORRUPT;
+      uint64_t v;
+      memcpy(&v, src + pos, 8);
+      if (v > (1ull << 62)) return E_CORRUPT;
+      fcs = (long long)v;
+      pos += 8;
+    }
+    if (single_seg) window = fcs < 0 ? 0 : fcs;
+    if (window > max_window) return E_UNSUPPORTED;
+    long long block_max = window > 0 && window < (1 << 17) ? window : 1 << 17;
+    if (block_max < 1024) block_max = 1024;  // RFC 8878: floor 1 KB
+    long long consumed = 0;
+    long long r = ct_zstd_decode_frame(src + pos, n - pos, dst + out,
+                                       cap - out, &consumed, block_max);
+    if (r < 0) return r;
+    if (fcs >= 0 && r != fcs) return E_CORRUPT;
+    pos += consumed;
+    out += r;
+    if (has_checksum) {
+      if (pos + 4 > n) return E_CORRUPT;
+      if (!ignore_checksum) {
+        uint32_t want;
+        memcpy(&want, src + pos, 4);
+        if ((uint32_t)ct_xxh64(dst + out - r, (uint64_t)r, 0) != want)
+          return E_CORRUPT;
+      }
+      pos += 4;
+    }
+  }
+  return out;
 }
 
 }  // extern "C"

@@ -45,6 +45,16 @@ def decompress(data, max_size: int = MAX_DECODED_SIZE,
             d = load_dict(d)
         dict_map[d.id] = d
     data = bytes(data)
+    # whole-stream native happy path: headers + bodies + checksums in one
+    # call; any rejection re-runs the per-frame path below for the exact
+    # error (and for dictionary frames)
+    if data and not dict_map:
+        from compress_tpu.zstd import native_dec
+
+        res = native_dec.decode_all(data, max_size, max_window,
+                                    ignore_checksum)
+        if res is not None:
+            return res
     pos = 0
     out_all = bytearray()
     # empty input decodes to empty output (reference: DecodeAll hits EOF

@@ -65,8 +65,47 @@ def _lib():
                 ctypes.c_char_p, ctypes.c_longlong,
                 ctypes.c_char_p, ctypes.c_longlong,
                 ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong]
+        if hasattr(lib, "ct_zstd_decode_all"):
+            lib.ct_zstd_decode_all.restype = ctypes.c_longlong
+            lib.ct_zstd_decode_all.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong,
+                ctypes.c_char_p, ctypes.c_longlong,
+                ctypes.c_longlong, ctypes.c_int]
         _proto_done = True
     return lib
+
+
+def decode_all(data, max_size: int, max_window: int,
+               ignore_checksum: bool):
+    """Whole-stream happy-path decode: frame headers, skippables, bodies
+    and checksums in ONE native call (reference Decoder.DecodeAll role,
+    zstd/decoder.go:319). Returns bytes, or None when the stream needs
+    the Python path (dict frames, over-limit windows, corrupt input —
+    which then produces the precise error)."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "ct_zstd_decode_all"):
+        return None
+    src_p, n = _in_scratch(data, 0)
+    guess = max(4 * n, 1 << 20)
+    slack = (1 << 17) + 64
+    while True:
+        cap = min(guess, max_size) + slack
+        dst = getattr(_tls, "outbuf", None)  # grow-only reused scratch
+        if dst is None or dst.shape[0] < cap:
+            dst = _tls.outbuf = np.empty(cap, np.uint8)
+        cap = dst.shape[0]
+        r = lib.ct_zstd_decode_all(src_p, n,
+                                   dst.ctypes.data_as(ctypes.c_char_p),
+                                   cap, int(max_window),
+                                   1 if ignore_checksum else 0)
+        if r == -3:  # E_SPACE: grow once per power of 4, bounded
+            if guess >= max_size:
+                return None
+            guess = min(guess * 4, max_size)
+            continue
+        if r < 0 or r > max_size:
+            return None
+        return dst[:r].tobytes()
 
 
 def decode_frame_body(data: bytes, pos: int, window_size: int,
