@@ -108,7 +108,9 @@ static int fse_read_ncount(const uint8_t* p, long long n, int16_t* norm,
     return v;
   };
   int tlog = take(4) + 5;
-  if (tlog > max_log || tlog > 9) return -1;
+  // 9 is the zstd-internal ceiling (FseDT sizing); the standalone fse
+  // package allows up to 12 (callers pass the cap they can hold)
+  if (tlog > max_log || tlog > 12) return -1;
   int table_size = 1 << tlog;
   int remaining = table_size + 1;
   int threshold = table_size;
@@ -1897,6 +1899,47 @@ long long ct_zstd_decode_frame(const uint8_t* src, long long n,
   }
 done:
   return ret;  // s is the reused thread-local state
+}
+
+// ---------------------------------------------------------------------------
+// standalone-entropy exports: the fse/huff0 PACKAGES (compress_tpu/fse,
+// compress_tpu/huff0) reuse the battle-tested table parsers and stream
+// loops above for their own containers (reference: fse/decompress.go
+// readNCount, huff0/decompress.go ReadTable + 1X/4X main loops).
+// ---------------------------------------------------------------------------
+
+long long ct_fse_read_ncount(const uint8_t* p, long long n, int max_log,
+                             int16_t* norm256, int* max_sym, int* log) {
+  return fse_read_ncount(p, n, norm256, max_sym, log, max_log);
+}
+
+// whole huff0 container body after the uvarint length: table + stream(s).
+// fourx: 0 = 1X, 1 = 4X (6-byte jump table + 4 streams). p needs 16
+// readable slack bytes past n. Returns 0 or -1.
+long long ct_huf0_decompress_body(const uint8_t* p, long long n, int fourx,
+                                  uint8_t* out, long long out_len) {
+  static thread_local HufDT ht;
+  int used = huf_read_table(&ht, p, n);
+  if (used < 0 || used > n) return -1;
+  const uint8_t* q = p + used;
+  long long ln = n - used;
+  if (!fourx)
+    return huf_decode_stream(&ht, q, ln, out, out_len) ? 0 : -1;
+  if (ln < 6) return -1;
+  long long l1 = q[0] | (q[1] << 8);
+  long long l2 = q[2] | (q[3] << 8);
+  long long l3 = q[4] | (q[5] << 8);
+  long long l4 = ln - 6 - l1 - l2 - l3;
+  if (l4 <= 0) return -1;
+  long long seg = (out_len + 3) / 4;
+  long long last = out_len - 3 * seg;
+  if (last < 0) return -1;
+  q += 6;
+  const uint8_t* sp[4] = {q, q + l1, q + l1 + l2, q + l1 + l2 + l3};
+  const long long sn[4] = {l1, l2, l3, l4};
+  uint8_t* so[4] = {out, out + seg, out + 2 * seg, out + 3 * seg};
+  const long long sl[4] = {seg, seg, seg, last};
+  return huf_decode_4streams(&ht, sp, sn, so, sl) ? 0 : -1;
 }
 
 // ---------------------------------------------------------------------------

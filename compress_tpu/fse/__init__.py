@@ -59,11 +59,24 @@ def compress(data, table_log: int = 0) -> bytes:
 
 
 def decompress(blob, max_size: int = 64 << 20) -> bytes:
-    """Decompress a block produced by :func:`compress`."""
+    """Decompress a block produced by :func:`compress`. Whole-container
+    native path (NCount + 2-state stream in one call); any rejection
+    re-runs the Python decoder for the precise error."""
     blob = bytes(blob)
     n, pos = read_uvarint(blob)
     if n > max_size:
         raise ValueError("decoded size exceeds limit")
+    lib = core._native_entropy_lib()
+    if lib is not None and n >= 2:
+        import ctypes
+
+        padded = blob[pos:] + b"\x00" * 16
+        out = np.empty(n, np.uint8)
+        r = lib.ct_fse_decompress_body(
+            padded, len(blob) - pos,
+            out.ctypes.data_as(ctypes.c_char_p), n)
+        if r == 0:
+            return out.tobytes()
     norm, tl, pos = core.read_ncount(blob, pos, max_symbol=255)
     sym = core.decode_interleaved2(blob[pos:], norm, tl, n)
     return sym.tobytes()

@@ -14,6 +14,8 @@ without copying the reference's heuristic ladder.
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
 
 MIN_TABLELOG = 5
@@ -107,7 +109,22 @@ def normalize_count(hist: np.ndarray, table_log: int, total: int,
 
 
 def write_ncount(norm: np.ndarray, table_log: int) -> bytes:
-    """Serialize a normalized count table (accuracy-log header + counts)."""
+    """Serialize a normalized count table (accuracy-log header + counts).
+
+    Native twin (ct_fse_write_ncount, byte-identical) when available."""
+    lib = _native_entropy_lib()
+    if lib is not None:
+        from compress_tpu import _native
+
+        nrm = np.zeros(256, np.int16)
+        nrm[: len(norm)] = norm
+        cap = 1024
+        arr, dst = _native.out_buf(cap)
+        r = lib.ct_fse_write_ncount(
+            nrm.ctypes.data_as(ctypes.c_char_p), len(norm) - 1,
+            int(table_log), dst, cap)
+        if r >= 0:
+            return arr[:r].tobytes()
     out = bytearray()
     bit_stream = 0
     bit_count = 0
@@ -400,11 +417,86 @@ class BitReaderReverse:
 # ---------------------------------------------------------------------------
 
 
+_ENT_LIB = None
+_ENT_TRIED = False
+
+
+def _native_entropy_lib():
+    """ctypes handle with the standalone-entropy prototypes registered
+    (entropy_standalone.cpp), or None (pure-Python fallback). Cached:
+    hasattr on a CDLL is a dlsym every call (~30 µs × several per
+    compress at 64 KB granularity)."""
+    global _ENT_LIB, _ENT_TRIED
+    if _ENT_TRIED:
+        return _ENT_LIB
+    import ctypes
+
+    from compress_tpu import _native
+
+    lib = _native.raw()
+    _ENT_TRIED = True
+    if lib is None or not hasattr(lib, "ct_fse_encode_i2"):
+        return None
+    if not getattr(lib, "_fse_sa_proto", False):
+        lib.ct_fse_encode_i2.restype = ctypes.c_longlong
+        lib.ct_fse_encode_i2.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_longlong]
+        lib.ct_fse_decode_i2.restype = ctypes.c_longlong
+        lib.ct_fse_decode_i2.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_longlong]
+        lib.ct_huf0_encode_stream.restype = ctypes.c_longlong
+        lib.ct_huf0_encode_stream.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_longlong]
+        lib.ct_huf0_decode_stream.restype = ctypes.c_longlong
+        lib.ct_huf0_decode_stream.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_longlong]
+        lib.ct_fse_decompress_body.restype = ctypes.c_longlong
+        lib.ct_fse_decompress_body.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_char_p,
+            ctypes.c_longlong]
+        lib.ct_fse_write_ncount.restype = ctypes.c_longlong
+        lib.ct_fse_write_ncount.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
+            ctypes.c_longlong]
+        lib.ct_huf0_decompress_body.restype = ctypes.c_longlong
+        lib.ct_huf0_decompress_body.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_longlong]
+        lib.ct_huf0_package_merge.restype = ctypes.c_longlong
+        lib.ct_huf0_package_merge.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p]
+        lib._fse_sa_proto = True
+    _ENT_LIB = lib
+    return lib
+
+
 def encode_interleaved2(symbols: np.ndarray, norm: np.ndarray, table_log: int) -> bytes:
     """Encode symbols (last-to-first) with two interleaved states.
 
     Stream layout matches the classic FSE block codec: states flushed at the
-    end (c2 then c1), so the decoder reads state1 first."""
+    end (c2 then c1), so the decoder reads state1 first. Native loop
+    (ct_fse_encode_i2, byte-identical) when available."""
+    lib = _native_entropy_lib()
+    if lib is not None and len(symbols) >= 2:
+        from compress_tpu import _native
+
+        sym = np.ascontiguousarray(symbols, dtype=np.uint8)
+        nrm = np.zeros(256, np.int16)
+        nrm[: len(norm)] = norm
+        n = len(sym)
+        cap = 2 * n + 64
+        arr, dst = _native.out_buf(cap)
+        r = lib.ct_fse_encode_i2(
+            sym.ctypes.data_as(ctypes.c_char_p), n,
+            nrm.ctypes.data_as(ctypes.c_char_p),
+            len(norm) - 1, int(table_log), dst, cap)
+        if r >= 0:
+            return arr[:r].tobytes()
     state_table, delta_nb, delta_fs = build_ctable(norm, table_log)
     bw = BitWriter()
     n = len(symbols)
@@ -449,7 +541,21 @@ def encode_interleaved2(symbols: np.ndarray, norm: np.ndarray, table_log: int) -
 
 def decode_interleaved2(stream: bytes, norm: np.ndarray, table_log: int,
                         out_len: int) -> np.ndarray:
-    """Inverse of encode_interleaved2; out_len symbols."""
+    """Inverse of encode_interleaved2; out_len symbols. Native loop
+    (ct_fse_decode_i2) when available; any native rejection re-runs the
+    Python loop for the precise error."""
+    lib = _native_entropy_lib()
+    if lib is not None and out_len >= 2 and stream:
+        nrm = np.zeros(256, np.int16)
+        nrm[: len(norm)] = norm
+        padded = bytes(stream) + b"\x00" * 16
+        out = np.empty(out_len, np.uint8)
+        r = lib.ct_fse_decode_i2(
+            padded, len(stream),
+            nrm.ctypes.data_as(ctypes.c_char_p), len(norm) - 1,
+            int(table_log), out.ctypes.data_as(ctypes.c_char_p), out_len)
+        if r == 0:
+            return out
     spread, nb, new_state = build_dtable(norm, table_log)
     br = BitReaderReverse(stream)
     s1 = br.read(table_log)

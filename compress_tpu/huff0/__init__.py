@@ -51,7 +51,22 @@ class CorruptError(ValueError):
 
 
 def package_merge_lengths(freqs: np.ndarray, limit: int) -> np.ndarray:
-    """Optimal length-limited code lengths for nonzero freqs (<= limit)."""
+    """Optimal length-limited code lengths for nonzero freqs (<= limit).
+
+    Native twin (ct_huf0_package_merge, identical tie order) when
+    available."""
+    lib = fse_core._native_entropy_lib()
+    if lib is not None and len(freqs) <= 256:
+        import ctypes
+
+        f = np.zeros(256, np.int64)
+        f[: len(freqs)] = freqs
+        lengths = np.zeros(256, np.int32)
+        r = lib.ct_huf0_package_merge(
+            f.ctypes.data_as(ctypes.c_char_p), int(limit),
+            lengths.ctypes.data_as(ctypes.c_char_p))
+        if r == 0:
+            return lengths[: len(freqs)].copy()
     sym = np.nonzero(freqs)[0]
     n = len(sym)
     if n == 0:
@@ -332,6 +347,23 @@ def read_table(buf: bytes, pos: int = 0):
 
 
 def _encode_stream(data: np.ndarray, codes: np.ndarray, nbits: np.ndarray) -> bytes:
+    lib = fse_core._native_entropy_lib()
+    if lib is not None and len(data):
+        import ctypes
+
+        from compress_tpu import _native
+
+        d = np.ascontiguousarray(data, np.uint8)
+        c = np.ascontiguousarray(codes, np.uint16)
+        nb = np.ascontiguousarray(nbits, np.uint8)
+        cap = 2 * len(d) + 64
+        arr, dst = _native.out_buf(cap)
+        r = lib.ct_huf0_encode_stream(
+            d.ctypes.data_as(ctypes.c_char_p), len(d),
+            c.ctypes.data_as(ctypes.c_char_p),
+            nb.ctypes.data_as(ctypes.c_char_p), dst, cap)
+        if r >= 0:
+            return arr[:r].tobytes()
     bw = fse_core.BitWriter()
     # encoded in reverse so the decoder emits forward
     for b in data[::-1].tolist():
@@ -340,6 +372,21 @@ def _encode_stream(data: np.ndarray, codes: np.ndarray, nbits: np.ndarray) -> by
 
 
 def _decode_stream(stream: bytes, sym_t, nb_t, max_bits: int, out_len: int) -> np.ndarray:
+    lib = fse_core._native_entropy_lib()
+    if lib is not None and out_len and stream:
+        import ctypes
+
+        st = np.ascontiguousarray(sym_t, np.uint8)
+        nbt = np.ascontiguousarray(nb_t, np.uint8)
+        padded = bytes(stream) + b"\x00" * 16
+        out = np.empty(out_len, np.uint8)
+        r = lib.ct_huf0_decode_stream(
+            padded, len(stream), st.ctypes.data_as(ctypes.c_char_p),
+            nbt.ctypes.data_as(ctypes.c_char_p), int(max_bits),
+            out.ctypes.data_as(ctypes.c_char_p), out_len)
+        if r == 0:
+            return out
+        # native rejection: re-run the Python loop for the precise error
     br = fse_core.BitReaderReverse(stream)
     out = np.zeros(out_len, dtype=np.uint8)
     bitpos = br.bitpos
@@ -419,11 +466,30 @@ def compress_4x(data, table_log: int = MAX_TABLELOG) -> bytes:
     return bytes(out)
 
 
+def _decompress_body_native(blob: bytes, pos: int, n: int, fourx: int):
+    """Whole-container native decode (table + streams in one call), or
+    None → the Python path re-derives the precise error."""
+    lib = fse_core._native_entropy_lib()
+    if lib is None or n == 0:
+        return None
+    import ctypes
+
+    padded = blob[pos:] + b"\x00" * 16
+    out = np.empty(n, np.uint8)
+    r = lib.ct_huf0_decompress_body(
+        padded, len(blob) - pos, fourx,
+        out.ctypes.data_as(ctypes.c_char_p), n)
+    return out.tobytes() if r == 0 else None
+
+
 def decompress_1x(blob, max_size: int = 64 << 20) -> bytes:
     blob = bytes(blob)
     n, pos = read_uvarint(blob)
     if n > max_size:
         raise ValueError("decoded size exceeds limit")
+    res = _decompress_body_native(blob, pos, n, 0)
+    if res is not None:
+        return res
     sym_t, nb_t, max_bits, pos = read_table(blob, pos)
     return _decode_stream(blob[pos:], sym_t, nb_t, max_bits, n).tobytes()
 
@@ -433,6 +499,9 @@ def decompress_4x(blob, max_size: int = 64 << 20) -> bytes:
     n, pos = read_uvarint(blob)
     if n > max_size:
         raise ValueError("decoded size exceeds limit")
+    res = _decompress_body_native(blob, pos, n, 1)
+    if res is not None:
+        return res
     sym_t, nb_t, max_bits, pos = read_table(blob, pos)
     if pos + 6 > len(blob):
         raise CorruptError("jump table truncated")

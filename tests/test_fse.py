@@ -125,3 +125,48 @@ def test_reference_fuzz_corpus():
                     continue
                 assert fse.decompress(blob) == data, info.filename
     assert seen > 0 or not zips
+
+
+def test_native_streams_byte_identical_to_python():
+    """The native standalone-entropy loops (entropy_standalone.cpp) must
+    be byte-identical to the Python reference loops (the repo's noasm
+    differential convention)."""
+    import numpy as np
+
+    from compress_tpu import fse as F
+    from compress_tpu import huff0 as H
+    from compress_tpu.fse import core as C
+
+    if C._native_entropy_lib() is None:
+        import pytest
+
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(17)
+    data = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+                "rb").read()
+    samples = [data[:65536], data[5000:9096],
+               rng.choice(np.arange(24, dtype=np.uint8), size=4000,
+                          p=np.arange(1, 25) / np.arange(1, 25).sum()
+                          ).tobytes()]
+    orig = C._native_entropy_lib
+    try:
+        for s in samples:
+            cn = F.compress(s)
+            h1 = H.compress_1x(np.frombuffer(s, np.uint8))
+            h4 = H.compress_4x(np.frombuffer(s, np.uint8)) \
+                if len(s) >= 12 else None
+            C._native_entropy_lib = lambda: None
+            assert cn == F.compress(s)
+            assert h1 == H.compress_1x(np.frombuffer(s, np.uint8))
+            d_py = F.decompress(cn, max_size=1 << 20)
+            h_py = H.decompress_1x(h1)
+            if h4 is not None:
+                assert h4 == H.compress_4x(np.frombuffer(s, np.uint8))
+                h4_py = H.decompress_4x(h4)
+            C._native_entropy_lib = orig
+            assert F.decompress(cn, max_size=1 << 20) == d_py == s
+            assert H.decompress_1x(h1) == h_py == s
+            if h4 is not None:
+                assert H.decompress_4x(h4) == h4_py == s
+    finally:
+        C._native_entropy_lib = orig
