@@ -97,9 +97,61 @@ def _host_only_bench(big: bytes, calib_ms: float) -> int:
         "zstd_decode_benchcorpus_gbps": round(_benchdec_corpus_gbps(), 5),
         "zstd_l1_encode_host_mbps": round(z_enc_mbps, 2),
         "flate_l1_mbps": round(flate_l1_mbps, 2),
+        **_host_extra_metrics(big),
         "n_bytes": len(big),
     }))
     return 0
+
+
+def _host_extra_metrics(big: bytes) -> dict:
+    """Host-core rows shared by both bench modes: s2 encode/decode and
+    the standalone entropy packages (reference baselines: s2 block decode
+    1.2-4.1 GB/s/core s2/README.md:392; fse ~200 enc / ~300 dec MB/s
+    fse/README.md:59-66)."""
+    out = {}
+    try:
+        from compress_tpu import s2
+
+        blob = s2.encode(big)
+        assert s2.decode(blob) == big
+        best_e = best_d = 0.0
+        for _ in range(5):
+            t = time.time()
+            s2.encode(big)
+            best_e = max(best_e, len(big) / (time.time() - t))
+            t = time.time()
+            s2.decode(blob)
+            best_d = max(best_d, len(big) / (time.time() - t))
+        out["s2_encode_host_mbps"] = round(best_e / 1e6, 2)
+        out["s2_decode_host_gbps"] = round(best_d / 1e9, 5)
+    except Exception:
+        pass
+    try:
+        import numpy as np
+
+        from compress_tpu import fse, huff0
+
+        blk = big[:65536]
+        c = fse.compress(blk)
+        assert fse.decompress(c, max_size=1 << 20) == blk
+        h4 = huff0.compress_4x(np.frombuffer(blk, np.uint8))
+        best_e = best_d = best_h = 0.0
+        for _ in range(8):
+            t = time.time()
+            fse.compress(blk)
+            best_e = max(best_e, len(blk) / (time.time() - t))
+            t = time.time()
+            fse.decompress(c, max_size=1 << 20)
+            best_d = max(best_d, len(blk) / (time.time() - t))
+            t = time.time()
+            huff0.decompress_4x(h4)
+            best_h = max(best_h, len(blk) / (time.time() - t))
+        out["fse_encode_host_mbps"] = round(best_e / 1e6, 2)
+        out["fse_decode_host_mbps"] = round(best_d / 1e6, 2)
+        out["huff0_decode4x_host_mbps"] = round(best_h / 1e6, 2)
+    except Exception:
+        pass
+    return out
 
 
 def main():
@@ -359,6 +411,7 @@ def main():
         "zstd_decode_device_accel_gbps": round(dev_dec_gbps, 5),
         "zstd_decode_device_mb_gbps": round(mb_dec_gbps, 5),
         "flate_l1_mbps": round(flate_l1_mbps, 2),
+        **_host_extra_metrics(big[: 2 << 20]),
         "calib_matmul_ms": round(calib_ms, 3),
         # r2 lesson: a degraded chip produced unusable numbers; mark them
         # so no one mistakes a sick tunnel for a regression
