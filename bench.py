@@ -124,6 +124,8 @@ def _host_extra_metrics(big: bytes) -> dict:
             best_d = max(best_d, len(big) / (time.time() - t))
         out["s2_encode_host_mbps"] = round(best_e / 1e6, 2)
         out["s2_decode_host_gbps"] = round(best_d / 1e9, 5)
+    except AssertionError:
+        raise  # a wrong round-trip is corruption, never a missing row
     except Exception:
         pass
     try:
@@ -149,6 +151,8 @@ def _host_extra_metrics(big: bytes) -> dict:
         out["fse_encode_host_mbps"] = round(best_e / 1e6, 2)
         out["fse_decode_host_mbps"] = round(best_d / 1e6, 2)
         out["huff0_decode4x_host_mbps"] = round(best_h / 1e6, 2)
+    except AssertionError:
+        raise
     except Exception:
         pass
     return out

@@ -76,6 +76,13 @@ static const int FSE_MAX_SIZE = 1 << FSE_MAX_LOG;
 static bool fse_spread(const int16_t* norm, int max_sym, int log,
                        uint8_t* spread) {
   int size = 1 << log;
+  // pre-validate the distribution: an over-full table would spin the
+  // co-prime walk forever once the -1 tail exhausts the high slots
+  // (these entries arrive from Python callers, not just parsed headers)
+  long long total = 0;
+  for (int s = 0; s <= max_sym; s++)
+    total += norm[s] == -1 ? 1 : (norm[s] > 0 ? norm[s] : 0);
+  if (total != size) return false;
   int high = size - 1;
   for (int s = 0; s <= max_sym; s++) {
     if (norm[s] == -1) {
@@ -211,19 +218,23 @@ long long ct_fse_decode_i2(const uint8_t* stream, long long slen,
   }
   long long bitpos = (slen - 1) * 8 +
                      (31 - __builtin_clz((uint32_t)stream[slen - 1]));
+  // a valid stream never reads below bit 0 — underflow means corruption
+  // (bail immediately: shifting by >= 64 would be UB and the Python
+  // fallback re-derives the precise error)
+  bool corrupt = false;
   auto rd = [&](int nb) -> uint32_t {
     if (nb == 0) return 0;
     bitpos -= nb;
-    uint64_t v;
-    if (bitpos >= 0) {
-      memcpy(&v, stream + (bitpos >> 3), 8);
-      return (uint32_t)((v >> (bitpos & 7)) & ((1u << nb) - 1));
+    if (bitpos < 0) {
+      corrupt = true;
+      return 0;
     }
-    memcpy(&v, stream, 8);
-    return (uint32_t)((v << -bitpos) & ((1u << nb) - 1));
+    uint64_t v;
+    memcpy(&v, stream + (bitpos >> 3), 8);
+    return (uint32_t)((v >> (bitpos & 7)) & ((1u << nb) - 1));
   };
   uint32_t s1 = rd(tl), s2 = rd(tl);
-  for (long long i = 0; i < out_len; i++) {
+  for (long long i = 0; i < out_len && !corrupt; i++) {
     if (i & 1) {
       out[i] = spread[s2];
       if (i < out_len - 2) s2 = nst[s2] + rd(nbt[s2]);
@@ -233,7 +244,7 @@ long long ct_fse_decode_i2(const uint8_t* stream, long long slen,
     }
     if (s1 >= (uint32_t)size || s2 >= (uint32_t)size) return -1;
   }
-  return bitpos == 0 ? 0 : -1;
+  return (!corrupt && bitpos == 0) ? 0 : -1;
 }
 
 // ---------------------------------------------------------------------------

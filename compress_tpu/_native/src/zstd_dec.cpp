@@ -1844,14 +1844,12 @@ long long ct_zstd_decode_frame(const uint8_t* src, long long n,
   // reused per-thread state: a fresh ~300 KB calloc per frame costs
   // ~10 us of mmap+zeroing — dominant on small frames. Thread-local
   // because ctypes releases the GIL (decode_concurrent runs this
-  // concurrently). Only the cheap fields need resetting; the big
-  // lits/tmp scratch carries no cross-frame semantics.
-  static thread_local ZState* ts = nullptr;
-  if (!ts) {
-    ts = (ZState*)calloc(1, sizeof(ZState));
-    if (!ts) return E_CORRUPT;
-  }
-  ZState* s = ts;
+  // concurrently); a direct TLS object (not a heap pointer) so thread
+  // exit reclaims it — pools create fresh threads per call. Only the
+  // cheap fields need resetting; the big lits/tmp scratch carries no
+  // cross-frame semantics.
+  static thread_local ZState ts;
+  ZState* s = &ts;
   s->rep[0] = 1;
   s->rep[1] = 4;
   s->rep[2] = 8;

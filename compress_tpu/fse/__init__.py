@@ -70,11 +70,10 @@ def decompress(blob, max_size: int = 64 << 20) -> bytes:
     if lib is not None and n >= 2:
         import ctypes
 
-        padded = blob[pos:] + b"\x00" * 16
+        sp, sn = core.pad_scratch(blob, pos)
         out = np.empty(n, np.uint8)
         r = lib.ct_fse_decompress_body(
-            padded, len(blob) - pos,
-            out.ctypes.data_as(ctypes.c_char_p), n)
+            sp, sn, out.ctypes.data_as(ctypes.c_char_p), n)
         if r == 0:
             return out.tobytes()
     norm, tl, pos = core.read_ncount(blob, pos, max_symbol=255)

@@ -420,6 +420,25 @@ class BitReaderReverse:
 _ENT_LIB = None
 _ENT_TRIED = False
 
+_tls = __import__("threading").local()
+
+_PAD_KEEP = 1 << 20  # retained scratch cap: bigger inputs get a one-off
+
+
+def pad_scratch(data, pos: int = 0):
+    """(c_char_p, n): data[pos:] + 16 zero-slack bytes in a reused
+    thread-local buffer (the native bit readers' over-read contract).
+    Buffers beyond _PAD_KEEP are not retained."""
+    n = len(data) - pos
+    buf = getattr(_tls, "pad", None)
+    if buf is None or buf.shape[0] < n + 16:
+        buf = np.empty(max(n + 16, 1 << 16), np.uint8)
+        if buf.shape[0] <= _PAD_KEEP:
+            _tls.pad = buf
+    buf[:n] = np.frombuffer(data, np.uint8, n, pos)
+    buf[n : n + 16] = 0
+    return buf.ctypes.data_as(ctypes.c_char_p), n
+
 
 def _native_entropy_lib():
     """ctypes handle with the standalone-entropy prototypes registered
@@ -548,10 +567,10 @@ def decode_interleaved2(stream: bytes, norm: np.ndarray, table_log: int,
     if lib is not None and out_len >= 2 and stream:
         nrm = np.zeros(256, np.int16)
         nrm[: len(norm)] = norm
-        padded = bytes(stream) + b"\x00" * 16
+        sp, sn = pad_scratch(stream)
         out = np.empty(out_len, np.uint8)
         r = lib.ct_fse_decode_i2(
-            padded, len(stream),
+            sp, sn,
             nrm.ctypes.data_as(ctypes.c_char_p), len(norm) - 1,
             int(table_log), out.ctypes.data_as(ctypes.c_char_p), out_len)
         if r == 0:

@@ -378,10 +378,10 @@ def _decode_stream(stream: bytes, sym_t, nb_t, max_bits: int, out_len: int) -> n
 
         st = np.ascontiguousarray(sym_t, np.uint8)
         nbt = np.ascontiguousarray(nb_t, np.uint8)
-        padded = bytes(stream) + b"\x00" * 16
+        sp, sn = fse_core.pad_scratch(stream)
         out = np.empty(out_len, np.uint8)
         r = lib.ct_huf0_decode_stream(
-            padded, len(stream), st.ctypes.data_as(ctypes.c_char_p),
+            sp, sn, st.ctypes.data_as(ctypes.c_char_p),
             nbt.ctypes.data_as(ctypes.c_char_p), int(max_bits),
             out.ctypes.data_as(ctypes.c_char_p), out_len)
         if r == 0:
@@ -474,11 +474,10 @@ def _decompress_body_native(blob: bytes, pos: int, n: int, fourx: int):
         return None
     import ctypes
 
-    padded = blob[pos:] + b"\x00" * 16
+    sp, sn = fse_core.pad_scratch(blob, pos)
     out = np.empty(n, np.uint8)
     r = lib.ct_huf0_decompress_body(
-        padded, len(blob) - pos, fourx,
-        out.ctypes.data_as(ctypes.c_char_p), n)
+        sp, sn, fourx, out.ctypes.data_as(ctypes.c_char_p), n)
     return out.tobytes() if r == 0 else None
 
 

@@ -34,7 +34,9 @@ def _in_scratch(data, pos: int):
     n = len(data) - pos
     buf = getattr(_tls, "inbuf", None)
     if buf is None or buf.shape[0] < n + 16:
-        buf = _tls.inbuf = np.empty(max(n + 16, 1 << 16), np.uint8)
+        buf = np.empty(max(n + 16, 1 << 16), np.uint8)
+        if buf.shape[0] <= (16 << 20):  # retention cap, like outbuf
+            _tls.inbuf = buf
     buf[:n] = np.frombuffer(data, np.uint8, n, pos)
     buf[n : n + 16] = 0
     return buf.ctypes.data_as(ctypes.c_char_p), n
@@ -88,11 +90,14 @@ def decode_all(data, max_size: int, max_window: int,
     src_p, n = _in_scratch(data, 0)
     guess = max(4 * n, 1 << 20)
     slack = (1 << 17) + 64
+    keep = 16 << 20  # retained-scratch cap: huge decodes get a one-off
     while True:
         cap = min(guess, max_size) + slack
-        dst = getattr(_tls, "outbuf", None)  # grow-only reused scratch
+        dst = getattr(_tls, "outbuf", None)  # reused scratch, capped
         if dst is None or dst.shape[0] < cap:
-            dst = _tls.outbuf = np.empty(cap, np.uint8)
+            dst = np.empty(cap, np.uint8)
+            if cap <= keep:
+                _tls.outbuf = dst
         cap = dst.shape[0]
         r = lib.ct_zstd_decode_all(src_p, n,
                                    dst.ctypes.data_as(ctypes.c_char_p),
