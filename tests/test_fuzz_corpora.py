@@ -142,3 +142,40 @@ def test_block_maximum_size_enforced():
         "28b52ffd00007c00002d3f003005041041002c203000813743020030")
     with pytest.raises(Z.ZstdError):
         Z.decompress(f2)
+
+
+def test_bitflip_agreement_decode_all():
+    """Randomized single-bit corruptions of valid frames through the
+    whole-stream native entry (ct_zstd_decode_all): whenever both we and
+    libzstd decode successfully, the outputs must match bit-for-bit
+    (zstd decode is deterministic, so any conforming decoder agrees on
+    a frame it accepts); we must never accept what libzstd rejects
+    with a DIFFERENT result. Exercises the new native header parsing."""
+    import numpy as np
+
+    data = (pathlib.Path("/root/reference/testdata")
+            / "Mark.Twain-Tom.Sawyer.txt").read_bytes()[:40000]
+    rng = np.random.default_rng(23)
+    for checksum in (False, True):
+        frame = bytearray(Z.compress(data, level=2, checksum=checksum))
+        for _ in range(300):
+            i = int(rng.integers(0, len(frame)))
+            b = 1 << int(rng.integers(0, 8))
+            frame[i] ^= b
+            raw = bytes(frame)
+            frame[i] ^= b  # restore
+            try:
+                want = zstandard.ZstdDecompressor().decompress(
+                    raw, max_output_size=len(data) + 64)
+                libz_ok = True
+            except Exception:  # noqa: BLE001
+                libz_ok = False
+            try:
+                got = Z.decompress(raw, max_size=len(data) + 64)
+                ours_ok = True
+            except Z.ZstdError:
+                ours_ok = False
+            except Exception as e:  # noqa: BLE001
+                pytest.fail(f"untyped decoder exception {e!r} (bit {i})")
+            if libz_ok and ours_ok:
+                assert got == want, f"output mismatch at bit flip {i}"
