@@ -899,6 +899,37 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
     }
   };
 
+  auto finish_seq = [&](const SeqEnt& el, const SeqEnt& eo,
+                        const SeqEnt& em, uint32_t of_x, uint32_t ml_x,
+                        uint32_t ll_x, long long i) -> bool {
+    uint32_t of_val = eo.vbase + of_x;
+    uint32_t ml = em.vbase + ml_x;
+    uint32_t ll = el.vbase + ll_x;
+    uint32_t cand3 = rep[0] - 1;
+    uint32_t is_long = of_val > 3;
+    uint32_t code = is_long ? 3u : of_val - 1 + (ll == 0 ? 1u : 0u);
+    uint32_t off = code == 0 ? rep[0] : code == 1 ? rep[1]
+                   : code == 2 ? rep[2] : is_long ? of_val - 3 : cand3;
+    if (off == 0) return false;
+    rep[2] = code >= 2 ? rep[1] : rep[2];
+    rep[1] = code >= 1 ? rep[0] : rep[1];
+    rep[0] = off;
+    cum_lit += ll;
+    if (cum_lit > regen) return false;
+    if ((long long)off > cum_out + ll + hist) return false;
+    cum_out += ll + ml;
+    if (cum_out > (1 << 17)) return false;
+    const uint8_t* pm = base + (cum_out - ml) - off;
+    __builtin_prefetch(pm, 0, 1);
+    __builtin_prefetch(pm + 64, 0, 1);
+    ring[i & (SDEPTH - 1)] = {ll, ml, off};
+    if (i >= SDEPTH - 1) {
+      exec_one(ring[exec_i & (SDEPTH - 1)]);
+      exec_i++;
+    }
+    return true;
+  };
+
   for (long long i = 0; i < nseq; i++) {
     SeqEnt el = D_ll[st_ll];
     SeqEnt eo = D_of[st_of];
@@ -906,11 +937,51 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
     int tot = eo.ebits + em.ebits + el.ebits;
     int stbits = el.nb + em.nb + eo.nb;
     uint32_t of_x, ml_x, ll_x;
-    uint64_t w;
     long long last = (i == nseq - 1);
-    int need = tot + (last ? 0 : stbits);
-    // Invalid symbols carry ebits=0xFF, overflow every budget, and die in
-    // the br_read fallback (nb > 31 => !ok).
+    int need = tot + stbits;
+    if (!last && need <= 57 && br.bitpos >= 57) {
+      // opportunistic double-sequence window: ONE peek may serve two
+      long long pk = br.bitpos - 57;
+      uint64_t v;
+      memcpy(&v, br.p + (pk >> 3), 8);
+      uint64_t w = v >> (pk & 7);
+      int rem = 57;
+      of_x = win_take(w, &rem, eo.ebits);
+      ml_x = win_take(w, &rem, em.ebits);
+      ll_x = win_take(w, &rem, el.ebits);
+      st_ll = (el.base + win_take(w, &rem, el.nb)) & 511;
+      st_ml = (em.base + win_take(w, &rem, em.nb)) & 511;
+      st_of = (eo.base + win_take(w, &rem, eo.nb)) & 511;
+      if (!finish_seq(el, eo, em, of_x, ml_x, ll_x, i)) return E_CORRUPT;
+      long long used = need;
+      i++;
+      SeqEnt el2 = D_ll[st_ll];
+      SeqEnt eo2 = D_of[st_of];
+      SeqEnt em2 = D_ml[st_ml];
+      long long last2 = (i == nseq - 1);
+      int tot2 = eo2.ebits + em2.ebits + el2.ebits;
+      int st2 = last2 ? 0 : el2.nb + em2.nb + eo2.nb;
+      int need2 = tot2 + st2;
+      if (need2 <= rem) {
+        of_x = win_take(w, &rem, eo2.ebits);
+        ml_x = win_take(w, &rem, em2.ebits);
+        ll_x = win_take(w, &rem, el2.ebits);
+        if (!last2) {
+          st_ll = (el2.base + win_take(w, &rem, el2.nb)) & 511;
+          st_ml = (em2.base + win_take(w, &rem, em2.nb)) & 511;
+          st_of = (eo2.base + win_take(w, &rem, eo2.nb)) & 511;
+        }
+        if (!finish_seq(el2, eo2, em2, of_x, ml_x, ll_x, i))
+          return E_CORRUPT;
+        used += need2;
+      } else {
+        i--;  // second seq did not fit: re-enter loop for it
+      }
+      br.bitpos -= used;
+      continue;
+    }
+    need = tot + (last ? 0 : stbits);
+    uint64_t w;
     if (need <= 57 && br_grab(&br, need, &w)) {
       int rem = need;
       of_x = win_take(w, &rem, eo.ebits);
@@ -933,39 +1004,7 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
         if (!br.ok) return E_CORRUPT;
       }
     }
-    uint32_t of_val = eo.vbase + of_x;
-    uint32_t ml = em.vbase + ml_x;
-    uint32_t ll = el.vbase + ll_x;
-
-    // branchless repeat-offset resolution: sel = 3 for new offsets, else
-    // the history slot; updates compile to cmovs.
-    uint32_t cand3 = rep[0] - 1;
-    uint32_t is_long = of_val > 3;
-    uint32_t code = is_long ? 3u : of_val - 1 + (ll == 0 ? 1u : 0u);
-    uint32_t off = code == 0 ? rep[0] : code == 1 ? rep[1]
-                   : code == 2 ? rep[2] : is_long ? of_val - 3 : cand3;
-    if (off == 0) return E_CORRUPT;  // only reachable via cand3
-    rep[2] = code >= 2 ? rep[1] : rep[2];
-    rep[1] = code >= 1 ? rep[0] : rep[1];
-    rep[0] = off;
-
-    // decode-time validation (execution is unchecked)
-    cum_lit += ll;
-    if (cum_lit > regen) return E_CORRUPT;
-    if ((long long)off > cum_out + ll + hist) return E_CORRUPT;
-    cum_out += ll + ml;
-    if (cum_out > (1 << 17)) return E_CORRUPT;
-
-    // prefetch the match source region for the execute phase
-    const uint8_t* pm = base + (cum_out - ml) - off;
-    __builtin_prefetch(pm, 0, 1);
-    __builtin_prefetch(pm + 64, 0, 1);
-
-    ring[i & (SDEPTH - 1)] = {ll, ml, off};
-    if (i >= SDEPTH - 1) {
-      exec_one(ring[exec_i & (SDEPTH - 1)]);
-      exec_i++;
-    }
+    if (!finish_seq(el, eo, em, of_x, ml_x, ll_x, i)) return E_CORRUPT;
   }
   while (exec_i < nseq) {
     exec_one(ring[exec_i & (SDEPTH - 1)]);
