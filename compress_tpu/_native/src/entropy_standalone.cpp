@@ -234,7 +234,28 @@ long long ct_fse_decode_i2(const uint8_t* stream, long long slen,
     return (uint32_t)((v >> (bitpos & 7)) & ((1u << nb) - 1));
   };
   uint32_t s1 = rd(tl), s2 = rd(tl);
-  for (long long i = 0; i < out_len && !corrupt; i++) {
+  long long i = 0;
+  // fast path: one 57-bit peek serves ~4 state reloads (nb <= 12);
+  // commit the reader once per window
+  while (i + 4 < out_len - 2 && bitpos >= 57 && !corrupt) {
+    long long pk = bitpos - 57;
+    uint64_t v;
+    memcpy(&v, stream + (pk >> 3), 8);
+    uint64_t w = v >> (pk & 7);
+    int rem = 57;
+    for (int k = 0; k < 4; k++) {
+      uint32_t* st = (i & 1) ? &s2 : &s1;
+      out[i] = spread[*st];
+      int nb = nbt[*st];
+      if (nb > rem) break;
+      rem -= nb;
+      *st = nst[*st] + (uint32_t)((w >> rem) & ((1u << nb) - 1));
+      i++;
+      if (*st >= (uint32_t)size) return -1;
+    }
+    bitpos -= 57 - rem;
+  }
+  for (; i < out_len && !corrupt; i++) {
     if (i & 1) {
       out[i] = spread[s2];
       if (i < out_len - 2) s2 = nst[s2] + rd(nbt[s2]);
