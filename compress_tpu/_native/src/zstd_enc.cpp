@@ -91,6 +91,9 @@ struct Huf {
   int table_len;
 };
 
+long long ct_huf_write_table(const int32_t* nbits /* 256 */, int max_bits,
+                             uint8_t* out, long long cap);
+
 // gain-per-cost greedy (mirrors zdev._huff_build): l0 = ceil(-log2 p),
 // then shorten best hist/cost first until the Kraft deficit is zero.
 static bool huf_build(const uint32_t* hist, long long total, Huf* h) {
@@ -149,16 +152,18 @@ static bool huf_build(const uint32_t* hist, long long total, Huf* h) {
   if (start != (1u << mb)) return false;
   for (int s = 0; s < 256; s++)
     if (!l[s]) h->nbits[s] = 0;
-  // raw-nibble weight table: weights for symbols 0..last-1 (last implied)
-  int nw = last;  // explicit weights exclude the last present symbol
-  if (nw > 128) return false;
-  h->table[0] = (uint8_t)(127 + nw);
-  for (int i = 0; i < nw; i += 2) {
-    int w1 = l[i] ? mb + 1 - l[i] : 0;
-    int w2 = (i + 1 < nw) ? (l[i + 1] ? mb + 1 - l[i + 1] : 0) : 0;
-    h->table[1 + i / 2] = (uint8_t)((w1 << 4) | w2);
-  }
-  h->table_len = 1 + (nw + 1) / 2;
+  // serialize the weight table via the shared writer: FSE-compressed
+  // weights or raw nibbles, whichever is smaller. The old inline
+  // raw-nibble-only path REJECTED alphabets with > 128 explicit weights,
+  // silently downgrading full-alphabet literals (already-compressed-
+  // looking data) to raw — measured 38% of the literal section on the
+  // reference benchdecoder's comp-data.bin.
+  (void)last;
+  int32_t nb32[256];
+  for (int s = 0; s < 256; s++) nb32[s] = l[s];
+  long long tl = ct_huf_write_table(nb32, mb, h->table, sizeof(h->table));
+  if (tl <= 0) return false;
+  h->table_len = (int)tl;
   return true;
 }
 
@@ -859,6 +864,14 @@ static long long encode_blocks_(const uint8_t* src, long long n,
         }
         while (m < maxm && src[cand + m] == src[s + m]) m++;
       ext_done:;
+        // profitability gate: a minimal match at a far offset costs more
+        // bits (ll+ml codes + ~log2(off) offset bits) than its literals —
+        // structured data (kppkn/comp-data class) is full of them and
+        // libzstd-1 skips them too
+        if (m == 4 && (uint64_t)(s - cand) >= 4096) {
+          s++;
+          continue;
+        }
         long long ll = s - next_emit;
         memcpy(lits + lit_n, src + next_emit, ll);
         lit_n += ll;
