@@ -779,8 +779,8 @@ static long long encode_blocks_(const uint8_t* src, long long n,
   // job blocks join a frame whose decoder carries rep state across the job
   // boundary: force the first 3 sequences plain so this job's rep state is
   // self-contained (whole frames start at the decoder's {1,4,8} and need no
-  // forcing)
-  E.force_plain = (level >= 2 && (start > 0 || !mark_last)) ? 3 : 0;
+  // forcing). Applies to every level now that L1 emits rep codes too.
+  E.force_plain = (start > 0 || !mark_last) ? 3 : 0;
 
   uint32_t rep1 = 1;
   long long pos = start;
@@ -867,8 +867,9 @@ static long long encode_blocks_(const uint8_t* src, long long n,
         // profitability gate: a minimal match at a far offset costs more
         // bits (ll+ml codes + ~log2(off) offset bits) than its literals —
         // structured data (kppkn/comp-data class) is full of them and
-        // libzstd-1 skips them too
-        if (m == 4 && (uint64_t)(s - cand) >= 4096) {
+        // libzstd-1 skips them too. Rep-offset matches stay (cheap codes).
+        if (m == 4 && (uint64_t)(s - cand) >= 4096 &&
+            (uint32_t)(s - cand) != E.R.r[0]) {
           s++;
           continue;
         }
@@ -878,9 +879,11 @@ static long long encode_blocks_(const uint8_t* src, long long n,
         seqs[nseq].ll = (uint32_t)ll;
         seqs[nseq].ml = (uint32_t)m;
         uint32_t off = (uint32_t)(s - cand);
-        seqs[nseq].ofv = off + 3;  // rep codes: only rep1 probe, plain emit
+        seqs[nseq].ofv = rep_ofv(&E.R, off, (uint32_t)ll,
+                                 E.force_plain > 0);
+        if (E.force_plain > 0) E.force_plain--;
         nseq++;
-        rep1 = off;
+        rep1 = E.R.r[0];
         s += m;
         next_emit = s;
         if (s + 16 > bend) break;
@@ -1058,6 +1061,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
       // raw block emitted: the decoder saw no sequences, restore rep state
       E.R = rsnap;
       E.force_plain = fsnap;
+      rep1 = E.R.r[0];  // L1's probe offset tracks r0
     }
     pos = bend;
   }
