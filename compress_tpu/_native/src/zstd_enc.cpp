@@ -908,33 +908,55 @@ static long long encode_blocks_(const uint8_t* src, long long n,
       Huf hf;
       long long lit_sec = -1;
       if (lit_n >= 256 && huf_build(hist, lit_n, &hf)) {
-        long long seg = (lit_n + 3) / 4;
-        long long ls[4];
-        long long streams = 0;
-        for (int q = 0; q < 4; q++) {
-          long long a = q * seg;
-          long long b = q < 3 ? a + seg : lit_n;
-          ls[q] = huf_stream(&hf, lits + a, b - a, stage + streams);
-          streams += ls[q];
-        }
-        long long total4 = hf.table_len + 6 + streams;
-        if (ls[0] <= 0xFFFF && ls[1] <= 0xFFFF && ls[2] <= 0xFFFF &&
-            total4 + 5 < lit_n) {
-          // header (size_format 3: 5 bytes, covers all sizes)
-          uint64_t v = 2 | (3u << 2) | ((uint64_t)lit_n << 4)
-                       | ((uint64_t)total4 << 22);
-          for (int i = 0; i < 5; i++) ob[body + i] = (uint8_t)(v >> (8 * i));
-          long long hdr = 5;
-          memcpy(ob + body + hdr, hf.table, hf.table_len);
-          hdr += hf.table_len;
-          for (int q = 0; q < 3; q++) {
-            ob[body + hdr] = (uint8_t)ls[q];
-            ob[body + hdr + 1] = (uint8_t)(ls[q] >> 8);
-            hdr += 2;
+        if (lit_n < 1024) {
+          // small sections: ONE stream (size_format 0, 3-byte header,
+          // 10-bit sizes) skips the 6-byte jump table and 3 stream
+          // paddings the 4X split pays (reference: blockenc.go picks
+          // 1X below a size threshold too)
+          long long l1 = huf_stream(&hf, lits, lit_n, stage);
+          long long total1 = hf.table_len + l1;
+          if (lit_n < 1024 && total1 < 1024 && total1 + 3 < lit_n) {
+            uint32_t v = 2 | (0u << 2) | ((uint32_t)lit_n << 4)
+                         | ((uint32_t)total1 << 14);
+            ob[body] = (uint8_t)v;
+            ob[body + 1] = (uint8_t)(v >> 8);
+            ob[body + 2] = (uint8_t)(v >> 16);
+            memcpy(ob + body + 3, hf.table, hf.table_len);
+            memcpy(ob + body + 3 + hf.table_len, stage, l1);
+            lit_sec = 3 + total1;
+            body += lit_sec;
           }
-          memcpy(ob + body + hdr, stage, streams);
-          lit_sec = 5 + total4;
-          body += lit_sec;
+        }
+        if (lit_sec < 0) {
+          long long seg = (lit_n + 3) / 4;
+          long long ls[4];
+          long long streams = 0;
+          for (int q = 0; q < 4; q++) {
+            long long a = q * seg;
+            long long b = q < 3 ? a + seg : lit_n;
+            ls[q] = huf_stream(&hf, lits + a, b - a, stage + streams);
+            streams += ls[q];
+          }
+          long long total4 = hf.table_len + 6 + streams;
+          if (ls[0] <= 0xFFFF && ls[1] <= 0xFFFF && ls[2] <= 0xFFFF &&
+              total4 + 5 < lit_n) {
+            // header (size_format 3: 5 bytes, covers all sizes)
+            uint64_t v = 2 | (3u << 2) | ((uint64_t)lit_n << 4)
+                         | ((uint64_t)total4 << 22);
+            for (int i = 0; i < 5; i++)
+              ob[body + i] = (uint8_t)(v >> (8 * i));
+            long long hdr = 5;
+            memcpy(ob + body + hdr, hf.table, hf.table_len);
+            hdr += hf.table_len;
+            for (int q = 0; q < 3; q++) {
+              ob[body + hdr] = (uint8_t)ls[q];
+              ob[body + hdr + 1] = (uint8_t)(ls[q] >> 8);
+              hdr += 2;
+            }
+            memcpy(ob + body + hdr, stage, streams);
+            lit_sec = 5 + total4;
+            body += lit_sec;
+          }
         }
       }
       if (lit_sec < 0) {  // raw literals
@@ -977,7 +999,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
       uint8_t nc_buf[3][80];
       int nc_len[3] = {0, 0, 0};
       int16_t norm[64];
-      if (level >= 2) {
+      if (level >= 1) {  // cost-based table choice at every level
         uint8_t rs;
         m_ll = choose_tab(h_ll, max_lc, nseq, PRE_LL, 36, &g_ll, 9, &c_ll,
                           nc_buf[0], &nc_len[0], &rs);
