@@ -546,6 +546,10 @@ static long long deflate_fast(const uint8_t* src, long long n, uint8_t* dst,
       long long maxm = n - s;
       if (maxm > 258) maxm = 258;
       long long m = fmatch_len(src, c + 4, s + 4, maxm - 4) + 4;
+      if (m == 4 && s - c > 16384) {  // zlib TOO_FAR analogue (chain
+        s++;                          // path already has it)
+        continue;
+      }
       emit_run(s);
       toks[ntok].val = (uint16_t)m;
       toks[ntok].dist = (uint16_t)(s - c);
