@@ -155,6 +155,29 @@ def _host_extra_metrics(big: bytes) -> dict:
         raise
     except Exception:
         pass
+    try:
+        # encode-ratio posture vs libzstd on the reference's own corpus
+        # contents (aggregate ours/libzstd at the matching level)
+        import zipfile
+
+        import zstandard
+
+        from compress_tpu.zstd.encoder import compress as zc
+
+        zf = zipfile.ZipFile(
+            "/root/reference/zstd/testdata/benchdecoder.zip")
+        d = zstandard.ZstdDecompressor()
+        c1 = zstandard.ZstdCompressor(level=1)
+        to = tl = 0
+        for n in zf.namelist():
+            raw = d.decompress(zf.read(n), max_output_size=64 << 20)
+            to += len(zc(raw, level=1))
+            tl += len(c1.compress(raw))
+        out["zstd_l1_corpus_ratio_vs_libzstd1"] = round(to / tl, 4)
+    except AssertionError:
+        raise
+    except Exception:
+        pass
     return out
 
 
