@@ -10,7 +10,11 @@ current default.
 Run on a HEALTHY chip only (bench.py calib_matmul_ms < 1).
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
