@@ -84,47 +84,73 @@ def _bitonic_refs(key_ref, p_refs, g, sec_of=None, log_n=16):
     lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 0)
 
-    def phase(k, _):
+    def stage(k, j):
+        d = 1 << j
+        if j < 7:
+            lidx = lane ^ d
+
+            def partner(a):
+                return jnp.take_along_axis(a, lidx, axis=1)
+        else:
+            rd = d >> 7
+            up = (row & rd) == 0
+
+            def partner(a):
+                fwd = pltpu.roll(a, ROWS - rd, 0)
+                bwd = pltpu.roll(a, rd, 0)
+                return jnp.where(up, fwd, bwd)
+
+        key = key_ref[:]
+        payloads = [p[:] for p in p_refs]
+        pkey = partner(key)
+        pps = [partner(p) for p in payloads]
         asc = (jax.lax.shift_right_logical(g, k) & 1) == 0
-        for j in range(log_n - 1, -1, -1):
+        lower = (g & d) == 0
+        want_min = lower == asc
+        # (key, sec) is a strict total order (sec embeds the unique pos),
+        # so p_greater == ~p_less and swap = (p_less == want_min).
+        if sec_of is not None:
+            ms = sec_of(key, payloads)
+            ps = sec_of(pkey, pps)
+            p_less = (pkey < key) | ((pkey == key) & (ps < ms))
+        else:
+            p_less = pkey < key
+        swap = p_less == want_min
+        key_ref[:] = jnp.where(swap, pkey, key)
+        for p, pp, pref in zip(payloads, pps, p_refs):
+            pref[:] = jnp.where(swap, pp, p)
+
+    # Three loops so pl.when padding stays small (predicated slots are
+    # not free): lane phases k<=7 (28/49 active), row sub-stages of the
+    # big phases (45/81 active), then the unconditional lane tail of the
+    # big phases (63 active, no predicate).
+    def phase_a(k, _):
+        for j in range(6, -1, -1):
             @pl.when(j < k)
-            def _stage(j=j):
-                d = 1 << j
-                if j < 7:
-                    lidx = lane ^ d
-
-                    def partner(a):
-                        return jnp.take_along_axis(a, lidx, axis=1)
-                else:
-                    rd = d >> 7
-                    up = (row & rd) == 0
-
-                    def partner(a):
-                        fwd = pltpu.roll(a, ROWS - rd, 0)
-                        bwd = pltpu.roll(a, rd, 0)
-                        return jnp.where(up, fwd, bwd)
-
-                key = key_ref[:]
-                payloads = [p[:] for p in p_refs]
-                pkey = partner(key)
-                pps = [partner(p) for p in payloads]
-                lower = (g & d) == 0
-                want_min = lower == asc
-                if sec_of is not None:
-                    ms = sec_of(key, payloads)
-                    ps = sec_of(pkey, pps)
-                    p_less = (pkey < key) | ((pkey == key) & (ps < ms))
-                    p_greater = (pkey > key) | ((pkey == key) & (ps > ms))
-                else:
-                    p_less = pkey < key
-                    p_greater = pkey > key
-                swap = (want_min & p_less) | (~want_min & p_greater)
-                key_ref[:] = jnp.where(swap, pkey, key)
-                for p, pp, pref in zip(payloads, pps, p_refs):
-                    pref[:] = jnp.where(swap, pp, p)
+            def _s(j=j):
+                stage(k, j)
         return 0
 
-    jax.lax.fori_loop(1, log_n + 1, phase, 0)
+    def phase_b1(k, _):
+        for j in range(log_n - 1, 6, -1):
+            @pl.when(j < k)
+            def _s(j=j):
+                stage(k, j)
+        return 0
+
+    def phase_b2(k, _):
+        for j in range(6, -1, -1):
+            stage(k, j)
+        return 0
+
+    jax.lax.fori_loop(1, 8, phase_a, 0)
+
+    def phase_b(k, _):
+        phase_b1(k, None)
+        phase_b2(k, None)
+        return 0
+
+    jax.lax.fori_loop(8, log_n + 1, phase_b, 0)
 
 
 def _finder_body(blk_i32, key_ref, p1_ref, p2_ref):
