@@ -1043,6 +1043,169 @@ static inline int hufd_read(const HufD* t, FBr* b) {
   return t->sym[idx];
 }
 
+// Streaming inflate at deflate-block granularity (reference role:
+// flate/inflate.go's resumable step machine, gzip/gunzip.go:75 Reader).
+// Decodes as many COMPLETE blocks as the input allows, starting at
+// *bitpos; dst[0..wn) must hold the 32 KiB window prefix (history), the
+// output appends from wn. On return, *bitpos points past the last
+// complete block and *status is:
+//   0 = need more input (a block ran off the end; its partial output was
+//       rolled back),  1 = final block decoded (stream complete),
+//   2 = dst capacity reached at a block boundary (caller drains/grows),
+//  -1 = corrupt input.
+// Returns bytes produced (excluding the window), valid for status >= 0.
+// The input buffer must have 8 guard bytes past n (as ct_inflate).
+long long ct_inflate_stream(const uint8_t* src, long long n,
+                            long long* bitpos, uint8_t* dst, long long wn,
+                            long long cap, int* status) {
+  FBr br;
+  br.p = src;
+  br.n = n;
+  br.bit = *bitpos;
+  HufD* lit_t = (HufD*)malloc(sizeof(HufD));
+  HufD* dst_t = (HufD*)malloc(sizeof(HufD));
+  if (!lit_t || !dst_t) {
+    free(lit_t);
+    free(dst_t);
+    *status = -1;
+    return -1;
+  }
+  long long d = wn;
+  int st = 0;  // default: need more input
+  while (true) {
+    long long blk_bit = br.bit;
+    long long blk_d = d;
+    // "truncated, need more" vs "corrupt": any failure whose consumed
+    // bits ran past the real input is a truncation; failures strictly
+    // inside the input are corruption.
+#define FAIL_TRUNC_OR(code)                                   \
+    do {                                                      \
+      if (br.bit + 15 > 8 * n) { st = 0; }                    \
+      else { st = (code); }                                   \
+      br.bit = blk_bit;                                       \
+      d = blk_d;                                              \
+      goto sdone;                                             \
+    } while (0)
+    if (br.bit + 3 > 8 * n) { st = 0; goto sdone; }
+    int final = fbr_get(&br, 1);
+    int btype = fbr_get(&br, 2);
+    if (btype == 0) {
+      br.bit = (br.bit + 7) & ~7ll;
+      long long byte = br.bit >> 3;
+      if (byte + 4 > n) {
+        st = 0;  // header not fully buffered yet
+        br.bit = blk_bit;
+        d = blk_d;
+        goto sdone;
+      }
+      int len = src[byte] | (src[byte + 1] << 8);
+      int nlen = src[byte + 2] | (src[byte + 3] << 8);
+      if ((len ^ 0xFFFF) != nlen) { st = -1; goto sdone; }
+      if (byte + 4 + len > n) {
+        st = 0;  // stored payload not fully buffered yet
+        br.bit = blk_bit;
+        d = blk_d;
+        goto sdone;
+      }
+      if (d + len > cap) { st = 2; br.bit = blk_bit; d = blk_d; goto sdone; }
+      memcpy(dst + d, src + byte + 4, len);
+      d += len;
+      br.bit = (byte + 4 + len) * 8;
+    } else if (btype == 1 || btype == 2) {
+      uint8_t ll[288], dl[32];
+      if (btype == 1) {
+        for (int i = 0; i < 144; i++) ll[i] = 8;
+        for (int i = 144; i < 256; i++) ll[i] = 9;
+        for (int i = 256; i < 280; i++) ll[i] = 7;
+        for (int i = 280; i < 288; i++) ll[i] = 8;
+        for (int i = 0; i < 30; i++) dl[i] = 5;
+        if (!hufd_build(lit_t, ll, 288) || !hufd_build(dst_t, dl, 30))
+          FAIL_TRUNC_OR(-1);
+      } else {
+        int hlit = fbr_get(&br, 5) + 257;
+        int hdist = fbr_get(&br, 5) + 1;
+        int hclen = fbr_get(&br, 4) + 4;
+        static const uint8_t ORD[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
+                                        11, 4, 12, 3, 13, 2, 14, 1, 15};
+        uint8_t cl[19] = {0};
+        for (int i = 0; i < hclen; i++) cl[ORD[i]] = (uint8_t)fbr_get(&br, 3);
+        HufD cl_t_s;
+        if (!hufd_build(&cl_t_s, cl, 19)) FAIL_TRUNC_OR(-1);
+        uint8_t seq[320];
+        int ns = 0;
+        int want = hlit + hdist;
+        while (ns < want) {
+          if (br.bit + 15 > 8 * n + 15) break;  // hard stop near guard end
+          int s = hufd_read(&cl_t_s, &br);
+          if (s < 0) { ns = -1; break; }
+          if (s < 16) {
+            seq[ns++] = (uint8_t)s;
+          } else if (s == 16) {
+            if (ns == 0) { ns = -1; break; }
+            int r = fbr_get(&br, 2) + 3;
+            uint8_t v = seq[ns - 1];
+            while (r-- && ns < want) seq[ns++] = v;
+          } else if (s == 17) {
+            int r = fbr_get(&br, 3) + 3;
+            while (r-- && ns < want) seq[ns++] = 0;
+          } else {
+            int r = fbr_get(&br, 7) + 11;
+            while (r-- && ns < want) seq[ns++] = 0;
+          }
+        }
+        if (ns != want) FAIL_TRUNC_OR(-1);
+        if (br.bit > 8 * n) FAIL_TRUNC_OR(-1);
+        memcpy(ll, seq, hlit);
+        memset(ll + hlit, 0, sizeof(ll) - hlit);
+        memcpy(dl, seq + hlit, hdist);
+        memset(dl + hdist, 0, sizeof(dl) - hdist);
+        if (!hufd_build(lit_t, ll, 288)) FAIL_TRUNC_OR(-1);
+        if (!hufd_build(dst_t, dl, 30)) {
+          dst_t->maxlen = 1;
+          memset(dst_t->len, 0, 2);
+        }
+      }
+      while (true) {
+        if (br.bit > 8 * n) FAIL_TRUNC_OR(-1);
+        int s = hufd_read(lit_t, &br);
+        if (s < 0) FAIL_TRUNC_OR(-1);
+        if (s < 256) {
+          if (d >= cap) { st = 2; br.bit = blk_bit; d = blk_d; goto sdone; }
+          dst[d++] = (uint8_t)s;
+        } else if (s == 256) {
+          break;
+        } else {
+          int lc = s - 257;
+          if (lc > 28) FAIL_TRUNC_OR(-1);
+          int len = LEN_BASE[lc] + (int)fbr_get(&br, LEN_XB[lc]);
+          int ds = hufd_read(dst_t, &br);
+          if (ds < 0 || ds > 29) FAIL_TRUNC_OR(-1);
+          int dist = DST_BASE[ds] + (int)fbr_get(&br, DST_XB[ds]);
+          if (dist > d) FAIL_TRUNC_OR(-1);
+          if (d + len > cap) { st = 2; br.bit = blk_bit; d = blk_d; goto sdone; }
+          if (dist >= len) {
+            memcpy(dst + d, dst + d - dist, len);
+            d += len;
+          } else {
+            for (int k = 0; k < len; k++) { dst[d] = dst[d - dist]; d++; }
+          }
+        }
+      }
+      if (br.bit > 8 * n) FAIL_TRUNC_OR(-1);
+    } else {
+      FAIL_TRUNC_OR(-1);
+    }
+    if (final) { st = 1; break; }
+#undef FAIL_TRUNC_OR
+  }
+sdone:
+  free(lit_t);
+  free(dst_t);
+  *bitpos = br.bit;
+  *status = st;
+  return st < 0 ? -1 : d - wn;
+}
+
 long long ct_inflate(const uint8_t* src, long long n, uint8_t* dst,
                      long long cap) {
   FBr br;

@@ -254,3 +254,196 @@ def inflate(data, max_size: int = 1 << 31, eob_callback=None,
             eob_callback(Checkpoint(base_off + len(out), byte, bit, bool(final), win))
         if final:
             return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Streaming Reader (reference roles: flate.NewReader / the resumable step
+# machine in flate/inflate.go, read-side; consumed by gzip.Reader
+# (gzip/gunzip.go:75) and zlib.Reader (zlib/reader.go:51))
+# ---------------------------------------------------------------------------
+
+
+_READ_CHUNK = 1 << 16
+
+
+def _stream_lib():
+    import os
+
+    if os.environ.get("COMPRESS_TPU_NONATIVE"):
+        return None
+    import ctypes
+
+    from compress_tpu import _native
+
+    lib = _native.raw()
+    if lib is None or not hasattr(lib, "ct_inflate_stream"):
+        return None
+    if not getattr(lib, "_inflate_stream_proto", False):
+        lib.ct_inflate_stream.restype = ctypes.c_longlong
+        lib.ct_inflate_stream.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_longlong), ctypes.c_char_p,
+            ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_int)]
+        lib._inflate_stream_proto = True
+    return lib
+
+
+class Reader:
+    """Incremental DEFLATE decoder over a file-like object.
+
+    read(n) returns up to n decompressed bytes (b"" at end of stream);
+    decoding advances at deflate-block granularity via the native
+    streaming core (ct_inflate_stream), with a pure-Python whole-buffer
+    fallback under COMPRESS_TPU_NONATIVE. `dictionary` seeds the window.
+
+    After the final block, any unconsumed input bytes the Reader
+    over-read from the source are available as `.unused_tail` (gzip/zlib
+    trailers, next multistream member)."""
+
+    def __init__(self, src, dictionary: bytes | None = None,
+                 max_block: int = 1 << 30):
+        import io
+
+        if isinstance(src, (bytes, bytearray, memoryview)):
+            src = io.BytesIO(bytes(src))
+        self._src = src
+        self._buf = bytearray()       # compressed bytes not yet consumed
+        self._bitpos = 0              # bit offset into _buf
+        self._out = bytearray()       # decoded, not yet read
+        self._window = bytearray(bytes(dictionary or b"")[-32768:])
+        self._eos = False             # final deflate block decoded
+        self._src_eof = False
+        self._max_block = max_block
+        self._cap = 1 << 18           # native output capacity (grows)
+        self._py_data = None          # NONATIVE fallback state
+
+    # -- internals ----------------------------------------------------------
+
+    def _fill_src(self) -> bool:
+        chunk = self._src.read(_READ_CHUNK)
+        if not chunk:
+            self._src_eof = True
+            return False
+        self._buf += chunk
+        return True
+
+    def _advance_native(self, lib) -> bool:
+        """One native call; returns True if progress was made."""
+        import ctypes
+
+        # drop fully-consumed bytes (keep bit alignment)
+        drop = self._bitpos >> 3
+        if drop:
+            del self._buf[:drop]
+            self._bitpos &= 7
+        wn = len(self._window)
+        n = len(self._buf)
+        src = bytes(self._buf) + b"\x00" * 8
+        from compress_tpu import _native
+
+        while True:
+            arr, ptr = _native.out_buf(self._cap + 32768)
+            arr[:wn] = np.frombuffer(bytes(self._window), np.uint8)
+            bitp = ctypes.c_longlong(self._bitpos)
+            st = ctypes.c_int(0)
+            r = lib.ct_inflate_stream(src, n, ctypes.byref(bitp), ptr, wn,
+                                      self._cap + 32768, ctypes.byref(st))
+            if st.value == 2 and r == 0:
+                # a single block larger than the capacity: grow and retry
+                if self._cap >= self._max_block:
+                    raise InflateError("deflate block exceeds max_block")
+                self._cap *= 4
+                continue
+            break
+        if st.value == -1:
+            raise InflateError("corrupt deflate stream")
+        produced = int(r)
+        if produced > 0:
+            out = arr[wn : wn + produced].tobytes()
+            self._out += out
+            w = (bytes(self._window) + out)[-32768:]
+            self._window = bytearray(w)
+        self._bitpos = int(bitp.value)
+        if st.value == 1:
+            self._eos = True
+        return produced > 0 or st.value == 1
+
+    def _advance_python(self) -> None:
+        """NONATIVE fallback: read ALL remaining input, decode once using
+        the checkpointed whole-buffer inflate (same bit-exact semantics;
+        streaming memory profile requires the native core)."""
+        rest = self._src.read()
+        data = bytes(self._buf) + (rest or b"")
+        self._buf.clear()
+        self._bitpos = 0
+        self._src_eof = True
+        ends = []
+        out = inflate(data, prefix=bytes(self._window),
+                      eob_callback=lambda cp: ends.append(
+                          (cp.compressed_offset, cp.bit_offset, cp.final)))
+        self._out += out
+        self._window = bytearray((bytes(self._window) + out)[-32768:])
+        for off, bit, fin in ends:
+            if fin:
+                self._buf = bytearray(data[off + (1 if bit else 0):])
+                break
+        self._eos = True
+
+    def _pump(self) -> None:
+        """Make decode progress: buffer more output or reach end-of-stream."""
+        if self._eos:
+            return
+        lib = _stream_lib()
+        if lib is None:
+            self._advance_python()
+            return
+        while True:
+            made = self._advance_native(lib)
+            if made or self._eos:
+                return
+            if not self._fill_src():
+                raise InflateError("truncated deflate stream")
+
+    # -- public API ----------------------------------------------------------
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            parts = []
+            while True:
+                b = self.read(_READ_CHUNK * 4)
+                if not b:
+                    break
+                parts.append(b)
+            return b"".join(parts)
+        while len(self._out) < n and not self._eos:
+            self._pump()
+            if not self._out and self._eos:
+                break
+        take = bytes(self._out[:n])
+        del self._out[:n]
+        return take
+
+    def read1(self, n: int = _READ_CHUNK) -> bytes:
+        if not self._out and not self._eos:
+            self._pump()
+        return self.read(min(n, max(len(self._out), 1)))
+
+    @property
+    def unused_tail(self) -> bytes:
+        """Bytes read from the source past the end of the deflate stream
+        (valid once the stream is finished)."""
+        if not self._eos:
+            return b""
+        skip = (self._bitpos + 7) >> 3
+        return bytes(self._buf[skip:])
+
+    def __iter__(self):
+        while True:
+            b = self.read(_READ_CHUNK)
+            if not b:
+                return
+            yield b
+
+    def close(self):
+        self._src = None

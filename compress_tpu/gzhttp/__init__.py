@@ -162,11 +162,41 @@ class GzipMiddleware:
             captured["headers"] = headers
             return lambda b: None
 
-        chunks = [c for c in self.app(environ, cap_start)]
+        # stream-aware buffering (reference: gzhttp buffers until MinSize
+        # then streams compressed chunks as the handler writes,
+        # gzhttp/compress.go:565): pull chunks until the decision
+        # threshold; if the app is exhausted we keep the exact buffered
+        # ("small response") behavior incl. Content-Length and the
+        # bigger-than-body fallback; otherwise compress incrementally and
+        # yield chunks as they are produced.
+        it = iter(self.app(environ, cap_start))
+        chunks = []
+        size = 0
+        exhausted = False
+        threshold = max(self.min_size, 1)
+        while size < threshold:
+            try:
+                c = next(it)
+            except StopIteration:
+                exhausted = True
+                break
+            chunks.append(c)
+            size += len(c)
+        tail_chunk = None
+        if not exhausted:
+            # one lookahead pull so single-yield bodies stay buffered
+            try:
+                tail_chunk = next(it)
+            except StopIteration:
+                exhausted = True
         body = b"".join(chunks)
         status = captured["status"]
         headers = list(captured["headers"])
         hmap = {k.lower(): v for k, v in headers}
+
+        if not exhausted:
+            return self._stream_response(environ, start_response, status,
+                                         headers, hmap, body, tail_chunk, it)
 
         ctype = hmap.get("content-type", "")
         sniffed = None
@@ -224,6 +254,105 @@ class GzipMiddleware:
         out_headers.append(("Content-Length", str(len(comp))))
         start_response(status, out_headers)
         return [comp]
+
+    def _stream_response(self, environ, start_response, status, headers,
+                         hmap, buffered, tail_chunk, it):
+        """Compress an unexhausted body incrementally: chunks reach the
+        client as the app yields them (no Content-Length; the server
+        chunk-encodes). Reference: gzhttp streams through pooled writers
+        once past MinSize (gzhttp/compress.go:565)."""
+        enc = negotiate(environ.get("HTTP_ACCEPT_ENCODING", ""),
+                        self.enable_zstd, self.prefer_zstd)
+        ctype = hmap.get("content-type", "")
+        sniffed = None
+        if not ctype and buffered:
+            sniffed = self.detect_content_type(buffered)
+            ctype = sniffed
+        if (enc is None or "content-encoding" in hmap
+                or "content-range" in hmap or not self._type_ok(ctype)):
+            start_response(status, headers)
+
+            def passthrough():
+                if buffered:
+                    yield buffered
+                if tail_chunk is not None:
+                    yield tail_chunk
+                yield from it
+
+            return passthrough()
+        if sniffed is not None:
+            headers.append(("Content-Type", sniffed))
+        out_headers = []
+        for k, v in headers:
+            kl = k.lower()
+            if kl in ("content-length", "accept-ranges") and not (
+                kl == "accept-ranges" and self.keep_accept_ranges
+            ):
+                continue
+            if kl == "etag":
+                if self.drop_etag:
+                    continue
+                if self.suffix_etag and v.endswith('"'):
+                    v = v[:-1] + self.suffix_etag + '"'
+            out_headers.append((k, v))
+        out_headers.append(("Content-Encoding", enc))
+        out_headers.append(("Vary", "Accept-Encoding"))
+        start_response(status, out_headers)
+
+        class _Sink:
+            def __init__(s):
+                s.parts = []
+
+            def write(s, b):
+                s.parts.append(bytes(b))
+                return len(b)
+
+            def drain(s):
+                if not s.parts:
+                    return b""
+                out = b"".join(s.parts)
+                s.parts = []
+                return out
+
+        mw = self
+
+        def gen():
+            sink = _Sink()
+            if enc == "zstd":
+                from compress_tpu.zstd import stream as _zs
+
+                if mw.random_jitter:
+                    n = mw._content_hash(buffered) % mw.random_jitter
+                    yield write_skippable_frame(bytes(n), 0x50 & 0xF)
+                w = _zs.Writer(sink, level=mw.zstd_level)
+            else:
+                if mw.random_jitter:
+                    yield mw._jitter_gzip(buffered)
+                w = tgzip.Writer(sink, level=mw.level)
+            w.write(buffered)
+            w.flush()
+            d = sink.drain()
+            if d:
+                yield d
+            if tail_chunk is not None:
+                w.write(tail_chunk)
+                d = sink.drain()
+                if d:
+                    yield d
+            for c in it:
+                if not c:
+                    continue
+                w.write(c)
+                w.flush()
+                d = sink.drain()
+                if d:
+                    yield d
+            w.close()
+            d = sink.drain()
+            if d:
+                yield d
+
+        return gen()
 
     def _content_hash(self, body: bytes) -> int:
         h = hashlib.sha256(body[: self.jitter_buffer]).digest()

@@ -169,3 +169,168 @@ class Writer:
         self.dst.write((self._crc & 0xFFFFFFFF).to_bytes(4, "little"))
         self.dst.write((self._n & 0xFFFFFFFF).to_bytes(4, "little"))
         self._closed = True
+
+
+class Reader:
+    """Streaming gzip reader (reference: gzip.Reader, gzip/gunzip.go:75):
+    incremental reads over a file-like source, per-member CRC-32/ISIZE
+    verification, multistream concatenated members (disable to stop at
+    the first member, leaving the tail unread — gunzip.go Multistream).
+
+    `header` holds the current member's Header after the first read (or
+    construction, which parses the first header eagerly like the
+    reference's NewReader)."""
+
+    def __init__(self, src, multistream: bool = True,
+                 max_size: int = 1 << 40):
+        import io
+
+        if isinstance(src, (bytes, bytearray, memoryview)):
+            src = io.BytesIO(bytes(src))
+        self._src = src
+        self._multistream = multistream
+        self._max = max_size
+        self._pending = b""     # source bytes read past the member
+        self._fr = None         # current member's flate Reader
+        self._crc = 0
+        self._n = 0
+        self._total = 0
+        self._done = False
+        self.header = None
+        self._start_member(first=True)
+
+    # -- member plumbing -----------------------------------------------------
+
+    def _read_exact(self, n: int) -> bytes:
+        out = bytearray(self._pending[:n])
+        self._pending = self._pending[n:]
+        while len(out) < n:
+            chunk = self._src.read(n - len(out))
+            if not chunk:
+                raise GzipError("unexpected EOF in gzip header")
+            out += chunk
+        return bytes(out)
+
+    def _read_until_nul(self) -> bytes:
+        out = bytearray()
+        while True:
+            b = self._read_exact(1)
+            if b == b"\x00":
+                return bytes(out)
+            out += b
+
+    def _start_member(self, first: bool = False) -> bool:
+        """Parse one member header; False at clean end of input."""
+        probe = bytearray(self._pending[:2])
+        self._pending = self._pending[2:]
+        while len(probe) < 2:
+            chunk = self._src.read(2 - len(probe))
+            if not chunk:
+                if first or len(probe):
+                    raise GzipError("unexpected EOF in gzip header")
+                self._done = True
+                return False
+            probe += chunk
+        if bytes(probe) != MAGIC:
+            raise GzipError("bad magic")
+        rest = self._read_exact(8)
+        if rest[0] != _DEFLATE_CM:
+            raise GzipError("unknown compression method")
+        flg = rest[1]
+        h = Header(mtime=int.from_bytes(rest[2:6], "little"), os=rest[7])
+        if flg & _FLG_EXTRA:
+            xlen = int.from_bytes(self._read_exact(2), "little")
+            h.extra = self._read_exact(xlen)
+        if flg & _FLG_NAME:
+            h.name = self._read_until_nul().decode("latin-1")
+        if flg & _FLG_COMMENT:
+            h.comment = self._read_until_nul().decode("latin-1")
+        if flg & _FLG_HCRC:
+            self._read_exact(2)
+        if first or self.header is None:
+            self.header = h
+        import io
+
+        from compress_tpu.flate.inflate import Reader as _FlateReader
+
+        class _Chain(io.RawIOBase):
+            def __init__(c, pending, src):
+                c._pending = pending
+                c._src = src
+
+            def read(c, n=-1):
+                if c._pending:
+                    if n is None or n < 0 or n >= len(c._pending):
+                        out, c._pending = c._pending, b""
+                        if n is not None and n >= 0 and len(out) < n:
+                            more = c._src.read(n - len(out))
+                            return out + (more or b"")
+                        if n is None or n < 0:
+                            rest = c._src.read()
+                            return out + (rest or b"")
+                        return out
+                    out = c._pending[:n]
+                    c._pending = c._pending[n:]
+                    return out
+                return c._src.read(n)
+
+        self._chain = _Chain(self._pending, self._src)
+        self._pending = b""
+        self._fr = _FlateReader(self._chain)
+        self._crc = 0
+        self._n = 0
+        return True
+
+    def _finish_member(self):
+        tail = self._fr.unused_tail
+        self._pending = tail + getattr(self._chain, "_pending", b"")
+        trailer = self._read_exact(8)
+        want_crc = int.from_bytes(trailer[:4], "little")
+        want_len = int.from_bytes(trailer[4:8], "little")
+        if self._crc & 0xFFFFFFFF != want_crc:
+            raise GzipError("crc mismatch")
+        if self._n & 0xFFFFFFFF != want_len:
+            raise GzipError("length mismatch")
+        if not self._multistream:
+            self._done = True
+            return
+        self._start_member()
+
+    # -- public API ------------------------------------------------------------
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            parts = []
+            while True:
+                b = self.read(1 << 20)
+                if not b:
+                    break
+                parts.append(b)
+            return b"".join(parts)
+        out = bytearray()
+        while len(out) < n and not self._done:
+            chunk = self._fr.read(n - len(out))
+            if chunk:
+                self._crc = _zlib.crc32(chunk, self._crc)
+                self._n += len(chunk)
+                self._total += len(chunk)
+                if self._total > self._max:
+                    raise GzipError("output exceeds max_size")
+                out += chunk
+            else:
+                self._finish_member()
+        return bytes(out)
+
+    def __iter__(self):
+        while True:
+            b = self.read(1 << 16)
+            if not b:
+                return
+            yield b
+
+    def close(self):
+        self._done = True
+        self._fr = None
+
+
+__all__ += ["Writer", "Reader"]

@@ -137,3 +137,98 @@ class Writer:
         self._fw.close()
         self.dst.write((self._adler & 0xFFFFFFFF).to_bytes(4, "big"))
         self._closed = True
+
+
+class Reader:
+    """Streaming zlib reader (reference: zlib.Reader, zlib/reader.go:51):
+    incremental reads, FDICT dictionary support, adler32 verification at
+    end of stream."""
+
+    def __init__(self, src, dictionary: bytes | None = None,
+                 max_size: int = 1 << 40):
+        import io
+
+        if isinstance(src, (bytes, bytearray, memoryview)):
+            src = io.BytesIO(bytes(src))
+        self._src = src
+        self._max = max_size
+        hdr = self._read_exact(2)
+        cmf, flg = hdr[0], hdr[1]
+        if cmf & 0x0F != _DEFLATE_CM:
+            raise ZlibError("unknown compression method")
+        if (cmf * 256 + flg) % 31 != 0:
+            raise ZlibError("bad header check")
+        prefix = None
+        if flg & 0x20:
+            if dictionary is None:
+                raise ZlibError("dictionary required")
+            want = int.from_bytes(self._read_exact(4), "big")
+            if _zlib.adler32(dictionary) & 0xFFFFFFFF != want:
+                raise ZlibError("dictionary checksum mismatch")
+            prefix = bytes(dictionary)
+        from compress_tpu.flate.inflate import Reader as _FlateReader
+
+        self._fr = _FlateReader(self._src, dictionary=prefix)
+        self._adler = 1
+        self._n = 0
+        self._done = False
+
+    def _read_exact(self, n: int) -> bytes:
+        out = bytearray()
+        while len(out) < n:
+            chunk = self._src.read(n - len(out))
+            if not chunk:
+                raise ZlibError("unexpected EOF in zlib header")
+            out += chunk
+        return bytes(out)
+
+    def _finish(self):
+        tail = self._fr.unused_tail
+        need = 4 - len(tail)
+        trailer = tail[:4]
+        while need > 0:
+            chunk = self._src.read(need)
+            if not chunk:
+                raise ZlibError("unexpected EOF in zlib trailer")
+            trailer += chunk
+            need -= len(chunk)
+        want = int.from_bytes(trailer[:4], "big")
+        if self._adler & 0xFFFFFFFF != want:
+            raise ZlibError("adler32 mismatch")
+        self._done = True
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            parts = []
+            while True:
+                b = self.read(1 << 20)
+                if not b:
+                    break
+                parts.append(b)
+            return b"".join(parts)
+        out = bytearray()
+        while len(out) < n and not self._done:
+            chunk = self._fr.read(n - len(out))
+            if chunk:
+                self._adler = _zlib.adler32(chunk, self._adler)
+                self._n += len(chunk)
+                if self._n > self._max:
+                    raise ZlibError("output exceeds max_size")
+                out += chunk
+            else:
+                self._finish()
+        return bytes(out)
+
+    def __iter__(self):
+        while True:
+            b = self.read(1 << 16)
+            if not b:
+                return
+            yield b
+
+    def close(self):
+        self._done = True
+        self._fr = None
+
+
+__all__ += ["Writer", "Reader"]

@@ -214,3 +214,100 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---- r4 additions: local-exact + wave hash hybrid --------------------------
+
+def sim_hybrid(block, T=4096, W=256, l_cap=8, local_max=31, ways=1):
+    """local exact offsets 1..local_max (byte-precise L up to 12) +
+    tag-verified hash table at wave granularity W."""
+    bs = len(block)
+    v = v32_of(block)
+    u = (v * M)
+    tbits = int(np.log2(T))
+    slot = (u >> np.uint32(32 - tbits)).astype(np.int64)
+    ext = np.concatenate([block, np.zeros(64, np.uint8)])
+    off = np.zeros(bs, np.int32)
+    L = np.zeros(bs, np.int32)
+    # local exact: offsets 1..local_max
+    for o in range(1, local_max + 1):
+        m = np.zeros(bs, bool)
+        m[o:] = v[o:] == v[:-o]
+        # length: byte-precise up to 12
+        l = np.full(bs, 4, np.int32)
+        for k in range(4, 12):
+            eq = np.zeros(bs, bool)
+            eq[o:] = ext[4 + np.arange(bs - o) + o - 4 + k - k]  # placeholder
+        # vectorized byte-precise length
+        l = np.full(bs, 0, np.int32)
+        l[m] = 4
+        for k in range(4, 12):
+            ok = m.copy()
+            ok[:] = False
+            idx = np.nonzero(m)[0]
+            good = idx + k < bs + 48
+            ii = idx[good]
+            cont = ext[ii + k] == ext[ii + k - o]
+            upd = np.zeros(bs, bool)
+            upd[ii[cont & (l[ii] == k)]] = True
+            l[upd] += 1
+        better = (l > L) & (l >= 4)
+        L = np.where(better, l, L)
+        off = np.where(better, o, off)
+    # wave hash (tag-verified = exact v32 since tag injective)
+    tab = np.full((T, ways), -1, np.int64)
+    for w0 in range(0, bs, W):
+        idx = np.arange(w0, min(w0 + W, bs))
+        s = slot[idx]
+        cands = tab[s]
+        for j, i in enumerate(idx):
+            best_l, best_c = 0, -1
+            for c in cands[j]:
+                if c < 0 or v[c] != v[i]:
+                    continue
+                l = 4
+                while l < l_cap and i + l < bs and ext[c + l] == ext[i + l]:
+                    l += 1
+                if l > best_l:
+                    best_l, best_c = l, c
+            if best_c >= 0 and (L[i] < best_l or (L[i] == best_l and off[i] == 0)):
+                if best_l > L[i]:
+                    off[i] = i - best_c
+                    L[i] = best_l
+        lastw = {}
+        for i in idx:
+            lastw[slot[i]] = i
+        for s_, i in lastw.items():
+            tab[s_, 1:] = tab[s_, :-1]
+            tab[s_, 0] = i
+    return off, L
+
+
+def main2():
+    corp = load_corpora()
+    cfgs = [
+        ("sortC16", None),
+        ("T4096 W256 loc31", dict(T=4096, W=256, local_max=31)),
+        ("T8192 W256 loc31", dict(T=8192, W=256, local_max=31)),
+        ("T4096 W512 loc31", dict(T=4096, W=512, local_max=31)),
+        ("T4096 W256 loc15", dict(T=4096, W=256, local_max=15)),
+        ("T4096 W256 loc63", dict(T=4096, W=256, local_max=63)),
+        ("T4096w2 W256 loc31", dict(T=4096, W=256, local_max=31, ways=2)),
+        ("T8192 W1024 loc31", dict(T=8192, W=1024, local_max=31)),
+    ]
+    names = [n for n, _ in cfgs]
+    print(f"{'corpus':14s} " + " ".join(f"{n:>20s}" for n in names))
+    for cn, block in corp.items():
+        row = []
+        for n, c in cfgs:
+            if c is None:
+                off, L = sim_sort_finder(block, l_cap=16)
+            else:
+                off, L = sim_hybrid(block, **c)
+            off, L = rle_and_chain(block, off, L, 16 if c is None else 8)
+            row.append(greedy_cost(off, L))
+        print(f"{cn:14s} " + " ".join(f"{v:20d}" for v in row))
+
+
+if __name__ == "__main__" and "--hybrid" in sys.argv:
+    main2()
