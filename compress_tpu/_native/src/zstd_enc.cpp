@@ -21,6 +21,21 @@
 #include <cstdlib>
 #include <cstring>
 
+// phase timers for tools/prof_enc.cpp (-DCT_PROF): rdtsc deltas into
+// ct_phase_cycles[] — compiled out of the production .so
+#ifdef CT_PROF
+#include <x86intrin.h>
+extern "C" unsigned long long ct_phase_cycles[16];
+unsigned long long ct_phase_cycles[16];
+static unsigned long long ct_prof_t0;
+#define CT_TIC() (ct_prof_t0 = __rdtsc())
+#define CT_TOC(i) (ct_phase_cycles[i] += __rdtsc() - ct_prof_t0, \
+                   ct_prof_t0 = __rdtsc())
+#else
+#define CT_TIC()
+#define CT_TOC(i)
+#endif
+
 extern "C" {
 
 static inline uint64_t ld64(const uint8_t* p) {
@@ -68,6 +83,20 @@ static inline void bw_add(BitW* w, uint32_t v, int nb) {
     w->acc >>= 8;
     w->bits -= 8;
   }
+}
+// hot-loop variant pair: bw_push never spills (caller keeps <= 56 pending
+// bits between flushes); bw_flush56 dumps whole bytes with ONE 8-byte
+// store (scratch buffers are sized with >= 8 bytes of slack).
+static inline void bw_push(BitW* w, uint32_t v, int nb) {
+  w->acc |= ((uint64_t)v & ((1ull << nb) - 1)) << w->bits;
+  w->bits += nb;
+}
+static inline void bw_flush56(BitW* w) {
+  memcpy(w->out + w->n, &w->acc, 8);
+  int by = w->bits >> 3;
+  w->n += by;
+  w->acc >>= (by << 3);
+  w->bits &= 7;
 }
 static inline long long bw_close(BitW* w) {
   bw_add(w, 1, 1);
@@ -169,9 +198,23 @@ static bool huf_build(const uint32_t* hist, long long total, Huf* h) {
 
 static long long huf_stream(const Huf* h, const uint8_t* p, long long n,
                             uint8_t* out) {
+  // packed (code | nbits<<12) entries; 4 symbols (<= 44 bits) per flush
+  uint32_t pk[256];
+  for (int s = 0; s < 256; s++)
+    pk[s] = h->code[s] | ((uint32_t)h->nbits[s] << 12);
   BitW w;
   bw_init(&w, out);
-  for (long long i = n - 1; i >= 0; i--) bw_add(&w, h->code[p[i]], h->nbits[p[i]]);
+  long long i = n - 1;
+  for (; i >= 3; i -= 4) {
+    uint32_t a = pk[p[i]], b = pk[p[i - 1]], c = pk[p[i - 2]],
+             e = pk[p[i - 3]];
+    bw_push(&w, a & 0xFFF, a >> 12);
+    bw_push(&w, b & 0xFFF, b >> 12);
+    bw_push(&w, c & 0xFFF, c >> 12);
+    bw_push(&w, e & 0xFFF, e >> 12);
+    bw_flush56(&w);
+  }
+  for (; i >= 0; i--) bw_add(&w, h->code[p[i]], h->nbits[p[i]]);
   return bw_close(&w);
 }
 
@@ -377,6 +420,12 @@ static inline int cenc(const CTab* t, BitW* w, int state, int sym) {
   bw_add(w, (uint32_t)state, nb);
   return t->state_table[(state >> nb) + t->delta_fs[sym]];
 }
+// no-spill twin for the batched sequence loop (caller flushes)
+static inline int cenc2(const CTab* t, BitW* w, int state, int sym) {
+  int nb = (state + t->delta_nb[sym]) >> 16;
+  bw_push(w, (uint32_t)state, nb);
+  return t->state_table[(state >> nb) + t->delta_fs[sym]];
+}
 
 // ---------------------------------------------------------------------------
 // the encoder
@@ -454,7 +503,15 @@ struct Emit {
 
 static inline void emit_seq(Emit* E, long long s, long long m, uint32_t off) {
   long long ll = s - E->next_emit;
-  memcpy(E->lits + E->lit_n, E->src + E->next_emit, ll);
+  // wild copy: every search keeps s <= bend-16, so reading 16 bytes from
+  // src+next_emit+q (q < ll <= s-next_emit) stays inside the buffer; lits
+  // has 64 bytes of slack (typical ll is < 16 -> ONE unconditional copy
+  // instead of a variable-length memcpy call)
+  const uint8_t* lp = E->src + E->next_emit;
+  uint8_t* od = E->lits + E->lit_n;
+  memcpy(od, lp, 16);
+  if (ll > 16)
+    for (long long q = 16; q < ll; q += 16) memcpy(od + q, lp + q, 16);
   E->lit_n += ll;
   E->seqs[E->nseq].ll = (uint32_t)ll;
   E->seqs[E->nseq].ml = (uint32_t)m;
@@ -755,7 +812,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
   uint8_t* lc_s = (uint8_t*)malloc(3 * MAXSEQ_PER_BLOCK);
   uint8_t* mc_s = lc_s ? lc_s + MAXSEQ_PER_BLOCK : nullptr;
   uint8_t* oc_s = lc_s ? lc_s + 2 * MAXSEQ_PER_BLOCK : nullptr;
-  uint8_t* lits = (uint8_t*)malloc(1 << 17);
+  uint8_t* lits = (uint8_t*)malloc((1 << 17) + 64);  // 64 B wild-copy slack
   uint8_t* scratch = (uint8_t*)malloc(1 << 20);  // block body (worst case)
   uint8_t* stage = (uint8_t*)malloc(1 << 19);    // 4X stream staging
   if (!seqs || !lits || !scratch || !stage || !lc_s || !alloc_ok) {
@@ -807,6 +864,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
     int last = mark_last && bend == n;
 
     // ---- match search over [pos, bend) ----------------------------------
+    CT_TIC();
     Reps rsnap = E.R;
     int fsnap = E.force_plain;
     E.nseq = 0;
@@ -827,29 +885,56 @@ static long long encode_blocks_(const uint8_t* src, long long n,
       long long s = pos == 0 ? 1 : pos;
       long long limit = bend - 16;
       while (s < limit) {
-        // probe
+        // probe: two positions per 8-byte load (one ld64 carries the
+        // 4-grams of both s and s+1 — the libzstd-fast/enc_fast.go
+        // double-probe shape, halving loads and loop overhead)
         long long cand = -1;
-        while (s < limit) {
+        while (s + 1 < limit) {
           uint64_t v = ld64(src + s);
-          uint32_t hsh = zhash(v, HBITS);
-          long long c = table[hsh];
-          table[hsh] = (int32_t)s;
+          uint32_t v0 = (uint32_t)v, v1 = (uint32_t)(v >> 8);
+          uint32_t h0 = zhash(v, HBITS);
+          long long c0 = table[h0];
+          table[h0] = (int32_t)s;
           if (rep1 && s >= (long long)rep1 &&
-              ld32(src + s) == ld32(src + s - rep1)) {
+              ld32(src + s - rep1) == v0) {
             cand = s - rep1;
             break;
           }
-          if (c >= 0 && s - c <= window && ld32(src + c) == (uint32_t)v) {
-            cand = c;
+          if (c0 >= 0 && s - c0 <= window && ld32(src + c0) == v0) {
+            cand = c0;
             break;
           }
-          s += 1 + ((s - next_emit) >> 6);
+          uint32_t h1 = zhash(v >> 8, HBITS);
+          long long c1 = table[h1];
+          table[h1] = (int32_t)(s + 1);
+          if (c1 >= 0 && s + 1 - c1 <= window && ld32(src + c1) == v1) {
+            s += 1;
+            cand = c1;
+            break;
+          }
+          s += 2 + ((s - next_emit) >> 6);
         }
-        if (s >= limit) break;
-        // backward extension
-        while (s > next_emit && cand > 0 && src[s - 1] == src[cand - 1]) {
-          s--;
-          cand--;
+        if (cand < 0) break;
+        // backward extension — branchless first step: compare the 8 bytes
+        // BEFORE (s, cand) with one XOR + clz (suffix-of-8 equality),
+        // then a rare scalar loop for extensions past 8
+        {
+          long long room = s - next_emit < cand ? s - next_emit : cand;
+          if (room > 0) {
+            long long k;
+            if (room >= 8) {
+              uint64_t x = ld64(src + s - 8) ^ ld64(src + cand - 8);
+              k = x ? (long long)(__builtin_clzll(x) >> 3) : 8;
+            } else {
+              k = 0;
+              while (k < room && src[s - 1 - k] == src[cand - 1 - k]) k++;
+            }
+            if (k == 8) {
+              while (k < room && src[s - 1 - k] == src[cand - 1 - k]) k++;
+            }
+            s -= k;
+            cand -= k;
+          }
         }
         // forward extension, 8 bytes at a time (matchLen XOR+ctz)
         long long m = 4;
@@ -864,6 +949,9 @@ static long long encode_blocks_(const uint8_t* src, long long n,
         }
         while (m < maxm && src[cand + m] == src[s + m]) m++;
       ext_done:;
+#ifdef AB_NOEMIT
+        if (m) { s += m; next_emit = s; continue; }
+#endif
         // profitability gate: a minimal match at a far offset costs more
         // bits (ll+ml codes + ~log2(off) offset bits) than its literals —
         // structured data (kppkn/comp-data class) is full of them and
@@ -874,7 +962,13 @@ static long long encode_blocks_(const uint8_t* src, long long n,
           continue;
         }
         long long ll = s - next_emit;
-        memcpy(lits + lit_n, src + next_emit, ll);
+        {  // wild copy (s <= limit = bend-16; lits has 64 B slack)
+          const uint8_t* lp = src + next_emit;
+          uint8_t* od = lits + lit_n;
+          memcpy(od, lp, 16);
+          if (ll > 16)
+            for (long long q = 16; q < ll; q += 16) memcpy(od + q, lp + q, 16);
+        }
         lit_n += ll;
         seqs[nseq].ll = (uint32_t)ll;
         seqs[nseq].ml = (uint32_t)m;
@@ -896,6 +990,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
     long long tail = bend - next_emit;
     memcpy(lits + lit_n, src + next_emit, tail);
     lit_n += tail;
+    CT_TOC(0);
 
     // ---- assemble block -------------------------------------------------
     long long body = 0;
@@ -907,7 +1002,9 @@ static long long encode_blocks_(const uint8_t* src, long long n,
       for (long long i = 0; i < lit_n; i++) hist[lits[i]]++;
       Huf hf;
       long long lit_sec = -1;
-      if (lit_n >= 256 && huf_build(hist, lit_n, &hf)) {
+      bool hb = lit_n >= 256 && huf_build(hist, lit_n, &hf);
+      CT_TOC(1);
+      if (hb) {
         if (lit_n < 1024) {
           // small sections: ONE stream (size_format 0, 3-byte header,
           // 10-bit sizes) skips the 6-byte jump table and 3 stream
@@ -959,6 +1056,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
           }
         }
       }
+      CT_TOC(2);
       if (lit_sec < 0) {  // raw literals
         uint64_t v = 0 | (3u << 2) | ((uint64_t)lit_n << 4);
         ob[body] = (uint8_t)v;
@@ -979,6 +1077,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
         ob[body++] = (uint8_t)((nseq - 0x7F00) >> 8);
       }
       // per-seq codes + histograms
+      CT_TIC();
       uint32_t h_ll[64] = {0}, h_ml[64] = {0}, h_of[64] = {0};
       int max_lc = 0, max_mc = 0, max_oc = 0;
       for (long long i = 0; i < nseq; i++) {
@@ -990,6 +1089,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
         if (mc > max_mc) max_mc = mc;
         if (oc > max_oc) max_oc = oc;
       }
+      CT_TOC(3);
       // table choice per stream (reference chooseComp, blockenc.go:633):
       // L1 keeps the round-1 heuristic (custom FSE at nseq>=300);
       // L2+ picks predefined / RLE / custom FSE by estimated bit cost.
@@ -1036,6 +1136,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
       memcpy(ob + body, nc_buf[1], nc_len[1]); body += nc_len[1];
       memcpy(ob + body, nc_buf[2], nc_len[2]); body += nc_len[2];
 
+      CT_TOC(4);
       BitW w;
       bw_init(&w, ob + body);
       long long i = nseq - 1;
@@ -1047,17 +1148,22 @@ static long long encode_blocks_(const uint8_t* src, long long n,
           st_of = cinit(t_of, oc);
       for (i = nseq - 2; i >= 0; i--) {
         lc = lc_s[i]; mc = mc_s[i]; oc = oc_s[i];
-        st_of = cenc(t_of, &w, st_of, oc);
-        st_ml = cenc(t_ml, &w, st_ml, mc);
-        st_ll = cenc(t_ll, &w, st_ll, lc);
-        bw_add(&w, seqs[i].ll - LL_BASE[lc], LL_XBITS[lc]);
-        bw_add(&w, seqs[i].ml - ML_BASE[mc], ML_XBITS[mc]);
-        bw_add(&w, seqs[i].ofv - (1u << oc), oc);
+        // batched flushes: 3 state writes <= 27 bits, then extras
+        // (16+16, then <=31) — each group stays under the 56-bit slack
+        st_of = cenc2(t_of, &w, st_of, oc);
+        st_ml = cenc2(t_ml, &w, st_ml, mc);
+        st_ll = cenc2(t_ll, &w, st_ll, lc);
+        bw_push(&w, seqs[i].ll - LL_BASE[lc], LL_XBITS[lc]);
+        bw_flush56(&w);
+        bw_push(&w, seqs[i].ml - ML_BASE[mc], ML_XBITS[mc]);
+        bw_push(&w, seqs[i].ofv - (1u << oc), oc);
+        bw_flush56(&w);
       }
       bw_add(&w, (uint32_t)(st_ml - (1 << t_ml->log)), t_ml->log);
       bw_add(&w, (uint32_t)(st_of - (1 << t_of->log)), t_of->log);
       bw_add(&w, (uint32_t)(st_ll - (1 << t_ll->log)), t_ll->log);
       body += bw_close(&w);
+      CT_TOC(5);
       ok = body < regen;
     }
 
