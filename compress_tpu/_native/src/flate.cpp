@@ -986,8 +986,14 @@ struct FBr {
 static inline uint32_t fbr_peek(FBr* b, int nb) {
   long long byte = b->bit >> 3;
   uint64_t v = 0;
-  // padded input (wrapper adds slack)
-  memcpy(&v, b->p + byte, 8);
+  if (byte + 8 <= b->n) {  // fast path: whole-word load
+    memcpy(&v, b->p + byte, 8);
+  } else {  // tail: byte-exact assembly (missing bytes read as 0 — the
+    // decoder's own n*8-bit budget checks reject streams that actually
+    // need them; no input slack required of the caller)
+    for (long long i = byte; i < b->n; i++)
+      v |= (uint64_t)b->p[i] << ((i - byte) << 3);
+  }
   return (uint32_t)((v >> (b->bit & 7)) & ((1u << nb) - 1));
 }
 static inline uint32_t fbr_get(FBr* b, int nb) {

@@ -28,8 +28,15 @@ extern "C" {
 
 struct BitRev {
   const uint8_t* p;
-  long long bitpos;  // bits remaining below the cursor
+  long long bitpos;   // bits remaining below the cursor
+  long long nsafe;    // last byte index with a full in-bounds 8-byte load
+  long long tail_base;
   bool ok;
+  uint8_t tail[16];   // staged copy of the final bytes (+ zero slack) so
+                      // loads near the stream end never read past p+n —
+                      // the raw C ABI takes exact-sized buffers (ASAN/fuzz
+                      // hardening; the reference pads instead,
+                      // zstd/blockdec.go:42 compressedBlockOverAlloc)
 };
 
 static bool br_init(BitRev* b, const uint8_t* p, long long n) {
@@ -40,7 +47,21 @@ static bool br_init(BitRev* b, const uint8_t* p, long long n) {
   if (last == 0) return false;  // no start marker
   int hb = 31 - __builtin_clz((uint32_t)last);
   b->bitpos = (n - 1) * 8 + hb;
+  b->nsafe = n - 8;
+  b->tail_base = n >= 8 ? n - 8 : 0;
+  memset(b->tail, 0, 16);
+  memcpy(b->tail, p + b->tail_base, (size_t)(n - b->tail_base));
   return true;
+}
+
+static inline uint64_t br_load(const BitRev* b, long long byte) {
+  uint64_t v;
+  if (byte <= b->nsafe) {
+    memcpy(&v, b->p + byte, 8);
+  } else {
+    memcpy(&v, b->tail + (byte - b->tail_base), 8);
+  }
+  return v;
 }
 
 static inline uint32_t br_read(BitRev* b, int nb) {
@@ -52,8 +73,7 @@ static inline uint32_t br_read(BitRev* b, int nb) {
   b->bitpos -= nb;
   long long byte = b->bitpos >> 3;
   int shift = (int)(b->bitpos & 7);
-  uint64_t v;  // callers pass 16-byte-padded buffers (over-read is safe)
-  memcpy(&v, b->p + byte, 8);
+  uint64_t v = br_load(b, byte);
   return (uint32_t)((v >> shift) & ((1u << nb) - 1));
 }
 
@@ -62,9 +82,7 @@ static inline uint32_t br_read(BitRev* b, int nb) {
 static inline bool br_grab(BitRev* b, int total, uint64_t* win) {
   if (b->bitpos < total) return false;
   b->bitpos -= total;
-  uint64_t v;
-  memcpy(&v, b->p + (b->bitpos >> 3), 8);
-  *win = v >> (b->bitpos & 7);
+  *win = br_load(b, b->bitpos >> 3) >> (b->bitpos & 7);
   return true;
 }
 
