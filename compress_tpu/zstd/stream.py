@@ -243,6 +243,27 @@ class Writer:
             total += self.write(buf)
         return total
 
+    def reset(self, dst):
+        """Reuse this writer for a fresh stream on dst (reference:
+        Encoder.Reset, zstd/encoder.go). Unflushed buffered data is
+        discarded, matching the reference's Reset semantics."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+            self._futures = None
+        self.dst = dst
+        self._buf = bytearray()
+        self._tail = (bytes(self.dict_.content)
+                      if self.dict_ is not None else b"")
+        self._header_written = False
+        self._written = 0
+        self._closed = False
+        self.n_input = 0
+        if self.checksum:
+            from compress_tpu.utils.xxhash64 import Xxh64
+
+            self._hasher = Xxh64()
+
     def close(self):
         if self._closed:
             return
