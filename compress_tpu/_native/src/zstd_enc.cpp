@@ -584,10 +584,24 @@ static void search_dfast(Emit* E, const uint8_t* src, long long pos,
       cand--;
     }
     long long m = 4 + zmatch_fwd(src, cand + 4, s + 4, bend - s - 4);
+    // same profitability gate as L1: a minimal match at a far offset
+    // costs more bits than its literals (rep offsets exempt)
+    if (m == 4 && (uint64_t)(s - cand) >= 4096 &&
+        (uint32_t)(s - cand) != E->R.r[0]) {
+      s++;
+      continue;
+    }
     emit_seq(E, s, m, (uint32_t)(s - cand));
+    long long mstart = s;
     s += m;
     if (s + 16 > bend || E->nseq >= MAXSEQ_PER_BLOCK - 2) break;
-    // insert interior anchors in both tables
+    // interior anchors: stride-4 through the match body plus the last two
+    // positions, both tables (coverage for later overlapping matches)
+    for (long long q = mstart + 1; q < s - 2; q += 4) {
+      uint64_t vq = ld64(src + q);
+      tlong[zhash8(vq, LBITS)] = (int32_t)q;
+      tshort[zhash5(vq, SBITS)] = (int32_t)q;
+    }
     uint64_t v1 = ld64(src + s - 2);
     tlong[zhash8(v1, LBITS)] = (int32_t)(s - 2);
     tshort[zhash5(v1, SBITS)] = (int32_t)(s - 2);
@@ -848,7 +862,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
   for (long long q = 0; q + 8 < start; q += 2) {
     uint64_t v = ld64(src + q);
     if (level <= 1) {
-      table[zhash(v, HBITS)] = (int32_t)q;
+      table[zhash5(v, HBITS)] = (int32_t)q;
     } else if (level == 2) {
       tlong[zhash8(v, LBITS)] = (int32_t)q;
       tshort[zhash5(v, SBITS)] = (int32_t)q;
@@ -892,7 +906,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
         while (s + 1 < limit) {
           uint64_t v = ld64(src + s);
           uint32_t v0 = (uint32_t)v, v1 = (uint32_t)(v >> 8);
-          uint32_t h0 = zhash(v, HBITS);
+          uint32_t h0 = zhash5(v, HBITS);
           long long c0 = table[h0];
           table[h0] = (int32_t)s;
           if (rep1 && s >= (long long)rep1 &&
@@ -904,7 +918,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
             cand = c0;
             break;
           }
-          uint32_t h1 = zhash(v >> 8, HBITS);
+          uint32_t h1 = zhash5(v >> 8, HBITS);
           long long c1 = table[h1];
           table[h1] = (int32_t)(s + 1);
           if (c1 >= 0 && s + 1 - c1 <= window && ld32(src + c1) == v1) {
@@ -983,7 +997,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
         if (s + 16 > bend) break;
         // insert a couple of positions inside the match
         uint64_t v1 = ld64(src + s - 2);
-        table[zhash(v1, HBITS)] = (int32_t)(s - 2);
+        table[zhash5(v1, HBITS)] = (int32_t)(s - 2);
         if (nseq >= MAXSEQ_PER_BLOCK - 2) break;
       }
     }
