@@ -304,19 +304,21 @@ def _round_step(arena, src, dst, length, chunk, source=None):
 
 
 def execute_rounds(lit_rows, src, dst, length, round_caps, chunk=512):
-    """Run the planned rounds. lit_rows (B, 512, 128) f32 byte values.
-    src/dst/length: (total, B) round-major per pack_plans.
-    Returns (B, 512, 128) output rows (f32 byte values)."""
+    """Run the planned rounds. lit_rows (B, 512, 128) byte values (u8 or
+    f32 — u8 keeps the host->device transfer 4x smaller; cast happens on
+    device). src/dst/length: (total, B) round-major per pack_plans.
+    Returns (B, 512, 128) output rows (u8 byte values)."""
     B = lit_rows.shape[0]
     arena = jnp.concatenate(
-        [lit_rows, jnp.zeros((B, 512, 128), jnp.float32)], axis=1)
+        [lit_rows.astype(jnp.float32),
+         jnp.zeros((B, 512, 128), jnp.float32)], axis=1)
     base = 0
     for cap in round_caps:
         sl = slice(base, base + cap)
         arena = _round_step(arena,
                             src[sl].T, dst[sl].T, length[sl].T, chunk)
         base += cap
-    return arena[:, 512:, :]
+    return arena[:, 512:, :].astype(jnp.uint8)
 
 
 execute_rounds_jit = jax.jit(execute_rounds, static_argnames=("round_caps",
@@ -400,17 +402,19 @@ def execute_blocks_hist(lit_rows, hsrc, hdst, hlen, src, dst, length,
                         advance, round_caps, hist_rows, chunk=512):
     """Scan the blocks of B frames with a carried history tensor.
 
-    lit_rows (K, B, 512, 128) f32; h*/(src,dst,length) per pack_plans_mb;
-    advance (K, B) — 1.0 shifts this frame's history after the step
-    (padded no-op steps pass 0.0). hist_rows static (hist_blocks * 512).
-    Returns (K, B, 512, 128) output rows."""
+    lit_rows (K, B, 512, 128) byte values (u8 or f32; cast on device);
+    h*/(src,dst,length) per pack_plans_mb; advance (K, B) — 1.0 shifts
+    this frame's history after the step (padded no-op steps pass 0.0).
+    hist_rows static (hist_blocks * 512).
+    Returns (K, B, 512, 128) output rows (u8)."""
     Bn = lit_rows.shape[1]
     H0 = jnp.zeros((Bn, hist_rows, 128), jnp.float32)
 
     def step(H, xs):
         lit, hs, hd, hl, s, d, ln, adv = xs
         arena = jnp.concatenate(
-            [lit, jnp.zeros((Bn, 512, 128), jnp.float32)], axis=1)
+            [lit.astype(jnp.float32),
+             jnp.zeros((Bn, 512, 128), jnp.float32)], axis=1)
         # history pieces route first (round 0: sources fully resolved)
         arena = _round_step(arena, hs.T, hd.T, hl.T, chunk, source=H)
         base = 0
@@ -425,7 +429,7 @@ def execute_blocks_hist(lit_rows, hsrc, hdst, hlen, src, dst, length,
 
     _, outs = jax.lax.scan(
         step, H0, (lit_rows, hsrc, hdst, hlen, src, dst, length, advance))
-    return outs
+    return outs.astype(jnp.uint8)
 
 
 execute_blocks_hist_jit = jax.jit(

@@ -96,7 +96,7 @@ def decode_blocks_device(blocks, *, allow_repeat: bool = True,
                           [[0], np.cumsum(length[:-1], dtype=np.int64)])
                           ).astype(np.int32),
                       "len": length, "round": rnd, "n_rounds": n_rounds})
-        arr = np.zeros(512 * 128, np.float32)
+        arr = np.zeros(512 * 128, np.uint8)
         arr[: len(lit)] = np.frombuffer(lit, np.uint8)
         lit_rows.append(arr.reshape(512, 128))
         order.append((i, total))
@@ -108,7 +108,7 @@ def decode_blocks_device(blocks, *, allow_repeat: bool = True,
             _put_sharded(mesh, np.stack(lit_rows), 0),
             _put_sharded(mesh, src, 1), _put_sharded(mesh, dst, 1),
             _put_sharded(mesh, length, 1), caps)
-        out = np.asarray(out, np.float32).reshape(-1, 512 * 128)
+        out = np.asarray(out, np.uint8).reshape(-1, 512 * 128)
         for j, (i, total) in enumerate(order):
-            results[i] = out[j, :total].astype(np.uint8).tobytes()
+            results[i] = out[j, :total].tobytes()
     return results
