@@ -634,6 +634,18 @@ void ct_zstd_state_append(void* sp, const uint8_t* p, long long n) {
   win_append((ZState*)sp, p, n);
 }
 
+#ifdef CT_PROF
+#include <x86intrin.h>
+extern "C" unsigned long long ct_phase_cycles[16];
+static unsigned long long ct_dec_t0;
+#define CT_TIC() (ct_dec_t0 = __rdtsc())
+#define CT_TOC(i) (ct_phase_cycles[i] += __rdtsc() - ct_dec_t0, \
+                   ct_dec_t0 = __rdtsc())
+#else
+#define CT_TIC()
+#define CT_TOC(i)
+#endif
+
 // error codes
 enum {
   E_CORRUPT = -1,
@@ -647,6 +659,7 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
                                    uint8_t* const base, const long long hist) {
   if (!s || n < 2) return E_CORRUPT;
   long long pos = 0;
+  CT_TIC();
 
   // ---- literals section ---------------------------------------------------
   uint8_t b0 = src[0];
@@ -739,6 +752,7 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
     pos += comp;
   }
 
+  CT_TOC(0);
   // ---- sequences section --------------------------------------------------
   if (pos >= n) return E_CORRUPT;
   long long nseq = src[pos];
@@ -815,6 +829,7 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
   if (m_of != 3) transform_dt(&s->d_of, &s->t_of, 1);
   if (m_ml != 3) transform_dt(&s->d_ml, &s->t_ml, 2);
 
+  CT_TOC(1);
   BitRev br;
   if (!br_init(&br, src + pos, n - pos)) return E_CORRUPT;
   uint32_t st_ll = br_read(&br, s->t_ll.log);
@@ -1038,6 +1053,7 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
   s->rep[0] = rep[0];
   s->rep[1] = rep[1];
   s->rep[2] = rep[2];
+  CT_TOC(2);
   return o - base;
 }
 
