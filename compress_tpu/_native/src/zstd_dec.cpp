@@ -349,8 +349,7 @@ static bool huf_decode_stream(const HufDT* ht, const uint8_t* p, long long n,
     for (long long t = 0; t < quads; t++, i += 4) {
       long long bp = br.bitpos;
       long long lo = bp - mb4;
-      uint64_t w;
-      memcpy(&w, br.p + (lo >> 3), 8);
+      uint64_t w = br_load(&br, lo >> 3);
       int sh = (int)(lo & 7) + sh0;
       uint32_t e1 = ent[(w >> sh) & mask];
       sh -= (int)(e1 >> 8);
@@ -372,13 +371,11 @@ static bool huf_decode_stream(const HufDT* ht, const uint8_t* p, long long n,
     uint32_t idx;
     if (br.bitpos >= mb) {
       long long bp = br.bitpos - mb;
-      uint64_t v;
-      memcpy(&v, br.p + (bp >> 3), 8);
+      uint64_t v = br_load(&br, bp >> 3);
       idx = (uint32_t)((v >> (bp & 7)) & ((1u << mb) - 1));
     } else {
       if (br.bitpos <= 0) return false;
-      uint64_t v;
-      memcpy(&v, br.p, 8);
+      uint64_t v = br_load(&br, 0);
       idx = (uint32_t)((v << (mb - br.bitpos)) & ((1u << mb) - 1));
     }
     out[i] = ht->sym[idx];
@@ -429,8 +426,7 @@ static bool huf_decode_4streams(const HufDT* ht, const uint8_t* ps[4],
       for (int k = 0; k < 4; k++) {
         long long bp = br[k].bitpos;
         long long lo = bp - mb4;
-        uint64_t w;
-        memcpy(&w, br[k].p + (lo >> 3), 8);
+        uint64_t w = br_load(&br[k], lo >> 3);
         int sh = (int)(lo & 7) + sh0;
         // fused nb|sym entries: ONE load per link of the serial
         // shift->index->load chain (the chain is the quad's critical
@@ -458,13 +454,11 @@ static bool huf_decode_4streams(const HufDT* ht, const uint8_t* ps[4],
       uint32_t idx;
       if (br[k].bitpos >= mb) {
         long long bp = br[k].bitpos - mb;
-        uint64_t v;
-        memcpy(&v, br[k].p + (bp >> 3), 8);
+        uint64_t v = br_load(&br[k], bp >> 3);
         idx = (uint32_t)((v >> (bp & 7)) & mask);
       } else {
         if (br[k].bitpos <= 0) return false;
-        uint64_t v;
-        memcpy(&v, br[k].p, 8);
+        uint64_t v = br_load(&br[k], 0);
         idx = (uint32_t)((v << (mb - br[k].bitpos)) & mask);
       }
       outs[k][j] = sym[idx];
@@ -864,7 +858,16 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
   // offset is known, so the (cache-missing) match reads overlap the
   // FSE/bit work instead of serializing with it. All validation happens
   // at decode time; execution runs unchecked.
-  enum { SDEPTH = 8 };
+// Pipeline depth. Measured r4 (paired, multiple contents/windows):
+// immediate execution (depth 1) beats the 8-deep prefetch ring
+// everywhere on this host — the ring's store/load round-trip costs more
+// than the prefetch distance saves while match sources sit in L2. The
+// reference's Long/prefetch variant (zstd/seqdec.go:221) maps to
+// CT_SDEPTH=8 and stays available for cache-starved targets.
+#ifndef CT_SDEPTH
+#define CT_SDEPTH 1
+#endif
+  enum { SDEPTH = CT_SDEPTH };
   struct SeqRec {
     uint32_t ll, ml, off;
   };
@@ -875,6 +878,9 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
 
   auto exec_one = [&](const SeqRec& r) {
     uint32_t ll = r.ll, ml = r.ml, off = r.off;
+#ifdef AB_NOEXEC
+    o += ll + ml; lit += ll; (void)off; if (1) return;
+#endif
     // literals copy (wide: lits has +32 slack, arena o_lim +64)
     memcpy(o, lit, 16);
     memcpy(o + 16, lit + 16, 16);
@@ -889,15 +895,21 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
       memcpy(o, m_src, 16);
       memcpy(o + 16, m_src + 16, 16);
       if (ml > 32) {
-        uint8_t* dd = o + 32;
-        const uint8_t* ss = m_src + 32;
-        long long rem = (long long)ml - 32;
-        do {
-          memcpy(dd, ss, 16);
-          dd += 16;
-          ss += 16;
-          rem -= 16;
-        } while (rem > 0);
+        if ((long long)off >= (long long)ml) {
+          // fully disjoint: one bulk memcpy (repeated-content frames
+          // carry 100 KB matches — 2x over a 16-byte stepping loop)
+          memcpy(o + 32, m_src + 32, ml - 32);
+        } else {
+          uint8_t* dd = o + 32;
+          const uint8_t* ss = m_src + 32;
+          long long rem = (long long)ml - 32;
+          do {
+            memcpy(dd, ss, 16);
+            dd += 16;
+            ss += 16;
+            rem -= 16;
+          } while (rem > 0);
+        }
       }
       o += ml;
     } else if (off >= 8) {
@@ -1127,13 +1139,11 @@ static bool huf_walk_cks(const HufDT* ht, const uint8_t* p, long long n,
     uint32_t idx;
     if (br.bitpos >= mb) {
       long long bp = br.bitpos - mb;
-      uint64_t v;
-      memcpy(&v, br.p + (bp >> 3), 8);
+      uint64_t v = br_load(&br, bp >> 3);
       idx = (uint32_t)((v >> (bp & 7)) & ((1u << mb) - 1));
     } else {
       if (br.bitpos <= 0) return false;
-      uint64_t v;
-      memcpy(&v, br.p, 8);
+      uint64_t v = br_load(&br, 0);
       idx = (uint32_t)((v << (mb - br.bitpos)) & ((1u << mb) - 1));
     }
     int nb = ht->nb[idx];

@@ -42,6 +42,18 @@ def _in_scratch(data, pos: int):
     return buf.ctypes.data_as(ctypes.c_char_p), n
 
 
+def _in_direct(data, pos: int):
+    """Zero-copy input pointer for bytes. The whole-stream/frame decoders
+    are bounds-exact since the r4 ASAN hardening (BitRev br_load staged
+    tails) — no padding slack needed, so skip _in_scratch's input copy
+    (it cost ~10-20% on large frames). Non-bytes (memoryview/bytearray)
+    fall back to the scratch copy."""
+    if type(data) is bytes:
+        base = ctypes.cast(ctypes.c_char_p(data), ctypes.c_void_p).value
+        return ctypes.c_char_p(base + pos), len(data) - pos
+    return _in_scratch(data, pos)
+
+
 def _lib():
     global _proto_done
     from compress_tpu import _native
@@ -87,7 +99,7 @@ def decode_all(data, max_size: int, max_window: int,
     lib = _lib()
     if lib is None or not hasattr(lib, "ct_zstd_decode_all"):
         return None
-    src_p, n = _in_scratch(data, 0)
+    src_p, n = _in_direct(data, 0)
     guess = max(4 * n, 1 << 20)
     slack = (1 << 17) + 64
     keep = 16 << 20  # retained-scratch cap: huge decodes get a one-off
@@ -129,7 +141,7 @@ def decode_frame_body(data: bytes, pos: int, window_size: int,
     if lib is None or window_size > (64 << 20):
         return None
     if hasattr(lib, "ct_zstd_decode_frame"):
-        body_p, body_n = _in_scratch(data, pos)  # bit-reader over-read slack
+        body_p, body_n = _in_direct(data, pos)
         guess = expected if expected is not None else max(
             4 * body_n, 1 << 20)
         slack = (1 << 17) + 64
