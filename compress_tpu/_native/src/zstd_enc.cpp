@@ -618,23 +618,28 @@ struct ZCfg {
 };
 
 // best candidate at s: walks the chain from `c0` (pre-insert head) and
-// probes all 3 reps; score = 6*len - offset_bits (estBits-lite)
+// probes all 3 reps. Score is in HALF-BITS of estimated saving vs emitting
+// literals: lp2 = 2*(estimated bits/literal from the block's byte entropy),
+// so score = lp2*len - 2*offset_bits - overhead (estBits analogue of
+// enc_best.go:29-60, with the literal price adaptive instead of fixed —
+// the r4 fixed 6 bits/lit overpriced text literals and took unprofitable
+// short far matches).
 static inline int zfind(const uint8_t* src, const int32_t* prev, long long s,
                         long long bend, long long c0, long long window,
-                        const Reps* R, int chain, int nice, long long* out_off,
-                        int* out_score) {
+                        const Reps* R, int chain, int nice, int lp2,
+                        long long c4, long long* out_off, int* out_score) {
   long long maxm = bend - s;
   if (maxm > (1 << 17)) maxm = 1 << 17;
   if (maxm < 4) return 0;
   int best_len = 0, best_score = 0;
   long long best_off = 0;
-  // rep probes (match length >= 4); generous score: offset bits ~0
+  // rep probes (match length >= 4): rep0 codes in ~2-4 bits
   for (int k = 0; k < 3; k++) {
     uint32_t rk = R->r[k];
     if (rk == 0 || s < (long long)rk) continue;
     if (ld32(src + s) != ld32(src + s - rk)) continue;
     long long m = 4 + zmatch_fwd(src, s - rk + 4, s + 4, maxm - 4);
-    int sc = (int)(6 * m) + 8 - k;
+    int sc = (int)(lp2 * m) - 4 - 2 * k;
     if (sc > best_score) {
       best_score = sc;
       best_len = (int)m;
@@ -643,6 +648,17 @@ static inline int zfind(const uint8_t* src, const int32_t* prev, long long s,
   }
   uint32_t v = ld32(src + s);
   long long lo = s - window;
+  // 4-byte short-table probe (enc_best.go's short 4B table role): len-4/5
+  // matches whose 5th byte differs are invisible to the 5-byte chain
+  if (c4 >= 0 && c4 > lo && ld32(src + c4) == v) {
+    long long m = 4 + zmatch_fwd(src, c4 + 4, s + 4, maxm - 4);
+    int sc = (int)(lp2 * m) - 2 * highbit((uint32_t)(s - c4) + 3) - 12;
+    if (sc > best_score && m > best_len) {
+      best_score = sc;
+      best_len = (int)m;
+      best_off = s - c4;
+    }
+  }
   long long c = c0;
   int qlen = best_len > 3 ? best_len : 3;
   while (c >= 0 && c > lo && chain-- > 0) {
@@ -650,7 +666,7 @@ static inline int zfind(const uint8_t* src, const int32_t* prev, long long s,
         ld32(src + c) == v) {
       long long m = 4 + zmatch_fwd(src, c + 4, s + 4, maxm - 4);
       if (m >= 4) {
-        int sc = (int)(6 * m) - highbit((uint32_t)(s - c) + 3);
+        int sc = (int)(lp2 * m) - 2 * highbit((uint32_t)(s - c) + 3) - 12;
         if (sc > best_score && m > best_len) {
           best_score = sc;
           best_len = (int)m;
@@ -667,29 +683,212 @@ static inline int zfind(const uint8_t* src, const int32_t* prev, long long s,
   return best_len;
 }
 
+// ---- L4 binary-tree matcher (libzstd btlazy2 role, re-designed) -----------
+// bt[2*i]/bt[2*i+1] = left/right child of position i (masked by btmask);
+// each bucket of the 5-byte hash heads a tree ordered by suffix. One walk
+// searches AND inserts (the classic dual-pointer descent): candidates on
+// the path are exactly the tree neighbours of s's suffix, so the longest
+// match in the bucket is always on the path.
+static inline int btfind(const uint8_t* src, int32_t* head, int32_t* bt,
+                         long long btmask, long long s, long long bend,
+                         long long lo, const Reps* R, int depth, int nice,
+                         int lp2, long long c4, long long* out_off,
+                         int* out_score) {
+  long long maxm = bend - s;
+  if (maxm > (1 << 17)) maxm = 1 << 17;
+  int best_len = 0, best_score = 0;
+  long long best_off = 0;
+  if (maxm >= 4) {
+    for (int k = 0; k < 3; k++) {
+      uint32_t rk = R->r[k];
+      if (rk == 0 || s < (long long)rk) continue;
+      if (ld32(src + s) != ld32(src + s - rk)) continue;
+      long long m = 4 + zmatch_fwd(src, s - rk + 4, s + 4, maxm - 4);
+      int sc = (int)(lp2 * m) - 4 - 2 * k;
+      if (sc > best_score) {
+        best_score = sc;
+        best_len = (int)m;
+        best_off = rk;
+      }
+    }
+    if (c4 >= 0 && c4 > lo && ld32(src + c4) == ld32(src + s)) {
+      long long m = 4 + zmatch_fwd(src, c4 + 4, s + 4, maxm - 4);
+      int sc = (int)(lp2 * m) - 2 * highbit((uint32_t)(s - c4) + 3) - 12;
+      if (sc > best_score && m > best_len) {
+        best_score = sc;
+        best_len = (int)m;
+        best_off = s - c4;
+      }
+    }
+  }
+  uint32_t h = zhash(ld64(src + s), HBITS);  // 4-byte bucket: len-4
+  long long c = head[h];                       // matches live in the tree
+  head[h] = (int32_t)s;
+  int32_t* smaller = &bt[2 * (s & btmask)];
+  int32_t* larger = &bt[2 * (s & btmask) + 1];
+  long long cls = 0, clg = 0;
+  // descent uses the same 2048-capped comparator as btins (consistent
+  // BST); scoring extends past the cap separately when it is hit
+  long long maxc = maxm < 2048 ? maxm : 2048;
+  while (c >= 0 && c > lo && depth-- > 0) {
+    int32_t* nxt = &bt[2 * (c & btmask)];
+    long long m = cls < clg ? cls : clg;
+    m += zmatch_fwd(src, c + m, s + m, maxc - m);
+    long long sm = m;
+    if (m == maxc && maxc < maxm)
+      sm = m + zmatch_fwd(src, c + m, s + m, maxm - m);
+    if (sm >= 4 && sm > best_len) {
+      int sc = (int)(lp2 * sm) - 2 * highbit((uint32_t)(s - c) + 3) - 12;
+      if (sc > best_score) {
+        best_score = sc;
+        best_len = (int)sm;
+        best_off = s - c;
+      }
+    }
+    if (s + m >= bend || (int)sm >= nice) {
+      // long enough (or no next byte to compare): cut the tree here
+      *smaller = *larger = -1;
+      goto done;
+    }
+    if (src[c + m] < src[s + m]) {
+      *smaller = (int32_t)c;
+      cls = m;
+      smaller = nxt + 1;
+      c = nxt[1];
+    } else {
+      *larger = (int32_t)c;
+      clg = m;
+      larger = nxt;
+      c = nxt[0];
+    }
+  }
+  *smaller = -1;
+  *larger = -1;
+done:
+  *out_off = best_off;
+  *out_score = best_score;
+  return best_len;
+}
+
+// insert-only tree descent (ZSTD_updateTree role) for positions inside
+// emitted matches; bounded depth keeps long matches cheap
+static inline void btins(const uint8_t* src, int32_t* head, int32_t* bt,
+                         long long btmask, long long s, long long bend,
+                         long long lo) {
+  uint32_t h = zhash(ld64(src + s), HBITS);  // 4-byte bucket: len-4
+  long long c = head[h];                       // matches live in the tree
+  head[h] = (int32_t)s;
+  int32_t* smaller = &bt[2 * (s & btmask)];
+  int32_t* larger = &bt[2 * (s & btmask) + 1];
+  long long cls = 0, clg = 0;
+  // cap the insert-compare length: inside long repeats every interior
+  // position shares a huge prefix with every tree node, and uncapped
+  // extension makes inserts O(match_len) each (html_x_4: 0.17 MB/s).
+  // Ties beyond the cap go consistently to the larger side — the tree
+  // stays a valid BST under the capped comparator; search results are
+  // verified by extension anyway.
+  long long maxm = bend - s;
+  if (maxm > 2048) maxm = 2048;
+  int depth = 32;
+  while (c >= 0 && c > lo && depth-- > 0) {
+    int32_t* nxt = &bt[2 * (c & btmask)];
+    long long m = cls < clg ? cls : clg;
+    m += zmatch_fwd(src, c + m, s + m, maxm - m);
+    if (s + m >= bend) {
+      *smaller = *larger = -1;
+      return;
+    }
+    if (src[c + m] < src[s + m]) {
+      *smaller = (int32_t)c;
+      cls = m;
+      smaller = nxt + 1;
+      c = nxt[1];
+    } else {
+      *larger = (int32_t)c;
+      clg = m;
+      larger = nxt;
+      c = nxt[0];
+    }
+  }
+  *smaller = -1;
+  *larger = -1;
+}
+
 static void search_lazy(Emit* E, const uint8_t* src, long long pos,
                         long long bend, long long window, int32_t* head,
-                        int32_t* prev, const ZCfg* cfg) {
+                        int32_t* prev, int32_t* t4, const ZCfg* cfg,
+                        int32_t* bt = nullptr, long long btmask = 0) {
   long long s = pos == 0 ? 1 : pos;
   long long limit = bend - 16;
-#define ZINS(p)                                   \
-  do {                                            \
-    uint32_t hh = zhash5(ld64(src + (p)), HBITS); \
-    prev[p] = head[hh];                           \
-    head[hh] = (int32_t)(p);                      \
+  // adaptive literal price: Shannon entropy of the block's bytes, in
+  // half-bits, clamped to [4.0, 8.0] bits/literal
+  int lp2 = 12;
+  {
+    uint32_t h[256];
+    memset(h, 0, sizeof h);
+    for (long long q = pos; q < bend; q++) h[src[q]]++;
+    double n = (double)(bend - pos), bits = 0.0;
+    for (int c = 0; c < 256; c++)
+      if (h[c]) {
+        double p = h[c] / n;
+        bits -= p * __builtin_log2(p);
+      }
+    lp2 = (int)(2.0 * bits + 0.5);
+    if (lp2 < 8) lp2 = 8;
+    if (lp2 > 16) lp2 = 16;
+  }
+  const bool use_bt = bt != nullptr;
+#define ZINS(p)                                              \
+  do {                                                       \
+    uint64_t vv = ld64(src + (p));                           \
+    t4[zhash(vv, SBITS)] = (int32_t)(p);                     \
+    if (use_bt) {                                            \
+      btins(src, head, bt, btmask, (p), bend, (p) - window); \
+    } else {                                                 \
+      uint32_t hh = zhash5(vv, HBITS);                       \
+      prev[p] = head[hh];                                    \
+      head[hh] = (int32_t)(p);                               \
+    }                                                        \
   } while (0)
   int prev_len = 0, prev_score = 0;
   long long prev_off = 0, prev_pos = -1;
   while (s < limit) {
-    ZINS(s);
+    uint64_t v0 = ld64(src + s);
+    long long c4 = t4[zhash(v0, SBITS)];
+    t4[zhash(v0, SBITS)] = (int32_t)s;
     long long off = 0;
     int score = 0;
     int chain = cfg->chain;
     if (prev_len >= cfg->lazy_thresh) chain >>= 2;
-    int mlen = zfind(src, prev, s, bend, prev[s], window, &E->R, chain,
-                     cfg->nice, &off, &score);
-    if (prev_len >= 4 && score <= prev_score + 6) {
-      // previous position's match wins (6 = one literal's bits)
+    int mlen;
+    if (use_bt) {
+      mlen = btfind(src, head, bt, btmask, s, bend, s - window, &E->R,
+                    chain, cfg->nice, lp2, c4, &off, &score);
+    } else {
+      uint32_t hh = zhash5(v0, HBITS);
+      long long c0 = head[hh];
+      prev[s] = (int32_t)c0;
+      head[hh] = (int32_t)s;
+      mlen = zfind(src, prev, s, bend, c0, window, &E->R, chain,
+                   cfg->nice, lp2, c4, &off, &score);
+    }
+    if (mlen >= 4 && score <= 0) mlen = 0;  // match costs more than lits
+    if (prev_len >= 4) {
+      // 2-step lazy (btlazy2 depth): a pending match survives up to two
+      // follow-up probes; each deferred position prices one extra literal
+      long long gap = s - prev_pos;
+      if (mlen >= 4 && score > prev_score + (int)(lp2 * gap)) {
+        prev_len = mlen;
+        prev_off = off;
+        prev_score = score;
+        prev_pos = s;
+        s++;
+        continue;
+      }
+      if (gap < 2) {
+        s++;  // give position prev_pos+2 a chance before emitting
+        continue;
+      }
       long long mp = prev_pos;
       while (mp > E->next_emit && mp - prev_off > 0 &&
              src[mp - 1] == src[mp - prev_off - 1]) {
@@ -699,7 +898,10 @@ static void search_lazy(Emit* E, const uint8_t* src, long long pos,
       emit_seq(E, mp, prev_len, (uint32_t)prev_off);
       long long e = mp + prev_len;  // match end: invariant under back-ext
       long long ei = e > limit ? limit : e;
-      for (long long p2 = s + 1; p2 < ei; p2++) ZINS(p2);
+      // stride interior inserts of very long matches (bt inserts cost a
+      // tree descent each; interior candidates are largely redundant)
+      long long step = (use_bt && prev_len > 128) ? (prev_len >> 7) : 1;
+      for (long long p2 = s + 1; p2 < ei; p2 += step) ZINS(p2);
       s = e;
       prev_len = 0;
       prev_pos = -1;
@@ -711,9 +913,6 @@ static void search_lazy(Emit* E, const uint8_t* src, long long pos,
       prev_off = off;
       prev_score = score;
       prev_pos = s;
-    } else {
-      prev_len = 0;
-      prev_pos = -1;
     }
     s++;
   }
@@ -779,7 +978,7 @@ static int choose_tab(const uint32_t* hist, int maxc, long long nseq,
 // size by ~5% on text (reference enc_better posture: speed class between
 // dfast and best, zstd/README.md L3 67 MB/s)
 static const ZCfg ZCFG3 = {12, 96, 48};
-static const ZCfg ZCFG4 = {1024, 1024, 512};
+static const ZCfg ZCFG4 = {64, 512, 32};
 
 // encode the block sequence covering src[start, n) into dst (no frame
 // header). Matches may reach back into [0, start) (overlap prefix).
@@ -805,6 +1004,7 @@ static long long encode_blocks_(const uint8_t* src, long long n,
   int32_t* head = nullptr;    // L3/L4 chains
   int32_t* prev = nullptr;
   bool alloc_ok = true;
+  long long bt_mask = 0;  // L4 binary-tree index mask (prev doubles as bt)
   if (level <= 1) {
     table = (int32_t*)malloc(sizeof(int32_t) << HBITS);
     alloc_ok = table && (memset(table, -1, sizeof(int32_t) << HBITS), true);
@@ -818,9 +1018,23 @@ static long long encode_blocks_(const uint8_t* src, long long n,
     }
   } else {
     head = (int32_t*)malloc(sizeof(int32_t) << HBITS);
-    prev = (int32_t*)malloc(sizeof(int32_t) * (size_t)n);
-    alloc_ok = head && prev;
-    if (alloc_ok) memset(head, -1, sizeof(int32_t) << HBITS);
+    // L3: hash chain (prev links). L4: binary tree (2 children/position).
+    if (level == 3) {
+      prev = (int32_t*)malloc(sizeof(int32_t) * (size_t)n);
+    } else {
+      long long nbt = n < (1ll << 24) ? n : (1ll << 24);
+      long long p2 = 1;
+      while (p2 < nbt) p2 <<= 1;
+      bt_mask = p2 - 1;
+      prev = (int32_t*)malloc(sizeof(int32_t) * 2 * (size_t)p2);
+      if (prev) memset(prev, -1, sizeof(int32_t) * 2 * (size_t)p2);
+    }
+    tshort = (int32_t*)malloc(sizeof(int32_t) << SBITS);  // 4-byte probes
+    alloc_ok = head && prev && tshort;
+    if (alloc_ok) {
+      memset(head, -1, sizeof(int32_t) << HBITS);
+      memset(tshort, -1, sizeof(int32_t) << SBITS);
+    }
   }
   Seq* seqs = (Seq*)malloc(sizeof(Seq) * MAXSEQ_PER_BLOCK);
   uint8_t* lc_s = (uint8_t*)malloc(3 * MAXSEQ_PER_BLOCK);
@@ -866,10 +1080,14 @@ static long long encode_blocks_(const uint8_t* src, long long n,
     } else if (level == 2) {
       tlong[zhash8(v, LBITS)] = (int32_t)q;
       tshort[zhash5(v, SBITS)] = (int32_t)q;
-    } else {
+    } else if (level == 3) {
       uint32_t hh = zhash5(v, HBITS);
       prev[q] = head[hh];
       head[hh] = (int32_t)q;
+      tshort[zhash(v, SBITS)] = (int32_t)q;
+    } else {
+      btins(src, head, prev, bt_mask, q, start, q - (8ll << 20));
+      tshort[zhash(v, SBITS)] = (int32_t)q;
     }
   }
   while (pos < n) {
@@ -890,8 +1108,9 @@ static long long encode_blocks_(const uint8_t* src, long long n,
       if (level == 2)
         search_dfast(&E, src, pos, bend, window, tlong, tshort);
       else
-        search_lazy(&E, src, pos, bend, window, head, prev,
-                    level == 3 ? &ZCFG3 : &ZCFG4);
+        search_lazy(&E, src, pos, bend, window, head, prev, tshort,
+                    level == 3 ? &ZCFG3 : &ZCFG4,
+                    level == 3 ? nullptr : prev, bt_mask);
       nseq = E.nseq;
       lit_n = E.lit_n;
       next_emit = E.next_emit;
