@@ -2119,4 +2119,79 @@ long long ct_zstd_decode_all(const uint8_t* src, long long n,
   return out;
 }
 
+// headers-only pre-scan: total declared output size of a whole stream
+// (sum of frame content sizes), walking skippables and block headers
+// without decoding. Returns -1 when any frame omits FCS or the framing
+// is malformed — the caller then uses the guess-and-grow path. Lets the
+// Python wrapper allocate the EXACT output object up front (decoding
+// straight into a bytes object saves an output-sized memcpy).
+long long ct_zstd_scan_size(const uint8_t* src, long long n) {
+  long long pos = 0, total = 0;
+  while (pos < n) {
+    if (pos + 4 > n) return -1;
+    uint32_t magic;
+    memcpy(&magic, src + pos, 4);
+    if ((magic & 0xFFFFFFF0u) == 0x184D2A50u) {
+      if (pos + 8 > n) return -1;
+      uint32_t sz;
+      memcpy(&sz, src + pos + 4, 4);
+      if (pos + 8 + (long long)sz > n) return -1;
+      pos += 8 + sz;
+      continue;
+    }
+    if (magic != 0xFD2FB528u) return -1;
+    pos += 4;
+    if (pos >= n) return -1;
+    uint8_t fhd = src[pos++];
+    int fcs_flag = fhd >> 6;
+    int single_seg = (fhd >> 5) & 1;
+    int has_checksum = (fhd >> 2) & 1;
+    int dict_flag = fhd & 3;
+    if (fhd & 0x18) return -1;
+    if (!single_seg) pos++;  // window descriptor
+    if (dict_flag) return -1;
+    long long fcs = -1;
+    if (fcs_flag == 0) {
+      if (!single_seg) return -1;  // no FCS declared
+      if (pos >= n) return -1;
+      fcs = src[pos++];
+    } else if (fcs_flag == 1) {
+      if (pos + 2 > n) return -1;
+      fcs = (long long)(src[pos] | (src[pos + 1] << 8)) + 256;
+      pos += 2;
+    } else if (fcs_flag == 2) {
+      if (pos + 4 > n) return -1;
+      uint32_t v;
+      memcpy(&v, src + pos, 4);
+      fcs = v;
+      pos += 4;
+    } else {
+      if (pos + 8 > n) return -1;
+      uint64_t v;
+      memcpy(&v, src + pos, 8);
+      if (v > (1ull << 62)) return -1;
+      fcs = (long long)v;
+      pos += 8;
+    }
+    total += fcs;
+    for (;;) {
+      if (pos + 3 > n) return -1;
+      uint32_t bh = (uint32_t)src[pos] | ((uint32_t)src[pos + 1] << 8) |
+                    ((uint32_t)src[pos + 2] << 16);
+      pos += 3;
+      int btype = (bh >> 1) & 3;
+      long long bsize = bh >> 3;
+      if (btype == 3) return -1;
+      pos += btype == 1 ? 1 : bsize;
+      if (pos > n) return -1;
+      if (bh & 1) break;
+    }
+    if (has_checksum) {
+      pos += 4;
+      if (pos > n) return -1;
+    }
+  }
+  return total;
+}
+
 }  // extern "C"

@@ -26,6 +26,54 @@ _proto_done = False
 _tls = threading.local()
 
 
+_PyBytes_FromStringAndSize = ctypes.pythonapi.PyBytes_FromStringAndSize
+_PyBytes_FromStringAndSize.restype = ctypes.py_object
+_PyBytes_FromStringAndSize.argtypes = [ctypes.c_char_p, ctypes.c_ssize_t]
+_PyBytes_AsString = ctypes.pythonapi.PyBytes_AsString
+_PyBytes_AsString.restype = ctypes.c_void_p
+_PyBytes_AsString.argtypes = [ctypes.py_object]
+# raw-pointer prototype: _PyBytes_Resize may realloc-MOVE the object, so the
+# in/out slot must be a plain address cell — a ctypes.py_object box would
+# keep its own alive-reference to the OLD address and corrupt the heap when
+# collected (observed: intermittent glibc "double linked list" aborts)
+_PyBytes_Resize = ctypes.pythonapi._PyBytes_Resize
+_PyBytes_Resize.restype = ctypes.c_int
+_PyBytes_Resize.argtypes = [ctypes.c_void_p, ctypes.c_ssize_t]
+_Py_IncRef = ctypes.pythonapi.Py_IncRef
+_Py_IncRef.argtypes = [ctypes.py_object]
+_Py_DecRef = ctypes.pythonapi.Py_DecRef
+_Py_DecRef.argtypes = [ctypes.py_object]
+
+
+def _decode_exact(lib, src_p, n, expected, slack, max_window,
+                  ignore_checksum):
+    """Decode a pre-sized stream straight into its final bytes object,
+    then shrink the slack off in place. The resize requires the object's
+    refcount to be EXACTLY 1, so every reference but the box is dropped
+    before the call (a helper that received the object as a parameter
+    would keep a caller-frame reference alive and trip the check)."""
+    obj = _PyBytes_FromStringAndSize(None, expected + slack)
+    ptr = _PyBytes_AsString(obj)
+    r = lib.ct_zstd_decode_all(src_p, n, ctypes.c_char_p(ptr),
+                               expected + slack, max_window,
+                               1 if ignore_checksum else 0)
+    if r != expected:  # scan/decode disagree: let Python diagnose
+        return None
+    if r == expected + slack:
+        return obj  # nothing to shrink (cannot happen today; safe anyway)
+    # manual ownership transfer: hold the object by raw address only, so
+    # the resize's realloc move cannot leave a stale managed reference
+    cell = (ctypes.c_void_p * 1)(id(obj))
+    _Py_IncRef(obj)  # the cell's manual reference
+    obj = ptr = None  # noqa: F841 — refcount now exactly 1 (the cell)
+    if _PyBytes_Resize(cell, r) != 0:
+        ctypes.pythonapi.PyErr_Clear()  # resize consumed the object
+        return None
+    out = ctypes.cast(cell[0], ctypes.py_object).value  # increfs -> 2
+    _Py_DecRef(out)  # release the cell's manual reference -> 1
+    return out
+
+
 def _in_scratch(data, pos: int):
     """Copy data[pos:] + 16 zero-slack bytes into a reused thread-local
     buffer; returns (c_char_p, body_len). Avoids the per-call bytes
@@ -85,6 +133,10 @@ def _lib():
                 ctypes.c_char_p, ctypes.c_longlong,
                 ctypes.c_char_p, ctypes.c_longlong,
                 ctypes.c_longlong, ctypes.c_int]
+        if hasattr(lib, "ct_zstd_scan_size"):
+            lib.ct_zstd_scan_size.restype = ctypes.c_longlong
+            lib.ct_zstd_scan_size.argtypes = [
+                ctypes.c_char_p, ctypes.c_longlong]
         _proto_done = True
     return lib
 
@@ -100,8 +152,16 @@ def decode_all(data, max_size: int, max_window: int,
     if lib is None or not hasattr(lib, "ct_zstd_decode_all"):
         return None
     src_p, n = _in_direct(data, 0)
-    guess = max(4 * n, 1 << 20)
     slack = (1 << 17) + 64
+    # exact-size fast path: when every frame declares its content size, a
+    # headers-only native pre-scan sizes the stream and we decode straight
+    # into the final bytes object (skips the output-sized tobytes copy)
+    if hasattr(lib, "ct_zstd_scan_size"):
+        expected = lib.ct_zstd_scan_size(src_p, n)
+        if 0 <= expected <= max_size:
+            return _decode_exact(lib, src_p, n, expected, slack,
+                                 int(max_window), ignore_checksum)
+    guess = max(4 * n, 1 << 20)
     keep = 16 << 20  # retained-scratch cap: huge decodes get a one-off
     while True:
         cap = min(guess, max_size) + slack

@@ -23,6 +23,7 @@
 #include <vector>
 
 extern "C" {
+long long ct_zstd_scan_size(const uint8_t*, long long);
 long long ct_zstd_decode_all(const uint8_t*, long long, uint8_t*, long long,
                              long long, int);
 long long ct_inflate(const uint8_t*, long long, uint8_t*, long long);
@@ -81,6 +82,17 @@ static void run_one(const std::vector<uint8_t>& d) {
   uint8_t* dst = (uint8_t*)malloc(cap);
 
   ct_zstd_decode_all(src, n, dst, cap, 1ll << 27, 0);
+  // exact-size regime (the r5 decode-into-bytes path): cap is precisely
+  // scan_size + slack, allocated at that size so ASAN catches any write
+  // past the declared bound
+  long long expected = ct_zstd_scan_size(src, n);
+  if (expected >= 0 && expected <= (1 << 22)) {
+    long long xcap = expected + (1 << 17) + 64;
+    uint8_t* xdst = (uint8_t*)malloc(xcap);
+    long long r = ct_zstd_decode_all(src, n, xdst, xcap, 1ll << 27, 0);
+    if (r > expected) abort();  // decode must not exceed the scan bound
+    free(xdst);
+  }
   ct_inflate(src, n, dst, cap);
   long long bitpos = 0;
   int status = 0;
