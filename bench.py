@@ -249,6 +249,25 @@ def _host_extra_metrics(big: bytes) -> dict:
     return out
 
 
+def _d2h_gbps() -> float:
+    """Bulk device->host bandwidth through the tunnel (4 MB fetch, best
+    of 3) — the attribution row for every *_with_transfers number."""
+    try:
+        import jax
+        import numpy as np
+
+        x = jax.device_put(np.zeros(4 << 20, np.uint8))
+        x.block_until_ready()
+        best = 0.0
+        for _ in range(3):
+            t = time.time()
+            np.asarray(x)
+            best = max(best, (4 << 20) / (time.time() - t))
+        return best / 1e9
+    except Exception:
+        return -1.0
+
+
 def main():
     import jax
 
@@ -399,19 +418,38 @@ def main():
 
     iters = 5
     s2_xla_gbps = -1.0
+    s2_find_us = s2_emit_us = s2_e2e_gbps = -1.0
     kern_ok = True
     try:
-        from compress_tpu.ops import lzemit, lzkern
+        from compress_tpu.ops import lzemit2, lzkern
 
         def s2_kern():
             off, L = lzkern.find_matches_blocks(arr)
-            return lzemit.emit_blocks(arr, off, L)
+            return lzemit2.emit_blocks(arr, off, L)
 
         dt = timed(s2_kern, iters)
         s2_gbps = len(big) / dt / 1e9
+        # per-kernel on-chip split (VERDICT r4 #2: the e2e number alone is
+        # undebuggable through the ~25 ms tunnel RTT)
+        offd, Ld = lzkern.find_matches_blocks(arr)
+        jax.block_until_ready((offd, Ld))
+        s2_find_us = timed(
+            lambda: lzkern.find_matches_blocks(arr), iters) / nb * 1e6
+        s2_emit_us = timed(
+            lambda: lzemit2.emit_blocks(arr, offd, Ld), iters) / nb * 1e6
         b0, b1, rl = s2_kern()
         s2_ratio = float(np.asarray(rl).sum()) / len(big)
-        body = lzemit.assemble_bodies(b0[:1], b1[:1], rl[:1])[0]
+        body = lzemit2.assemble_bodies(
+            np.asarray(b0[:1]), np.asarray(b1[:1]), np.asarray(rl[:1]))[0]
+        # e2e incl. D2H of the output panels + native host assembly.
+        # Through the axon tunnel D2H runs at ~0.05 GB/s (measured r5) —
+        # two orders below production PCIe — so tunnel_d2h_gbps is
+        # reported alongside to make the split attributable.
+        t0 = time.time()
+        b0, b1, rl = s2_kern()
+        b0n, b1n, rln = np.asarray(b0), np.asarray(b1), np.asarray(rl)
+        bodies = lzemit2.assemble_bodies(b0n, b1n, rln)
+        s2_e2e_gbps = len(big) / (time.time() - t0) / 1e9
     except Exception:
         kern_ok = False
     try:
@@ -551,6 +589,9 @@ def main():
         "unit": "GB/s",
         "vs_baseline": round(s2_gbps / 0.93673, 5),
         "ratio": round(s2_ratio, 4),
+        "s2_finder_us_per_block": round(s2_find_us, 1),
+        "s2_emit_us_per_block": round(s2_emit_us, 1),
+        "s2_e2e_with_transfers_gbps": round(s2_e2e_gbps, 5),
         "s2_block_encode_xla_gbps": round(s2_xla_gbps, 5),
         "zstd_l1_encode_gbps": round(z_gbps, 5),
         "zstd_l1_vs_baseline": round(z_gbps / 0.31847, 5),
@@ -565,6 +606,7 @@ def main():
         **_host_extra_metrics(big[: 2 << 20]),
         "calib_matmul_ms": round(calib_ms, 4),
         "calib_tflops_bf16": round(calib_tflops, 1),
+        "tunnel_d2h_gbps": round(_d2h_gbps(), 4),
         "s2_device_bytes_per_tflop_s": round(
             s2_gbps * 1e9 / max(calib_tflops, 1e-9), 1),
         "tunnel_rtt_ms": round(rtt_s * 1e3, 2),

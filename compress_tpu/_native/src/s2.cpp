@@ -627,4 +627,33 @@ int ct_s2_decode_block(uint8_t* dst, uint64_t dlen, const uint8_t* src,
   return d == dlen ? 0 : -1;
 }
 
+// Assemble the device emit kernel's row-local panels into contiguous S2
+// block bodies (ops/lzemit.py assemble_bodies role; the numpy boolean
+// mask cost ~130 ms per 16 MB — this is ~131k short memcpys instead).
+// b0/b1: (nb, 512, 128) u8 row-output panels (slots 0-127 / 128-255);
+// rl: (nb, 4, 128) i32, row r's byte count at [r>>7, r&127].
+// out needs 256 trailing slack bytes (rows are copied 128-wide).
+// block_lens[b] receives each body's length; returns total bytes.
+long long ct_s2_assemble_rows(const uint8_t* b0, const uint8_t* b1,
+                              const int32_t* rl, long long nb,
+                              uint8_t* out, long long* block_lens) {
+  long long o = 0;
+  for (long long b = 0; b < nb; b++) {
+    const uint8_t* p0 = b0 + b * 512 * 128;
+    const uint8_t* p1 = b1 + b * 512 * 128;
+    const int32_t* r = rl + b * 512;
+    long long start = o;
+    for (int row = 0; row < 512; row++) {
+      int len = r[((row >> 7) << 7) + (row & 127)];
+      if (len < 0) len = 0;
+      if (len > 256) len = 256;
+      memcpy(out + o, p0 + row * 128, 128);  // wide: out has slack
+      if (len > 128) memcpy(out + o + 128, p1 + row * 128, 128);
+      o += len;
+    }
+    block_lens[b] = o - start;
+  }
+  return o;
+}
+
 }  // extern "C"

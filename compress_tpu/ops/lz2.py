@@ -366,11 +366,11 @@ def s2_encode_blocks_kern(blocks):
     pipeline at +~0.5% size (suffix cap 10 vs 16, recovered by in-kernel
     chain extension; far better on periodic data).  TPU only — the CPU
     mesh / dryrun paths keep the XLA pipeline."""
-    from compress_tpu.ops import lzemit, lzkern
+    from compress_tpu.ops import lzemit2, lzkern
 
     off, L = lzkern.find_matches_blocks(blocks)
-    b0, b1, rl = lzemit.emit_blocks(blocks, off, L)
-    return lzemit.assemble_bodies(b0, b1, rl)
+    b0, b1, rl = lzemit2.emit_blocks(blocks, off, L)
+    return lzemit2.assemble_bodies(b0, b1, rl)
 
 
 def _use_kernel_path() -> bool:

@@ -363,11 +363,48 @@ def emit_blocks(blocks_u8, off, L, interpret: bool = False):
 
 
 def assemble_bodies(b0, b1, rowlens):
-    """Host assembly: (NB,512,128)x2 u8 + (NB,4,128) -> list of bodies."""
+    """Host assembly: (NB,512,128)x2 u8 + (NB,4,128) -> list of bodies.
+
+    Native fast path (ct_s2_assemble_rows, ~6x the numpy mask); numpy
+    fallback under COMPRESS_TPU_NONATIVE."""
     nb = b0.shape[0]
-    byts = np.concatenate([np.asarray(b0), np.asarray(b1)],
-                          axis=2)  # (NB, 512, 256)
-    rl = np.asarray(rowlens).reshape(nb, ROWS)
+    b0n = np.ascontiguousarray(np.asarray(b0))
+    b1n = np.ascontiguousarray(np.asarray(b1))
+    rln = np.ascontiguousarray(np.asarray(rowlens).astype(np.int32))
+    try:
+        import ctypes
+
+        from compress_tpu import _native
+
+        lib = _native.raw()
+        if lib is None or not hasattr(lib, "ct_s2_assemble_rows"):
+            raise OSError
+        if not getattr(assemble_bodies, "_proto", False):
+            lib.ct_s2_assemble_rows.restype = ctypes.c_longlong
+            lib.ct_s2_assemble_rows.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_longlong, ctypes.c_char_p, ctypes.c_char_p]
+            assemble_bodies._proto = True
+        total = int(rln.sum())
+        out = np.empty(total + 256, np.uint8)
+        lens = np.empty(nb, np.int64)
+        got = lib.ct_s2_assemble_rows(
+            b0n.ctypes.data_as(ctypes.c_char_p),
+            b1n.ctypes.data_as(ctypes.c_char_p),
+            rln.ctypes.data_as(ctypes.c_char_p), nb,
+            out.ctypes.data_as(ctypes.c_char_p),
+            lens.ctypes.data_as(ctypes.c_char_p))
+        assert got == total, (got, total)
+        bodies = []
+        o = 0
+        for b in range(nb):
+            bodies.append(out[o:o + int(lens[b])].tobytes())
+            o += int(lens[b])
+        return bodies
+    except OSError:
+        pass
+    byts = np.concatenate([b0n, b1n], axis=2)  # (NB, 512, 256)
+    rl = rln.reshape(nb, ROWS)
     slot = np.arange(ROW_OUT)[None, :]
     out = []
     for b in range(nb):

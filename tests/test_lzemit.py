@@ -50,3 +50,41 @@ def test_pipeline_roundtrip_and_quality():
     assert sizes["zeros"] < 32
     assert 36000 < sizes["twain"] < 41000
     assert sizes["rand256"] <= 66000
+
+
+def test_emit_v2_bit_identical_to_v1():
+    """lzemit2 (pointer-doubling parse) must reproduce lzemit's outputs
+    bit-for-bit — the parse rewrite is an optimization, not a semantic
+    change (the kernel path now ships v2, ops/lz2.py
+    s2_encode_blocks_kern)."""
+    from compress_tpu.ops import lzemit2
+
+    datas = _datasets()
+    blocks = np.stack(list(datas.values()))
+    off, L = lzkern.find_matches_blocks(jnp.asarray(blocks), interpret=True)
+    a0, a1, ar = lzemit.emit_blocks(jnp.asarray(blocks), off, L,
+                                    interpret=True)
+    b0, b1, br = lzemit2.emit_blocks(jnp.asarray(blocks), off, L,
+                                     interpret=True)
+    for i, name in enumerate(datas):
+        assert np.array_equal(np.asarray(a0[i]), np.asarray(b0[i])), name
+        assert np.array_equal(np.asarray(a1[i]), np.asarray(b1[i])), name
+        assert np.array_equal(np.asarray(ar[i]), np.asarray(br[i])), name
+
+
+def test_assemble_native_matches_numpy():
+    """ct_s2_assemble_rows vs the numpy mask fallback."""
+    import os
+
+    rng = np.random.default_rng(7)
+    nb = 13
+    b0 = rng.integers(0, 255, (nb, 512, 128), np.uint8)
+    b1 = rng.integers(0, 255, (nb, 512, 128), np.uint8)
+    rl = rng.integers(0, 257, (nb, 4, 128)).astype(np.int32)
+    fast = lzemit.assemble_bodies(b0, b1, rl)
+    byts = np.concatenate([b0, b1], axis=2)
+    rl2 = rl.reshape(nb, 512)
+    slot = np.arange(256)[None, :]
+    for b in range(nb):
+        mask = slot < rl2[b][:, None]
+        assert fast[b] == byts[b][mask].tobytes(), b
