@@ -527,7 +527,8 @@ __all__ = [
 ]
 
 
-def compress_4x_batch(blocks, return_accel: bool = False):
+def compress_4x_batch(blocks, return_accel: bool = False,
+                      shared_table: bool = False, max_log: int = 11):
     """Device-batched Compress4X over equal-length blocks.
 
     blocks: (N, L) uint8 array-like. Returns a list of containers in the
@@ -546,8 +547,10 @@ def compress_4x_batch(blocks, return_accel: bool = False):
     arr = np.ascontiguousarray(blocks).astype(np.uint8)
     N, L = arr.shape
     t = {k: np.asarray(v) for k, v in
-         E.huff0_encode_blocks(jnp.asarray(arr)).items()}
-    accel = {"ckpt": t["ckpt"], "k": E.HUFF_CKPT_K}
+         E.huff0_encode_blocks(jnp.asarray(arr), shared_table=shared_table,
+                               max_log=max_log).items()}
+    accel = {"ckpt": t["ckpt"], "k": E.HUFF_CKPT_K,
+             "shared": bool(shared_table)}
     out = []
     cache: dict = {}
     for i in range(N):
@@ -715,23 +718,62 @@ def _prep_decode_batch(containers, accel, max_size: int = 64 << 20):
     return args, metas, cmax
 
 
-def decompress_4x_batch(containers, accel=None, max_size: int = 64 << 20):
+def shared_packed_table(metas):
+    """(packed (2^mb,) int32 sym|nb<<8, mb) from a shared-table batch's
+    first decode meta (all containers carry the same table)."""
+    first = next(m for m in metas if m is not None)
+    tab2048 = first[2].reshape(2048).astype(np.int64)
+    sym_t, nb_t = tab2048 // 16, tab2048 % 16
+    mb = int(nb_t.max())
+    idx = np.arange(1 << mb) << (11 - mb)
+    return (sym_t[idx] | (nb_t[idx] << 8)).astype(np.int32), mb
+
+
+def decompress_4x_batch(containers, accel=None, max_size: int = 64 << 20,
+                        engine: str = "auto"):
     """Decode a batch of 4X containers; with `accel` (the encoder's
-    checkpoint side channel) the symbol loop runs on device
-    (ops/entropy_dec.py — the huff0 decompress-asm analogue). Without it,
+    checkpoint side channel) the symbol loop runs on device. Without it,
     falls back to the host decoder per container. None entries pass
-    through as None."""
+    through as None.
+
+    engine: "pallas" = the shared-table Pallas kernel
+    (ops/entropy_pallas.py, requires accel["shared"]); "xla" = the
+    per-container-table XLA scan (ops/entropy_dec.py); "auto" picks
+    pallas when the batch was encoded with a shared table and a TPU is
+    present."""
     if accel is None:
         return [None if c is None else decompress_4x(c, max_size)
                 for c in containers]
+    import jax
+
     from compress_tpu.ops import entropy_dec as ED
 
     K = int(accel["k"])
     ckpt = np.asarray(accel["ckpt"])
     args, metas, cmax = _prep_decode_batch(containers, accel, max_size)
-    syms, endl = ED.huff0_decode_chunks(*args, k=K)
-    syms = np.asarray(syms, np.int32)
-    endl = np.asarray(endl)
+    use_pallas = engine == "pallas" or (
+        engine == "auto" and accel.get("shared")
+        and jax.devices()[0].platform not in ("cpu",))
+    if use_pallas:
+        if not accel.get("shared"):
+            raise ValueError("pallas engine requires shared-table accel")
+        from compress_tpu.ops import entropy_pallas as EP
+
+        windows, lbit, nsym, _tables = args
+        N, C, winb = windows.shape
+        packed, mb = shared_packed_table(metas)
+        import jax.numpy as jnp
+
+        syms, endl = EP.huff0_decode_chunks_shared(
+            windows.reshape(N * C, winb), lbit.reshape(N * C),
+            nsym.reshape(N * C), jnp.asarray(packed), k=K, max_bits=mb,
+            interpret=jax.devices()[0].platform in ("cpu",))
+        syms = np.asarray(syms, np.int32).reshape(N, C, K)
+        endl = np.asarray(endl).reshape(N, C)
+    else:
+        syms, endl = ED.huff0_decode_chunks(*args, k=K)
+        syms = np.asarray(syms, np.int32)
+        endl = np.asarray(endl)
     out = []
     for i, m in enumerate(metas):
         if m is None:

@@ -36,17 +36,26 @@ HUFF_CKPT_K = 32  # symbols per decode-checkpoint chunk (side channel)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=())
-def huff0_encode_blocks(blocks):
+@functools.partial(jax.jit, static_argnames=("shared_table", "max_log"))
+def huff0_encode_blocks(blocks, shared_table: bool = False,
+                        max_log: int = 11):
     """(N, L) uint8 -> dict(nbits, max_bits, ok, stream_bits (N,4),
     halves, n_halves). Streams live at descending half bases (4..1),
-    exactly like the zstd literal sections."""
+    exactly like the zstd literal sections.
+
+    shared_table: build ONE Huffman code from the batch-wide histogram
+    and use it for every block (the reference's treeless/repeat-table
+    reuse taken to its limit) — enables the Pallas shared-table decoder.
+    max_log: code length cap (8 keeps the decode table 2 select rows)."""
     N, L = blocks.shape
     b = blocks.astype(jnp.int32)
     oh = jax.nn.one_hot(b, 256, dtype=jnp.bfloat16)
     hist = jnp.einsum("nls->ns", oh,
                       preferred_element_type=jnp.float32).astype(jnp.int32)
-    nbits, max_bits, ok = _huff_build(hist)
+    if shared_table:
+        hist = jnp.broadcast_to(jnp.sum(hist, axis=0, keepdims=True),
+                                hist.shape)
+    nbits, max_bits, ok = _huff_build(hist, maxlog=max_log)
     codes = _canonical_codes_dev(nbits, max_bits)
 
     htabs = jnp.stack([codes & 0xFF, codes >> 8, nbits], axis=-1)

@@ -136,12 +136,14 @@ def _of_code(ofval):
 # ---------------------------------------------------------------------------
 
 
-def _huff_build(hist):
+def _huff_build(hist, maxlog: int = 11):
     """hist: (J, 256) int32 -> (nbits (J,256), max_bits (J,), ok (J,)).
 
-    l0 = ceil(-log2(p)) guarantees Kraft sum <= 2^11; the deficit is
+    l0 = ceil(-log2(p)) guarantees Kraft sum <= 2^maxlog; the deficit is
     redistributed by shortening codes of frequent symbols (a 256-step
-    scan over symbols in descending-frequency order, two passes)."""
+    scan over symbols in descending-frequency order, two passes).
+    maxlog < 11 trades a little ratio for shallow decode tables (the
+    Pallas shared-table decoder selects over 2^(maxlog-7) table rows)."""
     J = hist.shape[0]
     total = jnp.sum(hist, axis=1, keepdims=True)
     present = hist > 0
@@ -152,10 +154,10 @@ def _huff_build(hist):
     h = jnp.maximum(hist, 1)
     ratio = (total + h - 1) // h                     # ceil(total/h) >= 1
     l0 = jnp.where(ratio > 1, floor_log2(ratio - 1) + 1, 1)
-    l0 = jnp.clip(l0, 1, 11)
+    l0 = jnp.clip(l0, 1, maxlog)
     l0 = jnp.where(present, l0, 0)
-    kraft = jnp.sum(jnp.where(present, 1 << (11 - l0), 0), axis=1)
-    deficit = (1 << 11) - kraft                      # >= 0 by construction
+    kraft = jnp.sum(jnp.where(present, 1 << (maxlog - l0), 0), axis=1)
+    deficit = (1 << maxlog) - kraft                      # >= 0 by construction
 
     # redistribute the deficit by single-level shortenings, best
     # gain-per-cost first (gain = hist, cost = 2^(11-l)); one step per
@@ -167,13 +169,13 @@ def _huff_build(hist):
     def pass_(carry, col):
         dd = carry
         lcol, hcol = col
-        cost = jnp.where(lcol > 1, 1 << (11 - lcol), 1 << 30)
+        cost = jnp.where(lcol > 1, 1 << (maxlog - lcol), 1 << 30)
         take = cost <= dd
         return dd - jnp.where(take, cost, 0), lcol - take.astype(jnp.int32)
 
     for _ in range(12):
         # score ~ hist * 2^l (gain per kraft-unit), eligible symbols first
-        score = jnp.where((ls > 1) & present, -(hist << jnp.clip(ls, 0, 11)), 1)
+        score = jnp.where((ls > 1) & present, -(hist << jnp.clip(ls, 0, maxlog)), 1)
         _, sym_s, l_s, h_s = jax.lax.sort((score, iota, ls, hist),
                                           dimension=1, num_keys=1)
         d, l_s2 = jax.lax.scan(pass_, d, (l_s.T, h_s.T))
