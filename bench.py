@@ -582,6 +582,28 @@ def main():
     except Exception:
         dev_dec_gbps = -1.0
 
+    # ---- resident LZ execute (the seqdec/s2 execute tier alone) -----------
+    exec_gbps = -1.0
+    try:
+        from compress_tpu.ops import exec_pallas as XP
+        from compress_tpu.ops import execute as X
+        from compress_tpu.zstd import accel as AC
+
+        plans = []
+        for bl in blobs:  # the accel frames built above
+            side, _ = AC.split_sidecar(bl)
+            _, ab = AC.parse_sidecar(side)
+            plans.append(AC.accel_plan(ab[0]))
+        esrc, edst, elen, ecaps = X.pack_plans(plans)
+        lit_rows = jnp.asarray(np.frombuffer(
+            big[: len(blobs) * 65536], np.uint8).reshape(-1, 512, 128))
+        ej = (lit_rows, jnp.asarray(esrc), jnp.asarray(edst),
+              jnp.asarray(elen))
+        dt = timed(lambda: XP.execute_rounds_pallas(*ej, ecaps), iters)
+        exec_gbps = sum(len(s) for s in srcs) / dt / 1e9
+    except Exception:
+        exec_gbps = -1.0
+
     # ---- multi-block accel frames (r3: carried-history scan decode) -------
     # the carried-history scan is MXU-heavy: skip entirely on a degraded
     # chip (it would stall the round-end bench for minutes)
@@ -624,6 +646,7 @@ def main():
         "zstd_decode_host_gbps": round(host_dec_gbps, 5),
         "zstd_decode_benchcorpus_gbps": round(_benchdec_corpus_gbps(), 5),
         "zstd_decode_device_accel_gbps": round(dev_dec_gbps, 5),
+        "zstd_exec_device_gbps": round(exec_gbps, 5),
         "zstd_decode_device_mb_gbps": round(mb_dec_gbps, 5),
         "flate_l1_mbps": round(flate_l1_mbps, 2),
         **_host_extra_metrics(big[: 2 << 20]),

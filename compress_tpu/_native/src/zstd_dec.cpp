@@ -881,6 +881,16 @@ static long long decode_block_core(ZState* s, const uint8_t* src, long long n,
 #ifdef AB_NOEXEC
     o += ll + ml; lit += ll; (void)off; if (1) return;
 #endif
+    // fast path: short literals + short non-overlapping match (the
+    // dominant text shape) — two 16-byte copies total
+    if ((ll | ml) < 17 && off >= 16) {
+      memcpy(o, lit, 16);
+      o += ll;
+      lit += ll;
+      memcpy(o, o - off, 16);
+      o += ml;
+      return;
+    }
     // literals copy (wide: lits has +32 slack, arena o_lim +64)
     memcpy(o, lit, 16);
     memcpy(o + 16, lit + 16, 16);

@@ -558,10 +558,23 @@ def decompress_frames_device(frames, max_rounds: int = 4, mesh=None):
         order.append(i)
     if plans:
         src, dst, length, caps = X.pack_plans(plans)
-        out = X.execute_rounds_jit(
-            _put_sharded(mesh, np.stack(lit_rows), 0),
-            _put_sharded(mesh, src, 1), _put_sharded(mesh, dst, 1),
-            _put_sharded(mesh, length, 1), caps)
+        import jax as _jax
+
+        use_pallas = mesh is None and _jax.devices()[0].platform not in (
+            "cpu",)
+        if use_pallas:
+            # Pallas VMEM-arena executor (ops/exec_pallas.py): 2x the
+            # XLA round graph on chip, bit-identical (differential-tested)
+            from compress_tpu.ops import exec_pallas as XP
+
+            out = XP.execute_rounds_pallas(
+                jnp.asarray(np.stack(lit_rows)), jnp.asarray(src),
+                jnp.asarray(dst), jnp.asarray(length), caps)
+        else:
+            out = X.execute_rounds_jit(
+                _put_sharded(mesh, np.stack(lit_rows), 0),
+                _put_sharded(mesh, src, 1), _put_sharded(mesh, dst, 1),
+                _put_sharded(mesh, length, 1), caps)
         out = np.asarray(out, np.uint8).reshape(-1, 512 * 128)
         for j, i in enumerate(order):
             n_out = int(np.sum(plans[j]["len"]))
