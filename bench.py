@@ -582,6 +582,28 @@ def main():
     except Exception:
         dev_dec_gbps = -1.0
 
+    # ---- Pallas sequence decoder (seqdec_amd64.s decode-half role) --------
+    seqdec_gbps = -1.0
+    try:
+        from compress_tpu.ops import zseq_pallas as ZP
+        from compress_tpu.zstd import accel as AC
+        from compress_tpu.zstd import encoder as ZE
+
+        nfr2 = 64 if calib_ms <= 50 else 8
+        zsrcs = [big[i * 61440:(i + 1) * 61440] for i in range(nfr2)]
+        with ZE.predef_seq_tables():
+            zframes = [ZE.compress(s, level=1) for s in zsrcs]
+        zblobs = [AC.build_sidecar(f, seq_cks=True) + f for f in zframes]
+        wins, lb, ns, st, rp, lf, metas = ZP.prep_frames(zblobs)
+        tstt, xbt = ZP.pack_tables()
+        zargs = (jnp.asarray(wins), jnp.asarray(lb), jnp.asarray(ns),
+                 jnp.asarray(st), jnp.asarray(rp), jnp.asarray(lf),
+                 jnp.asarray(tstt), jnp.asarray(xbt))
+        dt = timed(lambda: ZP.zseq_decode_chunks_shared(*zargs)[0], iters)
+        seqdec_gbps = sum(len(s) for s in zsrcs) / dt / 1e9
+    except Exception:
+        seqdec_gbps = -1.0
+
     # ---- resident LZ execute (the seqdec/s2 execute tier alone) -----------
     exec_gbps = -1.0
     try:
@@ -647,6 +669,7 @@ def main():
         "zstd_decode_benchcorpus_gbps": round(_benchdec_corpus_gbps(), 5),
         "zstd_decode_device_accel_gbps": round(dev_dec_gbps, 5),
         "zstd_exec_device_gbps": round(exec_gbps, 5),
+        "zstd_seqdec_device_gbps": round(seqdec_gbps, 5),
         "zstd_decode_device_mb_gbps": round(mb_dec_gbps, 5),
         "flate_l1_mbps": round(flate_l1_mbps, 2),
         **_host_extra_metrics(big[: 2 << 20]),

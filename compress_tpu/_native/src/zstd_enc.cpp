@@ -945,9 +945,17 @@ static long long fse_cost(const uint32_t* hist, int maxc, const int16_t* norm,
 
 // returns the table mode (0 predefined, 1 RLE, 2 custom FSE); on 1/2 fills
 // *ctab (and *ncl / ncb for mode 2, *rle_sym for mode 1)
+// accel-profile switch: force predefined sequence tables (mode 0) so the
+// shared-table Pallas sequence decoder (ops/zseq_pallas.py) applies to
+// every block. The predefined tables cover the full code alphabets, so
+// forcing is always encodable; costs ~2-4% of the sequence section.
+int ct_g_force_predef = 0;
+extern "C" void ct_zstd_force_predef(int on) { ct_g_force_predef = on; }
+
 static int choose_tab(const uint32_t* hist, int maxc, long long nseq,
                       const int16_t* pnorm, int pn, const CTab* ptab, int log,
                       CTab* ctab, uint8_t* ncb, int* ncl, uint8_t* rle_sym) {
+  if (ct_g_force_predef) return 0;
   int distinct = 0, sym = 0;
   for (int c = 0; c <= maxc; c++)
     if (hist[c]) { distinct++; sym = c; }

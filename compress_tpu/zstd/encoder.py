@@ -342,6 +342,31 @@ def encode_sequences_section(lls, mls, ofvals) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def predef_seq_tables():
+    """Force predefined FSE sequence tables (mode 0) in the native
+    encoder for the scope — the accel profile consumed by the
+    shared-table Pallas sequence decoder (ops/zseq_pallas.py). The
+    predefined tables cover the full code alphabets so any parse stays
+    encodable; costs ~2-4%% of the sequence section. Process-global
+    (native flag): do not interleave with concurrent encodes that must
+    keep custom tables."""
+    from compress_tpu import _native
+
+    lib = _native.raw()
+    if lib is None or not hasattr(lib, "ct_zstd_force_predef"):
+        yield
+        return
+    lib.ct_zstd_force_predef(1)
+    try:
+        yield
+    finally:
+        lib.ct_zstd_force_predef(0)
+
+
 def _native_compress(data: bytes, checksum: bool, level: int = 1):
     """Native ladder path (levels 1-4, no dict). Returns bytes or None.
 
