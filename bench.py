@@ -307,12 +307,22 @@ def main():
         "np.asarray((a @ a).ravel()[0:1])\n"
         "print('ALIVE')\n"
     )
-    try:
-        r = subprocess.run([sys.executable, "-c", probe],
-                           capture_output=True, timeout=270, text=True)
-        tunnel_ok = "ALIVE" in (r.stdout or "")
-    except Exception:
-        tunnel_ok = False
+    # Cold PJRT init over the tunnel can take minutes, and a transient
+    # tunnel hiccup (e.g. another client just released the chip) fails a
+    # single probe on an otherwise healthy chip — measured 2026-08-20:
+    # two consecutive probe failures followed by a clean 10 s init. So:
+    # generous timeout + one retry before falling back to host-only.
+    tunnel_ok = False
+    for _attempt in range(2):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=420, text=True)
+            tunnel_ok = "ALIVE" in (r.stdout or "")
+        except Exception:
+            tunnel_ok = False
+        if tunnel_ok:
+            break
+        time.sleep(20)
     if not tunnel_ok:
         return _host_only_bench(big[: 2 << 20], 1e9)
 

@@ -228,8 +228,13 @@ def _emit_kernel(blk_ref, off_ref, len_ref, out0_ref, out1_ref, rl_ref,
     c_t = a_t & full
     term_at = jnp.where(~c_t, tl, NT)
     k_term = _lane_scan_rev(term_at, jnp.minimum, NT)
+    # terminal-tile length contribution is gated by a_t (absorbed): a
+    # terminal tile whose base op has a DIFFERENT offset contributes
+    # nothing (matches lz2._merge_tile_chains; ungated, a chain ending at
+    # a tile boundary followed by a different-offset op absorbed wrong
+    # bytes — corrupt output, caught by crafted-input differential test)
     packed = jnp.where(~c_t, ((NT - 1 - tl) << 10)
-                       | jnp.minimum(L0, 1023), -1)
+                       | jnp.where(a_t, jnp.minimum(L0, 1023), 0), -1)
     filled = _lane_scan_rev(packed, jnp.maximum, -1)
     L_term = jnp.where(filled >= 0, filled & 1023, 0)
 

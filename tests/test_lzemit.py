@@ -88,3 +88,31 @@ def test_assemble_native_matches_numpy():
     for b in range(nb):
         mask = slot < rl2[b][:, None]
         assert fast[b] == byts[b][mask].tobytes(), b
+
+
+def test_merge_terminal_gate():
+    """Crafted block: a period-3 run ends EXACTLY at a 512-tile boundary
+    and the next tile's base op has a different offset (5). The cross-tile
+    chain merge must NOT absorb the terminal tile's length (the gate in
+    lz2._merge_tile_chains) — ungated, both kernels emitted corrupt
+    output (found 2026-08-20 by differential construction)."""
+    from compress_tpu.ops import lzemit2
+    from compress_tpu.s2 import block as s2block
+
+    rng = np.random.default_rng(0)
+    blk = rng.integers(0, 256, 65536, dtype=np.uint8)
+    p0 = 100
+    pat = np.array([65, 66, 67], np.uint8)
+    idx = np.arange(p0, 1024)
+    blk[idx] = pat[(idx - p0) % 3]
+    for i in range(1024, 1032):
+        blk[i] = blk[i - 5]
+    src = blk.tobytes()
+    blocks = jnp.asarray(blk[None, :])
+    off, L = lzkern.find_matches_blocks(blocks, interpret=True)
+    for mod in (lzemit, lzemit2):
+        b0, b1, rl = mod.emit_blocks(blocks, off, L, interpret=True)
+        body = mod.assemble_bodies(b0, b1, rl)[0]
+        pre = bytearray()
+        put_uvarint(pre, len(src))
+        assert s2block.decode(bytes(pre) + body) == src, mod.__name__
