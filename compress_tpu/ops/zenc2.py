@@ -1,0 +1,256 @@
+"""TPU device zstd encoder v2 — the Pallas-kernel pipeline.
+
+Replaces ops/zdev.py's XLA-graph job encoder (0.047 GB/s across rounds
+1-4; stage split per 16 MB: 102 ms XLA sort + 54 ms parse/extras +
+~95 ms compactions + ~105 ms entropy/pack) with the kernel tier:
+
+  1. ops/lzkern.py    — bitonic exact match finder per 64 KiB block.
+  2. ops/zparse.py    — parse + gating + in-VMEM seq/literal extraction.
+  3. XLA              — per-block huff0 literals (table build, MXU code
+                        lookup, 4-stream bit-pack) + batch-shared FSE
+                        table build + per-seq delta lookups.
+  4. ops/zseqenc.py   — serial rep-offset + FSE state chains in VMEM.
+  5. XLA              — MXU bit-pack of the sequence items.
+
+Geometry: 64 KiB zstd blocks (the Pallas panel size; format max is
+128 KiB).  Matches are block-local (the finder's window) — the job/
+prefix arguments are accepted for engine compatibility; long-range
+(job-wide) candidates ride the optional LDM channel (ldm_channel).
+
+FSE sequence tables are BATCH-SHARED at accuracy log 7 (vs zdev's
+per-job 9/8/9): the serial chain kernel then needs one lane-gather per
+stream per step.  Each job's first sequence block writes the (shared)
+table, later blocks use Repeat_Mode — identical host assembly
+(zstd/device.py).  Huffman literal tables stay per-block.
+
+Output dict: the zdev.zstd_encode_jobs contract (zstd/device.py
+assembles either).  Reference roles: zstd/enc_fast.go:39,
+zstd/blockenc.go, the encodeblock asm tier (SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from compress_tpu.ops import lzkern, zparse, zseqenc
+from compress_tpu.ops.zdev import (_huff_build, _canonical_codes_dev,
+                                   _bitpack_rows, _fse_build, _lut,
+                                   _ll_code, _ml_code, _of_code, LIT_TO)
+from compress_tpu.zstd import seqs as S
+
+BLOCK = 1 << 16        # 64 KiB — the Pallas panel size
+MAXSEQ = zparse.MAXSEQ  # 12288
+SEQ_TO = 416           # per-256-item tile: <= ~85 seqs * 73 bits + slack
+FSE_LOG = zseqenc.FSE_LOG
+
+
+def _literal_stage(lits, lit_cnt, bs):
+    """Per-block huff0 literal path on compacted literals (zdev's code at
+    64 KiB block scale): table build, code lookup, 4-stream bit-pack."""
+    R = lits.shape[0]
+    idx = jnp.arange(bs, dtype=jnp.int32)[None, :]
+    is_lit = idx < lit_cnt[:, None]
+    litsi = lits.astype(jnp.int32)
+
+    oh_lit = jax.nn.one_hot(litsi, 256, dtype=jnp.bfloat16)
+    hist = jnp.einsum("rb,rbs->rs", is_lit.astype(jnp.bfloat16), oh_lit,
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+    nbits_t, max_bits, huff_ok = _huff_build(hist)
+    codes_t = _canonical_codes_dev(nbits_t, max_bits)
+
+    htabs = jnp.stack([codes_t & 0xFF, codes_t >> 8, nbits_t], axis=-1)
+    ln = jnp.einsum("rns,rsk->rnk", oh_lit, htabs.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    lcode = ln[:, :, 0] | (ln[:, :, 1] << 8)
+    lnb = ln[:, :, 2]
+    lnb = jnp.where(is_lit, lnb, 0)
+    lcode = jnp.where(is_lit, lcode, 0)
+
+    seg = (lit_cnt[:, None] + 3) >> 2
+    q = jnp.clip(idx // jnp.maximum(seg, 1), 0, 3)
+    cs = jnp.cumsum(lnb, axis=1)
+    oh_q = jax.nn.one_hot(q, 4, dtype=jnp.bfloat16)
+    bq = jnp.einsum("ri,riq->rq", lnb.astype(jnp.bfloat16), oh_q,
+                    preferred_element_type=jnp.float32).astype(jnp.int32)
+    oh_qf = oh_q.astype(jnp.float32)
+    prev_bits = jnp.concatenate(
+        [jnp.zeros((R, 1), jnp.int32), jnp.cumsum(bq, axis=1)[:, :-1]],
+        axis=1)
+    prev_of_q = jnp.einsum("riq,rq->ri", oh_qf, prev_bits.astype(jnp.float32),
+                           precision="highest").astype(jnp.int32)
+    c_in_q = cs - prev_of_q
+    bq_of_i = jnp.einsum("riq,rq->ri", oh_qf, bq.astype(jnp.float32),
+                         precision="highest").astype(jnp.int32)
+    sh = (bq + 16) >> 4
+    sbase = jnp.stack([sh[:, 1] + sh[:, 2] + sh[:, 3],
+                       sh[:, 2] + sh[:, 3],
+                       sh[:, 3],
+                       jnp.zeros_like(sh[:, 0])], axis=1)
+    sbase_of_i = jnp.einsum("riq,rq->ri", oh_qf, sbase.astype(jnp.float32),
+                            precision="highest").astype(jnp.int32)
+    dest_bit = 16 * sbase_of_i + (bq_of_i - c_in_q)
+    dest_bit = jnp.where(is_lit, dest_bit, 0)
+    lit_halves, lit_nh = _bitpack_rows(
+        jnp.flip(lcode, axis=1), jnp.flip(lnb, axis=1),
+        jnp.flip(dest_bit, axis=1), LIT_TO,
+        region_end=sbase[:, 0] + sh[:, 0])
+    return nbits_t, max_bits, huff_ok, bq, lit_halves, lit_nh
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _codes_stage(ll_v, ml_v, of_v2, n_seqs):
+    """Codes + shared FSE tables + per-seq packed deltas (XLA glue)."""
+    R, MS = ll_v.shape
+    si = jnp.arange(MS, dtype=jnp.int32)[None, :]
+    is_seq = si < n_seqs[:, None]
+    ll_c = jnp.where(is_seq, _ll_code(ll_v), 0)
+    ml_c = jnp.where(is_seq, _ml_code(jnp.maximum(ml_v, 3)), 0)
+    of_c = jnp.where(is_seq, _of_code(jnp.maximum(of_v2, 1)), 0)
+
+    tabs = [_fse_build(c, is_seq, 1, FSE_LOG)
+            for c in (ll_c, of_c, ml_c)]
+    # dope RLE streams so the chain kernel emits zero bits naturally
+    size = 1 << FSE_LOG
+    st_rows, pks = [], []
+    for t, c in zip(tabs, (ll_c, of_c, ml_c)):
+        rle = t["rle"][0]
+        st_row = jnp.where(rle, size, t["st"][0][:size])
+        dnb_row = jnp.where(rle, -size, t["dnb"][0])
+        dfs_row = jnp.where(rle, -size, t["dfs"][0])
+        # per-seq delta lookups (f32-exact: |dnb| < 2^24)
+        dnb_i = _lut(dnb_row, c, dtype=jnp.float32)
+        dfs_i = _lut(dfs_row, c, dtype=jnp.float32)
+        pks.append(((dnb_i + 128) << 9) | (dfs_i + 128))
+        st_rows.append(st_row)
+    tables = jnp.stack(st_rows, axis=0).astype(jnp.int32)   # (3, 128)
+
+    # extras (natural seq order)
+    llx_v = ll_v - _lut(np.asarray(S.LL_BASELINE, np.int32),
+                        jnp.minimum(ll_c, 35), dtype=jnp.float32)
+    llx_n = _lut(np.asarray(S.LL_BITS, np.int32), jnp.minimum(ll_c, 35))
+    mlx_v = ml_v - _lut(np.asarray(S.ML_BASELINE, np.int32),
+                        jnp.minimum(ml_c, 52), dtype=jnp.float32)
+    mlx_n = _lut(np.asarray(S.ML_BITS, np.int32), jnp.minimum(ml_c, 52))
+    ofx_v = of_v2 - (1 << jnp.clip(of_c, 0, 30))
+    ofx_n = of_c
+    ex = [jnp.where(is_seq, x, 0) for x in
+          (llx_v, llx_n, mlx_v, mlx_n, ofx_v, ofx_n)]
+    norm = jnp.concatenate([t["norm"] for t in tabs], axis=0)   # (3, 64)
+    rle3 = jnp.stack([t["rle"][0] for t in tabs])
+    rle_sym3 = jnp.stack([t["rle_sym"][0] for t in tabs])
+    return pks[0], pks[1], pks[2], tables, ex, norm, rle3, rle_sym3
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _pack_stage(st_val, st_nb, st_fin, extras, rle3, n_seqs):
+    """Assemble per-seq items (write order) and bit-pack the sequence
+    stream (zdev layout: [fused states, llx|mlx, ofx] per seq + flush)."""
+    R, MS = st_val.shape
+    llx_v, llx_n, mlx_v, mlx_n, ofx_v, ofx_n = extras
+
+    def flipseq(x):
+        return jnp.flip(x, axis=1)
+
+    fx_llx_v, fx_llx_n = flipseq(llx_v), flipseq(llx_n)
+    fx_mlx_v, fx_mlx_n = flipseq(mlx_v), flipseq(mlx_n)
+    x2_v = fx_llx_v | (fx_mlx_v << jnp.clip(fx_llx_n, 0, 16))
+    x2_n = fx_llx_n + fx_mlx_n
+    items_v = jnp.stack([flipseq(st_val), x2_v, flipseq(ofx_v)], axis=2)
+    items_n = jnp.stack([flipseq(st_nb), x2_n, flipseq(ofx_n)], axis=2)
+    items_v = items_v.reshape(R, MS * 3)
+    items_n = items_n.reshape(R, MS * 3)
+
+    has_seq = (n_seqs > 0)[:, None]
+    log7 = jnp.where(rle3, 0, FSE_LOG)                   # (3,) ll/of/ml
+    # flush packs (ml, of, ll) LSB-first
+    fsh1 = jnp.clip(log7[2], 0, 16)
+    fsh2 = jnp.clip(log7[2] + log7[1], 0, 26)
+    fl_v = (st_fin[:, 2] | (st_fin[:, 1] << fsh1)
+            | (st_fin[:, 0] << fsh2))[:, None]
+    fl_n = jnp.where(has_seq, (log7[0] + log7[1] + log7[2])[None], 0)
+    pad = (-(MS * 3 + 1)) % 512
+    items_v = jnp.concatenate(
+        [items_v, jnp.where(has_seq, fl_v, 0),
+         jnp.zeros((R, pad), jnp.int32)], axis=1)
+    items_n = jnp.concatenate(
+        [items_n, fl_n, jnp.zeros((R, pad), jnp.int32)], axis=1)
+    seq_bits_cum = jnp.cumsum(items_n, axis=1)
+    seq_dest = seq_bits_cum - items_n
+    seq_total_bits = seq_bits_cum[:, -1]
+    seq_halves, seq_nh = _bitpack_rows(items_v, items_n, seq_dest, SEQ_TO,
+                                       region_end=(seq_total_bits + 16) >> 4,
+                                       T=256)
+    return seq_halves, seq_nh, seq_total_bits
+
+
+_lit_stage_jit = jax.jit(_literal_stage, static_argnames=("bs",))
+
+
+def zstd_encode_jobs_v2(jobs, job: int = 1 << 20, block: int = BLOCK,
+                        tile: int = 512, debug: bool = False,
+                        prefixes=None, has_prefix=None, level: int = 2,
+                        ldm_channel=None, interpret: bool = False):
+    """jobs: (NJ, job) uint8 -> zdev-contract dict for zstd/device.py.
+
+    block must be 64 KiB (the kernel panel).  Matches are block-local
+    unless `ldm_channel=(off, L)` (per-position long-range candidates
+    over the flattened jobs) is provided.  `level` is accepted for
+    engine signature parity (the kernel finder has one depth)."""
+    assert block == BLOCK, "v2 pipeline runs on 64 KiB blocks"
+    nj = jobs.shape[0]
+    nblk = job // block
+    R = nj * nblk
+    blocks = jobs.reshape(R, block)
+
+    off, L = lzkern.find_matches_blocks(blocks, interpret=interpret)
+    if ldm_channel is not None:
+        off_l, L_l = ldm_channel
+        off_l = off_l.reshape(R, block)
+        L_l = L_l.reshape(R, block)
+        use = L_l > L
+        off = jnp.where(use, off_l, off)
+        L = jnp.where(use, L_l, L)
+
+    ll_v, ml_v, of_raw, lits, n_seqs, lit_cnt = zparse.parse_blocks(
+        blocks, off, L, interpret=interpret)
+
+    of_v2 = zseqenc.rep_scan(of_raw, ll_v, n_seqs, interpret=interpret)
+
+    (pk_ll, pk_of, pk_ml, tables, extras, norm, rle3,
+     rle_sym3) = _codes_stage(ll_v, ml_v, of_v2, n_seqs)
+
+    st_val, st_nb, st_fin = zseqenc.fse_chain(
+        pk_ll, pk_of, pk_ml, n_seqs, tables, interpret=interpret)
+
+    nbits_t, max_bits, huff_ok, bq, lit_halves, lit_nh = _lit_stage_jit(
+        lits, lit_cnt, bs=block)
+
+    seq_halves, seq_nh, seq_total_bits = _pack_stage(
+        st_val, st_nb, st_fin, extras, rle3, n_seqs)
+
+    log7 = jnp.where(rle3, 0, FSE_LOG)
+    return dict(
+        n_seqs=n_seqs.reshape(nj, nblk),
+        lit_cnt=lit_cnt.reshape(nj, nblk),
+        ll=ll_v.reshape(nj, nblk, MAXSEQ),
+        ml=ml_v.reshape(nj, nblk, MAXSEQ),
+        ofv=of_v2.reshape(nj, nblk, MAXSEQ),
+        nbits=nbits_t.reshape(nj, nblk, 256),
+        max_bits=max_bits.reshape(nj, nblk),
+        huff_ok=huff_ok.reshape(nj, nblk),
+        stream_bits=bq.reshape(nj, nblk, 4),
+        lit_halves=lit_halves.reshape(nj, nblk, -1),
+        lit_nh=lit_nh.reshape(nj, nblk),
+        seq_halves=seq_halves.reshape(nj, nblk, -1),
+        seq_nh=seq_nh.reshape(nj, nblk),
+        seq_total_bits=seq_total_bits.reshape(nj, nblk),
+        fse_norm=jnp.broadcast_to(norm[None], (nj, 3, 64)),
+        fse_log=jnp.broadcast_to(log7[None], (nj, 3)),
+        fse_rle=jnp.broadcast_to(rle3[None], (nj, 3)),
+        fse_rle_sym=jnp.broadcast_to(rle_sym3[None], (nj, 3)),
+    )

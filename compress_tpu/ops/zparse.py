@@ -215,8 +215,10 @@ def _zparse_kernel(blk_ref, off_ref, len_ref,
         dtr = jnp.broadcast_to(d_t.T, (SEQ_ROWS, NT))
         ohA = (dd == dtr).astype(jnp.float32)
         ohB = (dd == dtr + 1).astype(jnp.float32)
-        out = (jnp.dot(ohA, rA, preferred_element_type=jnp.float32)
-               + jnp.dot(ohB, rB, preferred_element_type=jnp.float32))
+        out = (jnp.dot(ohA, rA, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+               + jnp.dot(ohB, rB, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST))
         return out.astype(jnp.int32)
 
     ll_ref[0] = scatter_seq(ll_tp)
@@ -244,9 +246,12 @@ def _zparse_kernel(blk_ref, off_ref, len_ref,
     drr = jnp.broadcast_to(d_r.T, (ROWS, ROWS))
     ohA = (dd == drr).astype(jnp.float32)
     ohB = (dd == drr + 1).astype(jnp.float32)
-    lout = (jnp.dot(ohA, rA, preferred_element_type=jnp.float32)
-            + jnp.dot(ohB, rB, preferred_element_type=jnp.float32))
-    lit_ref[0] = lout.astype(jnp.uint8)
+    lout = (jnp.dot(ohA, rA, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+            + jnp.dot(ohB, rB, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST))
+    # Mosaic has no f32->u8 cast; hop through i32
+    lit_ref[0] = lout.astype(jnp.int32).astype(jnp.uint8)
     lit_cnt = jnp.sum(cnt_l)
 
     # ---- meta ------------------------------------------------------------
