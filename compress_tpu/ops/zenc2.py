@@ -48,6 +48,149 @@ MAXSEQ = zparse.MAXSEQ  # 12288
 SEQ_TO = 416           # per-256-item tile: <= ~85 seqs * 73 bits + slack
 FSE_LOG = zseqenc.FSE_LOG
 
+LDM_STRIDE = 8         # long-range sample stride
+LDM_K = 8              # verified 8-byte groups per anchor (64 B) pre-chain
+LDM_MIN = 24           # minimum accepted long-range match length
+
+
+@functools.partial(jax.jit, static_argnames=("pre", "job"))
+def _ldm_channel(full, has_prefix, pre: int, job: int):
+    """Winnowed long-range match channel over the job+prefix span — the
+    long-distance half of the reference's two-table strategy
+    (zstd/enc_dfast.go long-table role; libzstd's LDM analogue),
+    re-designed sort-based + content-defined for the TPU:
+
+    Every 8-byte window selects ONE anchor by argmin of a rolling
+    fingerprint (winnowing) — both copies of a repeated region select
+    the same anchor positions regardless of byte alignment, which a
+    plain strided sample cannot do (a stride-8 grid only ever finds
+    offsets divisible by 8).  Anchors' exact 8-byte keys are sorted
+    (stable => the adjacent equal key IS the nearest previous
+    occurrence), verified/extended by 8-byte word compares, and
+    same-offset anchor chains whose verified spans cover the gaps are
+    linked by run doubling, so replica-scale periods collapse into
+    full-length matches.  Returns per-byte (off, L) channels over the
+    job region (zero off the anchor positions) for the zparse merge."""
+    nj, span = full.shape
+    NS = span // LDM_STRIDE
+    b = full.astype(jnp.int32)
+    bp = jnp.pad(b, ((0, 0), (0, 8)))
+
+    def byte(k):
+        return bp[:, k:span + k]
+
+    w0 = byte(0) | (byte(1) << 8) | (byte(2) << 16) | (byte(3) << 24)
+    w1 = byte(4) | (byte(5) << 8) | (byte(6) << 16) | (byte(7) << 24)
+    h = ((w0 * jnp.int32(-1640531527)) ^ (w1 * jnp.int32(-2048144789))
+         ) & jnp.int32(0x7FFFFFFF)
+
+    # 64-byte key fingerprint (the reference LDM's minMatchLength scale):
+    # an 8-byte key would send common 8-grams to NEAR candidates and
+    # break replica chains; only 64-byte-repeating content should match.
+    # Hash collisions are rejected by the word-compare verification.
+    wp = jnp.pad(b, ((0, 0), (0, 72)))
+
+    def wordat(k):
+        return (wp[:, k:span + k] | (wp[:, k + 1:span + k + 1] << 8)
+                | (wp[:, k + 2:span + k + 2] << 16)
+                | (wp[:, k + 3:span + k + 3] << 24))
+
+    h64 = w0 * jnp.int32(-1640531527) ^ w1 * jnp.int32(-2048144789)
+    for k in range(1, 8):
+        h64 = (h64 * jnp.int32(-1028477387)) ^ \
+            (wordat(8 * k) * jnp.int32(-1640531527)) ^ \
+            (wordat(8 * k + 4) * jnp.int32(-2048144789))
+
+    # winnowing: per-8-window argmin of the fingerprint
+    h8 = h.reshape(nj, NS, LDM_STRIDE)
+    d = jnp.argmin(h8, axis=2).astype(jnp.int32)          # (nj, NS) in [0,8)
+    wi = jnp.broadcast_to(jnp.arange(NS, dtype=jnp.int32), (nj, NS))
+    a = wi * LDM_STRIDE + d                               # anchor positions
+
+    ha = jnp.take_along_axis(h64, a, axis=1)
+    hs, ws = jax.lax.sort((ha, wi), dimension=1, num_keys=1)
+
+    def prev(x, fill):
+        return jnp.concatenate(
+            [jnp.full((nj, 1), fill, x.dtype), x[:, :-1]], axis=1)
+
+    same = (hs == prev(hs, jnp.int32(-(1 << 31)))) \
+        & (prev(ws, 1 << 30) < ws)
+    cand_s = jnp.where(same, prev(ws, 0), -1)
+    _, candw = jax.lax.sort((ws, cand_s), dimension=1, num_keys=1)
+    valid = candw >= 0
+    candw = jnp.maximum(candw, 0)
+    c = jnp.take_along_axis(a, candw, axis=1)             # candidate pos
+
+    # verified extension: leading equal 8-byte groups at (a+8k, c+8k)
+    lead = jnp.ones((nj, NS), bool)
+    L8 = jnp.zeros((nj, NS), jnp.int32)
+    for k in range(LDM_K):
+        ik = jnp.minimum(a + 8 * k, span - 1)
+        ck = jnp.minimum(c + 8 * k, span - 1)
+        eq = (jnp.take_along_axis(w0, ik, axis=1)
+              == jnp.take_along_axis(w0, ck, axis=1)) \
+            & (jnp.take_along_axis(w1, ik, axis=1)
+               == jnp.take_along_axis(w1, ck, axis=1)) \
+            & (a + 8 * k + 8 <= span)
+        lead = lead & eq
+        L8 = L8 + lead.astype(jnp.int32)
+    L = jnp.where(valid, 8 * L8, 0)
+    off = a - c
+
+    # reach-propagation heal: winnowing grids of the two copies of a
+    # repeat only agree on ~half the anchors (shifted window boundaries);
+    # a "dead" anchor lying INSIDE an earlier anchor's verified span
+    # inherits that anchor's offset and remaining coverage (still fully
+    # verified — it is a subrange), which unifies offsets along replica
+    # runs so the chain pass below can link through.
+    reach = jnp.where(L > 0, a + L, -1)
+    roff = off
+    for k in range(18):
+        s_ = 1 << k
+        pr_ = jnp.maximum(wi - s_, 0)
+        sh_r = jnp.where(wi >= s_, jnp.take_along_axis(reach, pr_, axis=1),
+                         -1)
+        sh_o = jnp.take_along_axis(roff, pr_, axis=1)
+        take = sh_r > reach
+        reach = jnp.where(take, sh_r, reach)
+        roff = jnp.where(take, sh_o, roff)
+    heal = (reach - a > L) & (reach > a)
+    off = jnp.where(heal, roff, off)
+    L = jnp.where(heal, reach - a, L)
+    valid = valid | heal
+
+    # same-offset chain linking over the anchor axis: link window i to
+    # i+1 when the next anchor continues at the same offset INSIDE this
+    # anchor's verified span (gaps average ~12 bytes << 64 verified)
+    def nxt(x, fill):
+        return jnp.concatenate(
+            [x[:, 1:], jnp.full((nj, 1), fill, x.dtype)], axis=1)
+
+    cont = ((nxt(off, -1) == off) & (L > 0) & (nxt(L, 0) > 0)
+            & (nxt(a, 1 << 30) <= a + L))
+    r = cont.astype(jnp.int32)
+    for k in range(18):  # chains can span the whole window axis
+        s_ = 1 << k
+        at_ = jnp.minimum(wi + s_, NS - 1)
+        nxt_r = jnp.where(wi + s_ < NS, jnp.take_along_axis(r, at_, axis=1), 0)
+        r = r + jnp.where(r == s_, nxt_r, 0)
+    term = jnp.minimum(wi + r, NS - 1)
+    L = jnp.where(r > 0,
+                  jnp.take_along_axis(a, term, axis=1) - a
+                  + jnp.take_along_axis(L, term, axis=1), L)
+
+    # gating: prefix reach + minimum length (healed offsets included)
+    okpre = has_prefix[:, None] | (a - off >= pre)
+    L = jnp.where(valid & okpre & (L >= LDM_MIN), L, 0)
+    offv = jnp.where(L > 0, off, 0)
+
+    # emit at anchor positions via per-window one-hot (no scatter)
+    oh = jax.nn.one_hot(d, LDM_STRIDE, dtype=jnp.int32)   # (nj, NS, 8)
+    off_full = (oh * offv[:, :, None]).reshape(nj, span)
+    L_full = (oh * L[:, :, None]).reshape(nj, span)
+    return off_full[:, pre:], L_full[:, pre:]
+
 
 def _literal_stage(lits, lit_cnt, bs):
     """Per-block huff0 literal path on compacted literals (zdev's code at
@@ -194,7 +337,8 @@ _lit_stage_jit = jax.jit(_literal_stage, static_argnames=("bs",))
 def zstd_encode_jobs_v2(jobs, job: int = 1 << 20, block: int = BLOCK,
                         tile: int = 512, debug: bool = False,
                         prefixes=None, has_prefix=None, level: int = 2,
-                        ldm_channel=None, interpret: bool = False):
+                        ldm_channel=None, ldm: bool = True,
+                        interpret: bool = False):
     """jobs: (NJ, job) uint8 -> zdev-contract dict for zstd/device.py.
 
     block must be 64 KiB (the kernel panel).  Matches are block-local
@@ -208,6 +352,13 @@ def zstd_encode_jobs_v2(jobs, job: int = 1 << 20, block: int = BLOCK,
     blocks = jobs.reshape(R, block)
 
     off, L = lzkern.find_matches_blocks(blocks, interpret=interpret)
+    if ldm_channel is None and ldm:
+        pre = 0 if prefixes is None else prefixes.shape[1]
+        full = jobs if prefixes is None else jnp.concatenate(
+            [prefixes, jobs], axis=1)
+        hp = (jnp.zeros((nj,), bool) if has_prefix is None
+              else has_prefix.astype(bool))
+        ldm_channel = _ldm_channel(full, hp, pre, job)
     if ldm_channel is not None:
         off_l, L_l = ldm_channel
         off_l = off_l.reshape(R, block)
