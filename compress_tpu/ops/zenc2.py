@@ -48,8 +48,7 @@ MAXSEQ = zparse.MAXSEQ  # 12288
 SEQ_TO = 416           # per-256-item tile: <= ~85 seqs * 73 bits + slack
 FSE_LOG = zseqenc.FSE_LOG
 
-LDM_STRIDE = 8         # long-range sample stride
-LDM_K = 8              # verified 8-byte groups per anchor (64 B) pre-chain
+LDM_STRIDE = 16        # long-range winnow window (1 anchor per window)
 LDM_MIN = 24           # minimum accepted long-range match length
 
 
@@ -58,127 +57,136 @@ def _ldm_channel(full, has_prefix, pre: int, job: int):
     """Winnowed long-range match channel over the job+prefix span — the
     long-distance half of the reference's two-table strategy
     (zstd/enc_dfast.go long-table role; libzstd's LDM analogue),
-    re-designed sort-based + content-defined for the TPU:
+    re-designed content-defined + sort-based + GATHER-FREE for the TPU
+    (XLA gather runs ~85 Melem/s on chip; the first cut spent 2.5 s of a
+    2.7 s pipeline in take_along_axis):
 
-    Every 8-byte window selects ONE anchor by argmin of a rolling
-    fingerprint (winnowing) — both copies of a repeated region select
-    the same anchor positions regardless of byte alignment, which a
-    plain strided sample cannot do (a stride-8 grid only ever finds
-    offsets divisible by 8).  Anchors' exact 8-byte keys are sorted
-    (stable => the adjacent equal key IS the nearest previous
-    occurrence), verified/extended by 8-byte word compares, and
-    same-offset anchor chains whose verified spans cover the gaps are
-    linked by run doubling, so replica-scale periods collapse into
-    full-length matches.  Returns per-byte (off, L) channels over the
-    job region (zero off the anchor positions) for the zparse merge."""
+    - winnowing: every 8-byte window selects one anchor by argmin of a
+      rolling fingerprint, so both copies of a repeat select the same
+      content positions regardless of byte alignment (a strided grid
+      only ever finds offsets divisible by the stride);
+    - anchor-side values come from one-hot slot selects (elementwise,
+      no gather); candidate-side values ride the SORT as payload
+      (stable sort by 64-byte key hash: the adjacent equal key IS the
+      nearest previous occurrence, and its payload words verify 24
+      bytes exactly — hash collisions are rejected here);
+    - a reach-propagation heal pass (static-shift max scan) lets
+      anchors inside an earlier anchor's verified span inherit its
+      offset (the two copies' winnowing grids only agree on ~half the
+      anchors), then same-offset chains link by a segmented suffix
+      scan — all static shifts, zero gathers.
+
+    Returns per-byte (off, L) channels over the job region for the
+    zparse merge; every claimed byte is verified."""
     nj, span = full.shape
     NS = span // LDM_STRIDE
     b = full.astype(jnp.int32)
-    bp = jnp.pad(b, ((0, 0), (0, 8)))
+    bp = jnp.pad(b, ((0, 0), (0, 96)))
+    # aligned byte panel: B96[b, n, t] = byte at 16n + t, t in [0, 96) —
+    # six aligned slices instead of 64 unaligned word-slice relayouts
+    # (measured 2.2x on chip)
+    panels = [bp[:, 16 * m: 16 * m + span].reshape(nj, NS, 16)
+              for m in range(6)]
+    B96 = jnp.concatenate(panels, axis=2)
 
-    def byte(k):
-        return bp[:, k:span + k]
-
-    w0 = byte(0) | (byte(1) << 8) | (byte(2) << 16) | (byte(3) << 24)
-    w1 = byte(4) | (byte(5) << 8) | (byte(6) << 16) | (byte(7) << 24)
-    h = ((w0 * jnp.int32(-1640531527)) ^ (w1 * jnp.int32(-2048144789))
-         ) & jnp.int32(0x7FFFFFFF)
-
-    # 64-byte key fingerprint (the reference LDM's minMatchLength scale):
-    # an 8-byte key would send common 8-grams to NEAR candidates and
-    # break replica chains; only 64-byte-repeating content should match.
-    # Hash collisions are rejected by the word-compare verification.
-    wp = jnp.pad(b, ((0, 0), (0, 72)))
-
-    def wordat(k):
-        return (wp[:, k:span + k] | (wp[:, k + 1:span + k + 1] << 8)
-                | (wp[:, k + 2:span + k + 2] << 16)
-                | (wp[:, k + 3:span + k + 3] << 24))
-
-    h64 = w0 * jnp.int32(-1640531527) ^ w1 * jnp.int32(-2048144789)
-    for k in range(1, 8):
-        h64 = (h64 * jnp.int32(-1028477387)) ^ \
-            (wordat(8 * k) * jnp.int32(-1640531527)) ^ \
-            (wordat(8 * k + 4) * jnp.int32(-2048144789))
-
-    # winnowing: per-8-window argmin of the fingerprint
-    h8 = h.reshape(nj, NS, LDM_STRIDE)
-    d = jnp.argmin(h8, axis=2).astype(jnp.int32)          # (nj, NS) in [0,8)
+    # winnowing: per-16-window argmin of a rolling 8-byte fingerprint
+    w0w = (B96[..., 0:16] | (B96[..., 1:17] << 8)
+           | (B96[..., 2:18] << 16) | (B96[..., 3:19] << 24))
+    w1w = (B96[..., 4:20] | (B96[..., 5:21] << 8)
+           | (B96[..., 6:22] << 16) | (B96[..., 7:23] << 24))
+    hwin = ((w0w * jnp.int32(-1640531527)) ^ (w1w * jnp.int32(-2048144789))
+            ) & jnp.int32(0x7FFFFFFF)
+    d = jnp.argmin(hwin, axis=2).astype(jnp.int32)        # (nj, NS) in [0,16)
+    oh_d = jax.nn.one_hot(d, LDM_STRIDE, dtype=jnp.int32)
     wi = jnp.broadcast_to(jnp.arange(NS, dtype=jnp.int32), (nj, NS))
     a = wi * LDM_STRIDE + d                               # anchor positions
 
-    ha = jnp.take_along_axis(h64, a, axis=1)
-    hs, ws = jax.lax.sort((ha, wi), dimension=1, num_keys=1)
+    # anchor-relative bytes -> the 16 verification words (64 bytes)
+    ABs = [jnp.sum(oh_d * jax.lax.dynamic_slice_in_dim(B96, t, 16, 2),
+                   axis=2) for t in range(67)]
+    NW = 16                                               # 64 verified bytes
+    Ws = [ABs[4 * j] | (ABs[4 * j + 1] << 8) | (ABs[4 * j + 2] << 16)
+          | (ABs[4 * j + 3] << 24) for j in range(NW)]
+    # 64-byte key fingerprint (the reference LDM's minMatchLength scale):
+    # an 8-byte key would send common 8-grams to NEAR candidates and
+    # break replica chains; only 64-byte-repeating content should match.
+    ha = Ws[0] * jnp.int32(-1640531527) ^ Ws[1] * jnp.int32(-2048144789)
+    for k in range(1, 8):
+        ha = (ha * jnp.int32(-1028477387)) ^ \
+            (Ws[2 * k] * jnp.int32(-1640531527)) ^ \
+            (Ws[2 * k + 1] * jnp.int32(-2048144789))
+
+    srt = jax.lax.sort((ha, a) + tuple(Ws), dimension=1, num_keys=1)
+    hs, a_s = srt[0], srt[1]
+    Ws_s = srt[2:]
 
     def prev(x, fill):
         return jnp.concatenate(
             [jnp.full((nj, 1), fill, x.dtype), x[:, :-1]], axis=1)
 
     same = (hs == prev(hs, jnp.int32(-(1 << 31)))) \
-        & (prev(ws, 1 << 30) < ws)
-    cand_s = jnp.where(same, prev(ws, 0), -1)
-    _, candw = jax.lax.sort((ws, cand_s), dimension=1, num_keys=1)
-    valid = candw >= 0
-    candw = jnp.maximum(candw, 0)
-    c = jnp.take_along_axis(a, candw, axis=1)             # candidate pos
+        & (prev(a_s, 1 << 30) < a_s)
+    c_s = prev(a_s, 0)
+    # verified 4-byte groups against the previous (= nearest) occurrence
+    lead_s = jnp.zeros((nj, NS), jnp.int32)
+    live = same
+    for j in range(NW):
+        live = live & (Ws_s[j] == prev(Ws_s[j], -1))
+        lead_s = lead_s + live.astype(jnp.int32)
+    L_s = 4 * lead_s
+    # unsort by anchor position, carrying (cand pos, L)
+    _, c, L = jax.lax.sort((a_s, c_s, L_s), dimension=1, num_keys=1)
+    L = jnp.minimum(L, jnp.maximum(span - a, 0))
+    off = jnp.where(L > 0, a - c, 0)
+    valid = L > 0
 
-    # verified extension: leading equal 8-byte groups at (a+8k, c+8k)
-    lead = jnp.ones((nj, NS), bool)
-    L8 = jnp.zeros((nj, NS), jnp.int32)
-    for k in range(LDM_K):
-        ik = jnp.minimum(a + 8 * k, span - 1)
-        ck = jnp.minimum(c + 8 * k, span - 1)
-        eq = (jnp.take_along_axis(w0, ik, axis=1)
-              == jnp.take_along_axis(w0, ck, axis=1)) \
-            & (jnp.take_along_axis(w1, ik, axis=1)
-               == jnp.take_along_axis(w1, ck, axis=1)) \
-            & (a + 8 * k + 8 <= span)
-        lead = lead & eq
-        L8 = L8 + lead.astype(jnp.int32)
-    L = jnp.where(valid, 8 * L8, 0)
-    off = a - c
-
-    # reach-propagation heal: winnowing grids of the two copies of a
-    # repeat only agree on ~half the anchors (shifted window boundaries);
-    # a "dead" anchor lying INSIDE an earlier anchor's verified span
-    # inherits that anchor's offset and remaining coverage (still fully
-    # verified — it is a subrange), which unifies offsets along replica
-    # runs so the chain pass below can link through.
-    reach = jnp.where(L > 0, a + L, -1)
-    roff = off
-    for k in range(18):
-        s_ = 1 << k
-        pr_ = jnp.maximum(wi - s_, 0)
-        sh_r = jnp.where(wi >= s_, jnp.take_along_axis(reach, pr_, axis=1),
-                         -1)
-        sh_o = jnp.take_along_axis(roff, pr_, axis=1)
-        take = sh_r > reach
-        reach = jnp.where(take, sh_r, reach)
-        roff = jnp.where(take, sh_o, roff)
-    heal = (reach - a > L) & (reach > a)
-    off = jnp.where(heal, roff, off)
-    L = jnp.where(heal, reach - a, L)
-    valid = valid | heal
-
-    # same-offset chain linking over the anchor axis: link window i to
-    # i+1 when the next anchor continues at the same offset INSIDE this
-    # anchor's verified span (gaps average ~12 bytes << 64 verified)
-    def nxt(x, fill):
+    def shl(x, s_, fill):                                 # x[i+s]
         return jnp.concatenate(
-            [x[:, 1:], jnp.full((nj, 1), fill, x.dtype)], axis=1)
+            [x[:, s_:], jnp.full((nj, s_), fill, x.dtype)], axis=1)
 
-    cont = ((nxt(off, -1) == off) & (L > 0) & (nxt(L, 0) > 0)
-            & (nxt(a, 1 << 30) <= a + L))
-    r = cont.astype(jnp.int32)
-    for k in range(18):  # chains can span the whole window axis
-        s_ = 1 << k
-        at_ = jnp.minimum(wi + s_, NS - 1)
-        nxt_r = jnp.where(wi + s_ < NS, jnp.take_along_axis(r, at_, axis=1), 0)
-        r = r + jnp.where(r == s_, nxt_r, 0)
-    term = jnp.minimum(wi + r, NS - 1)
-    L = jnp.where(r > 0,
-                  jnp.take_along_axis(a, term, axis=1) - a
-                  + jnp.take_along_axis(L, term, axis=1), L)
+    def shr(x, s_, fill):                                 # x[i-s]
+        return jnp.concatenate(
+            [jnp.full((nj, s_), fill, x.dtype), x[:, :-s_]], axis=1)
+
+    # two rounds of (reach-propagation heal, same-offset chain link):
+    # the heal lets an anchor inside an earlier anchor's verified span
+    # inherit its offset + remaining coverage (the two copies' winnowing
+    # grids only agree on ~half the anchors; everything stays verified —
+    # a subrange), the chain links same-offset runs by a segmented
+    # suffix scan of the run end (anchor gaps are <= 15 bytes).  The
+    # second round links through anchors whose healed spans were too
+    # short to cover the next gap in round one.
+    for _round in range(2):
+        reach = jnp.where(valid, a + L, -1)
+        roff = off
+        for k in range(18):
+            s_ = 1 << k
+            if s_ >= NS:
+                break
+            sh_r = shr(reach, s_, -1)
+            sh_o = shr(roff, s_, 0)
+            take = sh_r > reach
+            reach = jnp.where(take, sh_r, reach)
+            roff = jnp.where(take, sh_o, roff)
+        heal = (reach - a > L) & (reach > a) & (roff > 0) & (a - roff >= 0)
+        off = jnp.where(heal, roff, off)
+        L = jnp.where(heal, reach - a, L)
+        valid = valid | heal
+
+        cont = ((shl(off, 1, -1) == off) & valid & (shl(L, 1, 0) > 0)
+                & (shl(a, 1, 1 << 30) <= a + L))
+        endv = a + L
+        R_ = jnp.where(cont, 0, endv)
+        B_ = ~cont
+        for k in range(18):
+            s_ = 1 << k
+            if s_ >= NS:
+                break
+            Rs = shl(R_, s_, 0)
+            Bs = shl(B_, s_, True)
+            R_ = jnp.where(B_, R_, Rs)
+            B_ = B_ | Bs
+        L = jnp.where(valid, R_ - a, 0)
 
     # gating: prefix reach + minimum length (healed offsets included)
     okpre = has_prefix[:, None] | (a - off >= pre)
@@ -186,9 +194,8 @@ def _ldm_channel(full, has_prefix, pre: int, job: int):
     offv = jnp.where(L > 0, off, 0)
 
     # emit at anchor positions via per-window one-hot (no scatter)
-    oh = jax.nn.one_hot(d, LDM_STRIDE, dtype=jnp.int32)   # (nj, NS, 8)
-    off_full = (oh * offv[:, :, None]).reshape(nj, span)
-    L_full = (oh * L[:, :, None]).reshape(nj, span)
+    off_full = (oh_d * offv[:, :, None]).reshape(nj, span)
+    L_full = (oh_d * L[:, :, None]).reshape(nj, span)
     return off_full[:, pre:], L_full[:, pre:]
 
 
