@@ -482,25 +482,54 @@ def main():
         "s2 decode mismatch"
 
     # ---- zstd L1 job encode ------------------------------------------------
-    jobs = jnp.asarray(np.frombuffer(big, np.uint8).reshape(-1, zdev.JOB))
-    zdt = timed(lambda: zdev.zstd_encode_jobs(jobs)["n_seqs"], iters)
-    z_gbps = len(big) / zdt / 1e9
+    # primary: the r5 Pallas-kernel pipeline (ops/zenc2.py — finder +
+    # zparse + serial chains + winnowed LDM, 4 MiB windows); the r1-r4
+    # XLA-graph engine is reported alongside as zstd_l1_v1_gbps.
+    from compress_tpu.ops import zenc2
 
-    # validity + ratio: assemble one job on the host, decode bit-exactly
+    JOB2 = 4 << 20
+    njz = len(big) // JOB2
+    pre2 = JOB2 // 8
+    jarr = np.frombuffer(big, np.uint8).reshape(njz, JOB2)
+    pref = np.zeros((njz, pre2), np.uint8)
+    hp = np.zeros(njz, bool)
+    for j in range(1, njz):
+        pref[j] = jarr[j - 1, -pre2:]
+        hp[j] = True
+    jobs2 = jnp.asarray(jarr)
+    pref_d = jnp.asarray(pref)
+    hp_d = jnp.asarray(hp)
+
+    def z_v2():
+        t = zenc2.zstd_encode_jobs_v2(jobs2, job=JOB2, prefixes=pref_d,
+                                      has_prefix=hp_d)
+        return (t["n_seqs"], t["seq_nh"], t["lit_nh"])
+
+    zdt = timed(z_v2, iters)
+    z_gbps = len(big) / zdt / 1e9
+    z_v1_gbps = -1.0
+    try:
+        jobs1 = jnp.asarray(np.frombuffer(big, np.uint8
+                                          ).reshape(-1, zdev.JOB))
+        zdt1 = timed(lambda: zdev.zstd_encode_jobs(jobs1)["n_seqs"], 2)
+        z_v1_gbps = len(big) / zdt1 / 1e9
+    except Exception:
+        pass
+
+    # validity + ratio: assemble on the host, decode bit-exactly
     from compress_tpu.zstd.device import compress_device
     from compress_tpu import zstd as z
 
-    frame = compress_device(big[: zdev.JOB])
-    assert z.decompress(frame) == big[: zdev.JOB], "zstd decode mismatch"
-    z_ratio = len(frame) / zdev.JOB
+    ze2e = big[: min(len(big), 8 << 20)]
+    frame = compress_device(ze2e, engine="v2")  # compile + warm
+    assert z.decompress(frame) == ze2e, "zstd decode mismatch"
+    z_ratio = len(frame) / len(ze2e)
 
     # honest END-TO-END device encode (device tensors + host assembly):
     # the kernel-only number above excludes the byte-plumbing the host
     # must still do (r3 finding: assembly dominated before vectorization)
-    ze2e = big[: min(len(big), 8 << 20)]
-    compress_device(ze2e)  # compile + warm (fresh job-batch shape)
     t = time.time()
-    compress_device(ze2e)
+    compress_device(ze2e, engine="v2")
     z_e2e_gbps = len(ze2e) / (time.time() - t) / 1e9
 
     # ---- device huff0 decode (entropy-decode half of P4) ------------------
@@ -670,6 +699,7 @@ def main():
         "s2_e2e_with_transfers_gbps": round(s2_e2e_gbps, 5),
         "s2_block_encode_xla_gbps": round(s2_xla_gbps, 5),
         "zstd_l1_encode_gbps": round(z_gbps, 5),
+        "zstd_l1_v1_gbps": round(z_v1_gbps, 5),
         "zstd_l1_vs_baseline": round(z_gbps / 0.31847, 5),
         "zstd_l1_ratio": round(z_ratio, 4),
         "zstd_device_e2e_gbps": round(z_e2e_gbps, 5),

@@ -210,14 +210,22 @@ def _canonical_codes_dev(nbits, max_bits):
 # ---------------------------------------------------------------------------
 
 
-def _bitpack_rows(values, nbits, dest_bit, to, region_end=None, T=512):
+def _bitpack_rows(values, nbits, dest_bit, to, region_end=None, T=512,
+                  bytesplit: bool = False, max_item_bits: int = 26):
     """values/nbits/dest_bit: (R, I) with dest_bit monotone non-decreasing
     per row; values < 2^26, nbits <= 26. region_end: (R,) total half count
     of the output region — tiles claim gap/slack halves (e.g. the EOS half
     when a stream's bit count is a multiple of 16) so the compacted stream
     keeps them as zero padding. T = items per tile; callers must ensure
     T * max_bits_per_item / 16 + 2 <= to. Returns (halves (R, ntiles*to)
-    int32 compacted to the row front, n_halves (R,))."""
+    int32 compacted to the row front, n_halves (R,)).
+
+    bytesplit: route 8-bit planes with a bf16 one-hot instead of 16-bit
+    planes in f32-highest — the route is HBM-bound on the materialized
+    one-hot, so halving its bytes nearly halves the stage (products stay
+    exact: one-hot x byte in bf16; MXU accumulates in f32).
+    max_item_bits <= 17 drops the third half-plane entirely (an item
+    then spans at most two halves: shift <= 15 plus 17 bits = 32)."""
     R, I = values.shape
     nt = I // T
     v = values.astype(jnp.uint32)
@@ -225,18 +233,33 @@ def _bitpack_rows(values, nbits, dest_bit, to, region_end=None, T=512):
     hidx = dest_bit >> 4
     p0 = ((v << s) & 0xFFFF).astype(jnp.int32)
     p1 = ((v >> (16 - s)) & 0xFFFF).astype(jnp.int32)
-    p2 = jnp.where(s > 0, (v >> (32 - jnp.maximum(s, 1))) & 0xFFFF, 0).astype(jnp.int32)
     live = nbits > 0
     p0 = jnp.where(live, p0, 0)
     p1 = jnp.where(live, p1, 0)
-    p2 = jnp.where(live, p2, 0)
+    planes16 = [p0, p1]
+    if max_item_bits > 17:
+        p2 = jnp.where(s > 0,
+                       (v >> (32 - jnp.maximum(s, 1))) & 0xFFFF,
+                       0).astype(jnp.int32)
+        planes16.append(jnp.where(live, p2, 0))
 
     h3 = hidx.reshape(R, nt, T)
     tb = h3[:, :, 0]                                   # tile base half
     d0 = jnp.clip((h3 - tb[:, :, None]).reshape(R * nt, T), 0, to - 3)
-    buf = route_tiles(d0, [p0.reshape(R * nt, T), p1.reshape(R * nt, T),
-                           p2.reshape(R * nt, T)], to,
-                      accumulate_shifts=2, dtype=jnp.float32)
+    if bytesplit:
+        planes8 = []
+        for p in planes16:
+            planes8 += [p & 0xFF, p >> 8]
+        routed = route_tiles(d0, [p.reshape(R * nt, T) for p in planes8],
+                             to, dtype=jnp.bfloat16)   # (N, K, to)
+        buf = routed[:, 0] + (routed[:, 1] << 8)
+        for j in range(1, len(planes16)):
+            buf = buf + jnp.roll(
+                routed[:, 2 * j] + (routed[:, 2 * j + 1] << 8), j, axis=-1)
+    else:
+        buf = route_tiles(d0, [p.reshape(R * nt, T) for p in planes16],
+                          to, accumulate_shifts=len(planes16) - 1,
+                          dtype=jnp.float32)
     buf = buf.reshape(R, nt, to)
 
     # per-tile max half actually touched

@@ -45,7 +45,7 @@ from compress_tpu.zstd import seqs as S
 
 BLOCK = 1 << 16        # 64 KiB — the Pallas panel size
 MAXSEQ = zparse.MAXSEQ  # 12288
-SEQ_TO = 416           # per-256-item tile: <= ~85 seqs * 73 bits + slack
+SEQ_TO = 208           # per-128-item tile: <= ~43 seqs * 73 bits + slack
 FSE_LOG = zseqenc.FSE_LOG
 
 LDM_STRIDE = 16        # long-range winnow window (1 anchor per window)
@@ -245,10 +245,13 @@ def _literal_stage(lits, lit_cnt, bs):
                             precision="highest").astype(jnp.int32)
     dest_bit = 16 * sbase_of_i + (bq_of_i - c_in_q)
     dest_bit = jnp.where(is_lit, dest_bit, 0)
+    # v2 geometry: T=256/to=192 halves the route's one-hot; literal
+    # items are <= 11 bits so the third half-plane drops too
     lit_halves, lit_nh = _bitpack_rows(
         jnp.flip(lcode, axis=1), jnp.flip(lnb, axis=1),
-        jnp.flip(dest_bit, axis=1), LIT_TO,
-        region_end=sbase[:, 0] + sh[:, 0])
+        jnp.flip(dest_bit, axis=1), 192,
+        region_end=sbase[:, 0] + sh[:, 0], T=256,
+        bytesplit=True, max_item_bits=11)
     return nbits_t, max_bits, huff_ok, bq, lit_halves, lit_nh
 
 
@@ -334,7 +337,7 @@ def _pack_stage(st_val, st_nb, st_fin, extras, rle3, n_seqs):
     seq_total_bits = seq_bits_cum[:, -1]
     seq_halves, seq_nh = _bitpack_rows(items_v, items_n, seq_dest, SEQ_TO,
                                        region_end=(seq_total_bits + 16) >> 4,
-                                       T=256)
+                                       T=128, bytesplit=True)
     return seq_halves, seq_nh, seq_total_bits
 
 

@@ -292,21 +292,53 @@ def _assemble_job_py(job_bytes: bytes, t, j: int, block: int):
     return out
 
 
-def compress_device(data, *, checksum: bool = False, job: int = zdev.JOB,
-                    block: int = zdev.BLOCK, encode_fn=None,
-                    max_launch_jobs: int = 8, level: int = 2) -> bytes:
+def _on_tpu() -> bool:
+    try:
+        import jax
+
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
+def compress_device(data, *, checksum: bool = False, job: int | None = None,
+                    block: int | None = None, encode_fn=None,
+                    max_launch_jobs: int = 8, level: int = 2,
+                    engine: str = "auto", interpret: bool = False) -> bytes:
     """Encode `data` as one zstd frame using the device encoder for all
     full `job`-sized windows; the tail uses the host matcher (rep-free).
 
-    encode_fn: override for zdev.zstd_encode_jobs (tests pass smaller
-    geometry)."""
+    engine: "v2" = the Pallas-kernel pipeline (ops/zenc2.py, 64 KiB
+    blocks, 4 MiB default window + winnowed LDM), "v1" = the XLA-graph
+    pipeline (ops/zdev.py), "auto" = v2 on a real accelerator, v1 on
+    CPU (Pallas needs interpret mode there; pass engine="v2",
+    interpret=True to force it). encode_fn: explicit override (tests
+    pass smaller geometry)."""
     data = bytes(data)
+    if engine == "auto":
+        engine = "v2" if _on_tpu() else "v1"
+    if encode_fn is None:
+        if engine == "v2":
+            import functools
+
+            from compress_tpu.ops import zenc2
+
+            encode_fn = functools.partial(zenc2.zstd_encode_jobs_v2,
+                                          interpret=interpret)
+            job = job or (4 << 20)
+            block = block or zenc2.BLOCK
+        else:
+            encode_fn = zdev.zstd_encode_jobs
+            job = job or zdev.JOB
+            block = block or zdev.BLOCK
+    else:
+        job = job or zdev.JOB
+        block = block or zdev.BLOCK
     n = len(data)
     if n < job:
         from compress_tpu.zstd.encoder import compress
 
         return compress(data, level=1, checksum=checksum)
-    encode_fn = encode_fn or zdev.zstd_encode_jobs
 
     n_jobs = n // job
     pre = job // 8  # overlap prefix (reference enc_jobs overlapSize)
