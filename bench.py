@@ -396,9 +396,16 @@ def main():
     # and subtract one RTT; rtt is reported so a judge can separate tunnel
     # tax from kernel quality.
     def timed(fn, n, warmed=None):
-        """n dispatches, one sync; returns seconds/iter minus one RTT."""
+        """n dispatches, one sync; returns seconds/iter minus one RTT.
+
+        The warm-up MUST host-fetch-sync: block_until_ready returns
+        early through the tunnel, so a warm-up that does not fetch lets
+        the section's first compile spill into the timed window
+        (measured 2026-08-20: the finder read 850 us/block in its own
+        section and ~230 us/block two sections later)."""
         if warmed is None:
-            jax.block_until_ready(fn())
+            w = fn()
+            np.asarray(jax.tree_util.tree_leaves(w)[0].ravel()[0:1])
         t0 = time.time()
         r = None
         for _ in range(n):

@@ -1226,7 +1226,9 @@ static bool plan_ops(const int32_t* lls, const int32_t* mls,
                      const int32_t* offs, long long nseq, long long tail_lit,
                      int max_rounds, PlanOut* po, int32_t* esrc,
                      int16_t* ernd, int32_t* stmp, int16_t* rtmp,
-                     long long hist_avail, long long hist_cap) {
+                     long long hist_avail, long long hist_cap,
+                     long long out_base = ACC_OUT_BASE,
+                     long long out_cap = (1 << 16)) {
   long long pos = 0, lit_pos = 0;
   for (long long k = 0; k <= nseq; k++) {
     long long ll = k < nseq ? lls[k] : tail_lit;
@@ -1246,7 +1248,7 @@ static bool plan_ops(const int32_t* lls, const int32_t* mls,
     if (k == nseq) break;
     long long L = mls[k];
     long long off = offs[k];
-    if (off <= 0 || off > pos + hist_avail || pos + L > (1 << 16))
+    if (off <= 0 || off > pos + hist_avail || pos + L > out_cap)
       return false;
     int rmax = 0;
     bool contig = true;
@@ -1281,7 +1283,7 @@ static bool plan_ops(const int32_t* lls, const int32_t* mls,
             stmp[i] = (int32_t)(ACC_HIST_BASE + hist_cap + sp);
             rtmp[i] = 0;
           } else {
-            stmp[i] = (int32_t)(ACC_OUT_BASE + sp);
+            stmp[i] = (int32_t)(out_base + sp);
             rtmp[i] = (int16_t)rnd_direct;
           }
         }
@@ -1315,12 +1317,15 @@ static bool plan_ops(const int32_t* lls, const int32_t* mls,
 long long ct_s2_build_plan(const uint8_t* src, long long slen,
                            long long dlen, int mode, int max_rounds,
                            uint8_t* out, long long cap) {
-  if (dlen > (1 << 16) || dlen < 0) return 0;
+  // blocks up to 256 KiB decode on device; the arena scales by the
+  // power-of-two class M = ceil(dlen / 64Ki): literal region M*512
+  // rows, output base M*64Ki (mirrored in s2/device_dec.py)
+  if (dlen > (1 << 18) || dlen < 0) return 0;
   long long ocap = 4 * dlen + 1024;  // ops bound: >= 1 op per 2 bytes
   int32_t* k_ll = (int32_t*)malloc(ocap * 4);   // literal lens per op
   int32_t* mls = (int32_t*)malloc(ocap * 4);
   int32_t* ofs = (int32_t*)malloc(ocap * 4);
-  uint8_t* lit = (uint8_t*)malloc((1 << 16) + 16);
+  uint8_t* lit = (uint8_t*)malloc(dlen + (1 << 16) + 16);
   if (!k_ll || !mls || !ofs || !lit) {
     free(k_ll); free(mls); free(ofs); free(lit);
     return E_CORRUPT;
@@ -1426,14 +1431,18 @@ long long ct_s2_build_plan(const uint8_t* src, long long slen,
     int32_t* psrc = (int32_t*)malloc(pcap * 4);
     uint8_t* plen = (uint8_t*)malloc(pcap);
     uint8_t* prnd = (uint8_t*)malloc(pcap);
-    int32_t* esrc = (int32_t*)malloc((1 << 16) * 4);
-    int16_t* ernd2 = (int16_t*)malloc((1 << 16) * 2);
-    int32_t* stmp = (int32_t*)malloc((1 << 16) * 4);
-    int16_t* rtmp = (int16_t*)malloc((1 << 16) * 2);
+    long long scap = dlen + 1024;
+    int32_t* esrc = (int32_t*)malloc(scap * 4);
+    int16_t* ernd2 = (int16_t*)malloc(scap * 2);
+    int32_t* stmp = (int32_t*)malloc(scap * 4);
+    int16_t* rtmp = (int16_t*)malloc(scap * 2);
     if (psrc && plen && prnd && esrc && ernd2 && stmp && rtmp) {
+      long long M = 1;
+      while (M * (1 << 16) < dlen) M <<= 1;
       PlanOut po{psrc, plen, prnd, 0, pcap, 1, true};
       bool planned = plan_ops(k_ll, mls, ofs, nop, pend_lit, max_rounds,
-                              &po, esrc, ernd2, stmp, rtmp, 0, 0);
+                              &po, esrc, ernd2, stmp, rtmp, 0, 0,
+                              M * ACC_OUT_BASE, M * (1 << 16));
       if (planned) {
         ByteSink sink{out, 0, cap, true};
         sink.u32((uint64_t)total);

@@ -260,22 +260,31 @@ def _rotate_lanes(rows, delta):
 
 
 def _round_step(arena, src, dst, length, chunk, source=None):
-    """One execute round. arena (B, 1024, 128) f32. src/dst/len (B, N).
+    """One execute round. arena (B, AR, 128) f32. src/dst/len (B, N).
 
     source (B, R, 128) overrides the gather source (default: the arena
     itself) — the multi-block path routes history-tensor pieces with the
-    carried history as the source; dst always lands in the arena."""
+    carried history as the source; dst always lands in the arena.
+
+    Chunks run under lax.scan (NOT an unrolled Python loop): M-scaled
+    arenas with many pieces made the unrolled graph pathological to
+    compile (>4 min on CPU for a 256 KiB-class block batch)."""
     B, N = src.shape
     if source is None:
         source = arena
     src_rows = source.shape[1]
+    arena_rows = arena.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
-    add = jnp.zeros_like(arena)
-    for lo in range(0, N, chunk):
-        hi = min(lo + chunk, N)
-        s = src[:, lo:hi]
-        d = dst[:, lo:hi]
-        ln = length[:, lo:hi]
+    Np = -(-N // chunk) * chunk
+
+    def prep(x):
+        return jnp.pad(x, ((0, 0), (0, Np - N))).reshape(
+            B, Np // chunk, chunk).transpose(1, 0, 2)
+
+    ab = source.astype(jnp.bfloat16)
+
+    def body(add, xs):
+        s, d, ln = xs
         b0 = d & 127
         g0 = s - b0                     # lane-aligned source base
         delta = g0 % 128                # jnp: result in [0,128) even g0<0
@@ -284,7 +293,6 @@ def _round_step(arena, src, dst, length, chunk, source=None):
                              dtype=jnp.bfloat16)
         oh1 = jax.nn.one_hot(jnp.clip(r0 + 1, 0, src_rows - 1),
                              src_rows, dtype=jnp.bfloat16)
-        ab = source.astype(jnp.bfloat16)
         row0 = jnp.einsum("bcs,bsl->bcl", oh0, ab,
                           preferred_element_type=jnp.float32)
         row1 = jnp.einsum("bcs,bsl->bcl", oh1, ab,
@@ -296,29 +304,34 @@ def _round_step(arena, src, dst, length, chunk, source=None):
         strip = jnp.where(use0, rot0, rot1)
         mask = (lane >= b0[..., None]) & (lane < (b0 + ln)[..., None])
         strip = jnp.where(mask, strip, 0.0)
-        ohd = jax.nn.one_hot(d >> 7, ARENA_ROWS, dtype=jnp.bfloat16)
+        ohd = jax.nn.one_hot(d >> 7, arena_rows, dtype=jnp.bfloat16)
         add = add + jnp.einsum("bcs,bcl->bsl", ohd,
                                strip.astype(jnp.bfloat16),
                                preferred_element_type=jnp.float32)
+        return add, None
+
+    add, _ = jax.lax.scan(body, jnp.zeros_like(arena),
+                          (prep(src), prep(dst), prep(length)))
     return arena + add
 
 
 def execute_rounds(lit_rows, src, dst, length, round_caps, chunk=512):
-    """Run the planned rounds. lit_rows (B, 512, 128) byte values (u8 or
+    """Run the planned rounds. lit_rows (B, LR, 128) byte values (u8 or
     f32 — u8 keeps the host->device transfer 4x smaller; cast happens on
-    device). src/dst/length: (total, B) round-major per pack_plans.
-    Returns (B, 512, 128) output rows (u8 byte values)."""
-    B = lit_rows.shape[0]
+    device). LR = 512 * M for the M-scaled arena class (>64 KiB s2
+    blocks); the output region mirrors it. src/dst/length: (total, B)
+    round-major per pack_plans. Returns (B, LR, 128) output rows."""
+    B, LR = lit_rows.shape[0], lit_rows.shape[1]
     arena = jnp.concatenate(
         [lit_rows.astype(jnp.float32),
-         jnp.zeros((B, 512, 128), jnp.float32)], axis=1)
+         jnp.zeros((B, LR, 128), jnp.float32)], axis=1)
     base = 0
     for cap in round_caps:
         sl = slice(base, base + cap)
         arena = _round_step(arena,
                             src[sl].T, dst[sl].T, length[sl].T, chunk)
         base += cap
-    return arena[:, 512:, :].astype(jnp.uint8)
+    return arena[:, LR:, :].astype(jnp.uint8)
 
 
 execute_rounds_jit = jax.jit(execute_rounds, static_argnames=("round_caps",

@@ -90,7 +90,7 @@ def rep_scan(of_v, ll_v, n_seqs, interpret: bool = False):
     VALUES (rep codes applied), zdev._rep_offsets-compatible."""
     R, MS = of_v.shape
     assert MS % C == 0
-    nr = -(-R // 128)
+    nr = max(2, -(-R // 128))  # nr >= 2: Mosaic gather rejects (1,128) panels
     Rp = nr * 128
 
     def prep(x):
@@ -189,7 +189,7 @@ def fse_chain(pk_ll, pk_of, pk_ml, n_seqs, tables, interpret: bool = False):
     (ll, of, ml final states, biased by -SIZE like zdev's scan)."""
     R, MS = pk_ll.shape
     assert MS % C == 0
-    nr = -(-R // 128)
+    nr = max(2, -(-R // 128))  # nr >= 2: Mosaic gather rejects (1,128) panels
     Rp = nr * 128
 
     def prep(x):

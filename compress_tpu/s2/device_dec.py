@@ -77,7 +77,7 @@ def decode_blocks_device(blocks, *, allow_repeat: bool = True,
         if lib is not None:
             dlen, pos = read_uvarint(blk)
             body = blk[pos:]
-            if 0 < dlen <= (1 << 16):
+            if 0 < dlen <= (1 << 18):
                 from compress_tpu import _native
 
                 cap = 8 + dlen + 6 * (4 * dlen + 2048) + 64
@@ -91,24 +91,32 @@ def decode_blocks_device(blocks, *, allow_repeat: bool = True,
             results[i] = B.decode(blk, allow_repeat=allow_repeat)
             continue
         total, lit, src, length, rnd, n_rounds = _parse_payload(payload)
+        M = 1
+        while M * (1 << 16) < total:
+            M <<= 1
         plans.append({"src": src,
-                      "dst": (X.OUT_BASE + np.concatenate(
+                      "dst": (M * X.OUT_BASE + np.concatenate(
                           [[0], np.cumsum(length[:-1], dtype=np.int64)])
                           ).astype(np.int32),
                       "len": length, "round": rnd, "n_rounds": n_rounds})
-        arr = np.zeros(512 * 128, np.uint8)
+        arr = np.zeros(M * 512 * 128, np.uint8)
         arr[: len(lit)] = np.frombuffer(lit, np.uint8)
-        lit_rows.append(arr.reshape(512, 128))
-        order.append((i, total))
+        lit_rows.append(arr.reshape(M * 512, 128))
+        order.append((i, total, M))
     if plans:
         from compress_tpu.ops.execute import put_sharded as _put_sharded
 
-        src, dst, length, caps = X.pack_plans(plans)
-        out = X.execute_rounds_jit(
-            _put_sharded(mesh, np.stack(lit_rows), 0),
-            _put_sharded(mesh, src, 1), _put_sharded(mesh, dst, 1),
-            _put_sharded(mesh, length, 1), caps)
-        out = np.asarray(out, np.uint8).reshape(-1, 512 * 128)
-        for j, (i, total) in enumerate(order):
-            results[i] = out[j, :total].tobytes()
+        # batch per arena class M (the plan's addresses embed M*OUT_BASE)
+        classes = sorted({o[2] for o in order})
+        for Mc in classes:
+            sel = [j for j, o in enumerate(order) if o[2] == Mc]
+            src, dst, length, caps = X.pack_plans([plans[j] for j in sel])
+            out = X.execute_rounds_jit(
+                _put_sharded(mesh, np.stack([lit_rows[j] for j in sel]), 0),
+                _put_sharded(mesh, src, 1), _put_sharded(mesh, dst, 1),
+                _put_sharded(mesh, length, 1), caps)
+            out = np.asarray(out, np.uint8).reshape(-1, Mc * 512 * 128)
+            for k, j in enumerate(sel):
+                i, total, _m = order[j]
+                results[i] = out[k, :total].tobytes()
     return results

@@ -102,3 +102,28 @@ def test_s2_device_decode_hostile_inputs():
         except Exception:  # noqa: BLE001
             got = None
         assert got == want, (cut, "device/host divergence on truncation")
+
+
+def test_device_decode_beyond_64k():
+    """Blocks up to 256 KiB decode on device via M-scaled arenas
+    (VERDICT r4 #8a: the 64 KiB block cap)."""
+    import numpy as np
+
+    from compress_tpu import s2
+    from compress_tpu.s2 import device_dec as DD
+
+    tw = open("/root/reference/testdata/Mark.Twain-Tom.Sawyer.txt",
+              "rb").read()
+    rng = np.random.default_rng(5)
+    cases = [
+        tw[:65537],                        # M=2 boundary
+        tw[:130000],
+        tw[:262144],                       # M=4
+        (tw[:1000] * 300)[:200000],        # periodic
+        rng.integers(0, 256, 100000, dtype=np.uint8).tobytes(),
+        b"\x00" * 250000,                  # rle/repeat chains
+    ]
+    blocks = [s2.encode(bytes(c)) for c in cases]
+    outs = DD.decode_blocks_device(blocks)
+    for i, (c, o) in enumerate(zip(cases, outs)):
+        assert o == bytes(c), (i, len(c))
