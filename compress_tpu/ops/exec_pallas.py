@@ -32,7 +32,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 AR = 1024   # arena rows: 512 literal + 512 output
-CH = 128    # pieces per chunk (one matmul row-block)
+CH = 512    # pieces per chunk (measured: 128 -> 512 is +14% on chip;
+            # per-chunk one-hot builds + loop overhead amortize)
 
 
 def _exec_kernel(lit_ref, src_ref, dst_ref, len_ref, out_ref, arena, acc,

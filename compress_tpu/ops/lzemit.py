@@ -170,7 +170,7 @@ def _T_to_nat(t_ref):
 
 
 def _emit_kernel(blk_ref, off_ref, len_ref, out0_ref, out1_ref, rl_ref,
-                 vT, LT, takeT, litT):
+                 vT, LT, takeT, litT, *, cap=10):
     blk = blk_ref[0].astype(jnp.int32)
     off = off_ref[0]
     L = len_ref[0]
@@ -179,7 +179,7 @@ def _emit_kernel(blk_ref, off_ref, len_ref, out0_ref, out1_ref, rl_ref,
     r_t = g & (TILE - 1)
 
     # ---- A0. chain extension at the finder's suffix cap -------------------
-    L = _chain_ext10(off, L, g)
+    L = _chain_ext10(off, L, g, cap=cap)
 
     # ---- A. short-offset rle probes (ops/lz2._rle_lengths role) ----------
     for o in (1, 2, 3, 4, 8):
@@ -334,8 +334,8 @@ def _emit_kernel(blk_ref, off_ref, len_ref, out0_ref, out1_ref, rl_ref,
     rl_ref[0] = jnp.concatenate(parts, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def emit_blocks(blocks_u8, off, L, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "cap"))
+def emit_blocks(blocks_u8, off, L, interpret: bool = False, cap: int = 10):
     """(NB,65536) u8 blocks + finder (off,L) -> (bytes0, bytes1, rowlens).
 
     bytes0/bytes1: (NB, 512, 128) u8 — the two output panels per row
@@ -348,7 +348,7 @@ def emit_blocks(blocks_u8, off, L, interpret: bool = False):
     spec = pl.BlockSpec((1, ROWS, LANES), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _emit_kernel,
+        functools.partial(_emit_kernel, cap=cap),
         grid=(nb,),
         in_specs=[spec, spec, spec],
         out_specs=(

@@ -99,7 +99,8 @@ def _parse_doubling(valid, L_t, rowi, lane):
     return take, lit
 
 
-def _emit_kernel2(blk_ref, off_ref, len_ref, out0_ref, out1_ref, rl_ref):
+def _emit_kernel2(blk_ref, off_ref, len_ref, out0_ref, out1_ref, rl_ref,
+                  *, cap=10):
     blk = blk_ref[0].astype(jnp.int32)
     off = off_ref[0]
     L = len_ref[0]
@@ -108,7 +109,7 @@ def _emit_kernel2(blk_ref, off_ref, len_ref, out0_ref, out1_ref, rl_ref):
     r_t = g & (TILE - 1)
 
     # ---- A0. chain extension at the finder's suffix cap -------------------
-    L = _chain_ext10(off, L, g)
+    L = _chain_ext10(off, L, g, cap=cap)
 
     # ---- A. short-offset rle probes ---------------------------------------
     for o in (1, 2, 3, 4, 8):
@@ -246,8 +247,8 @@ def _emit_kernel2(blk_ref, off_ref, len_ref, out0_ref, out1_ref, rl_ref):
     rl_ref[0] = jnp.concatenate(parts, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def emit_blocks(blocks_u8, off, L, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "cap"))
+def emit_blocks(blocks_u8, off, L, interpret: bool = False, cap: int = 10):
     """Same contract as lzemit.emit_blocks (v2 kernel)."""
     nb = blocks_u8.shape[0]
     blk3 = blocks_u8.reshape(nb, ROWS, LANES)
@@ -256,7 +257,7 @@ def emit_blocks(blocks_u8, off, L, interpret: bool = False):
     spec = pl.BlockSpec((1, ROWS, LANES), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _emit_kernel2,
+        functools.partial(_emit_kernel2, cap=cap),
         grid=(nb,),
         in_specs=[spec, spec, spec],
         out_specs=(

@@ -153,8 +153,12 @@ def _bitonic_refs(key_ref, p_refs, g, sec_of=None, log_n=16):
     jax.lax.fori_loop(8, log_n + 1, phase_b, 0)
 
 
-def _finder_body(blk_i32, key_ref, p1_ref, p2_ref):
-    """blk_i32: (ROWS, LANES) int32 byte values. Returns (off, L) panels."""
+def _finder_body(blk_i32, key_ref, p1_ref, p2_ref=None):
+    """blk_i32: (ROWS, LANES) int32 byte values. Returns (off, L) panels.
+
+    p2_ref=None is the SLIM variant: the forward sort carries only
+    (key, p1) — one panel less of compare-exchange traffic — at suffix
+    cap 6 instead of 10 (chain extension downstream must use cap 6)."""
     g = _giota()
 
     # byte shift helper: byte at g+k
@@ -168,17 +172,20 @@ def _finder_body(blk_i32, key_ref, p1_ref, p2_ref):
     # checks below, so uniqueness here is only a quality nicety.
     key_ref[:] = jnp.where(g >= _SENT_BASE, g ^ jnp.int32(0x5A5A5A5A), v32)
     p1_ref[:] = g | (b(4) << 16) | (b(5) << 24)
-    p2_ref[:] = b(6) | (b(7) << 8) | (b(8) << 16) | (b(9) << 24)
+    if p2_ref is not None:
+        p2_ref[:] = b(6) | (b(7) << 8) | (b(8) << 16) | (b(9) << 24)
 
     sec = lambda k_, ps: ps[0] & 0xFFFF  # lexicographic (v32, pos)
 
-    _bitonic_refs(key_ref, [p1_ref, p2_ref], g, sec_of=sec)
-    key_s, p1_s, p2_s = key_ref[:], p1_ref[:], p2_ref[:]
+    payloads = [p1_ref] if p2_ref is None else [p1_ref, p2_ref]
+    _bitonic_refs(key_ref, payloads, g, sec_of=sec)
+    key_s, p1_s = key_ref[:], p1_ref[:]
+    p2_s = p2_ref[:] if p2_ref is not None else None
 
     # adjacency in sorted order
     pk = _shift_down1(key_s)
     pp1 = _shift_down1(p1_s)
-    pp2 = _shift_down1(p2_s)
+    pp2 = _shift_down1(p2_s) if p2_ref is not None else None
     pos_s = p1_s & 0xFFFF
     cand = pp1 & 0xFFFF
     same = (pk == key_s) & (g > 0) & (cand < pos_s)
@@ -193,7 +200,7 @@ def _finder_body(blk_i32, key_ref, p1_ref, p2_ref):
 
     ext = jnp.zeros((ROWS, LANES), jnp.int32)
     alive = same
-    for k in range(6):
+    for k in range(2 if p2_ref is None else 6):
         eq = sfx(p1_s, p2_s, k) == sfx(pp1, pp2, k)
         alive = alive & eq
         ext = ext + alive.astype(jnp.int32)
@@ -221,18 +228,28 @@ def _finder_kernel(blk_ref, off_ref, len_ref, key_s, p1_s, p2_s):
     len_ref[0] = L
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def find_matches_blocks(blocks_u8, interpret: bool = False):
+def _finder_kernel_slim(blk_ref, off_ref, len_ref, key_s, p1_s):
+    blk = blk_ref[0].astype(jnp.int32)
+    off, L = _finder_body(blk, key_s, p1_s, None)
+    off_ref[0] = off
+    len_ref[0] = L
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "slim"))
+def find_matches_blocks(blocks_u8, interpret: bool = False,
+                        slim: bool = False):
     """(NB, 65536) uint8 -> (off, L) each (NB, 65536) int32.
 
     off/L semantics match ops/lz2.py's sort finder: exact
     nearest-previous-equal 4-gram candidate, L in [4, 10] (chain-extended
-    downstream), 0 where no match.
+    downstream), 0 where no match.  slim=True carries one payload panel
+    less through the forward sort (suffix cap 6 — consumers must chain-
+    extend at cap 6): ~25% less compare-exchange traffic.
     """
     nb = blocks_u8.shape[0]
     blk3 = blocks_u8.reshape(nb, ROWS, LANES)
     off, L = pl.pallas_call(
-        _finder_kernel,
+        _finder_kernel_slim if slim else _finder_kernel,
         grid=(nb,),
         in_specs=[pl.BlockSpec((1, ROWS, LANES), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)],
@@ -246,11 +263,8 @@ def find_matches_blocks(blocks_u8, interpret: bool = False):
             jax.ShapeDtypeStruct((nb, ROWS, LANES), jnp.int32),
             jax.ShapeDtypeStruct((nb, ROWS, LANES), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((ROWS, LANES), jnp.int32),
-            pltpu.VMEM((ROWS, LANES), jnp.int32),
-            pltpu.VMEM((ROWS, LANES), jnp.int32),
-        ],
+        scratch_shapes=[pltpu.VMEM((ROWS, LANES), jnp.int32)
+                        for _ in range(2 if slim else 3)],
         interpret=interpret,
     )(blk3)
     return off.reshape(nb, BS), L.reshape(nb, BS)

@@ -88,7 +88,7 @@ def _subl_cumsum_excl(c, n_log):
 
 
 def _zparse_kernel(blk_ref, off_ref, len_ref,
-                   ll_ref, ml_ref, of_ref, lit_ref, meta_ref):
+                   ll_ref, ml_ref, of_ref, lit_ref, meta_ref, *, cap=10):
     blk = blk_ref[0].astype(jnp.int32)
     off = off_ref[0]
     L = len_ref[0]
@@ -97,7 +97,7 @@ def _zparse_kernel(blk_ref, off_ref, len_ref,
     r_t = g & (TILE - 1)
 
     # ---- A. chain extension + short-offset rle probes ---------------------
-    L = _chain_ext10(off, L, g)
+    L = _chain_ext10(off, L, g, cap=cap)
     for o in (1, 2, 3, 4, 8):
         m = (blk == _shift_down(blk, o)) & (g >= o)
         Lr = _runlen_fwd(m.astype(jnp.int32), r_t)
@@ -262,8 +262,8 @@ def _zparse_kernel(blk_ref, off_ref, len_ref,
                             jnp.where(mlane == 1, lc_b, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def parse_blocks(blocks_u8, off, L, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "cap"))
+def parse_blocks(blocks_u8, off, L, interpret: bool = False, cap: int = 10):
     """(NB,65536) u8 blocks + merged finder (off,L) -> per-block zstd
     parse products:
 
@@ -280,7 +280,7 @@ def parse_blocks(blocks_u8, off, L, interpret: bool = False):
     sspec = pl.BlockSpec((1, SEQ_ROWS, LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM)
     ll, ml, of, lits, meta = pl.pallas_call(
-        _zparse_kernel,
+        functools.partial(_zparse_kernel, cap=cap),
         grid=(nb,),
         in_specs=[spec, spec, spec],
         out_specs=(sspec, sspec, sspec, spec,
