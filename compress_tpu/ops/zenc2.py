@@ -104,9 +104,10 @@ def _ldm_channel(full, has_prefix, pre: int, job: int):
     # anchor-relative bytes -> the 16 verification words (64 bytes)
     ABs = [jnp.sum(oh_d * jax.lax.dynamic_slice_in_dim(B96, t, 16, 2),
                    axis=2) for t in range(67)]
-    NW = 16                                               # 64 verified bytes
+    NW = 16      # words carried as sort payload: 64 verified bytes (48
+                 # costs +5% size on replicas for only ~4% speed)
     Ws = [ABs[4 * j] | (ABs[4 * j + 1] << 8) | (ABs[4 * j + 2] << 16)
-          | (ABs[4 * j + 3] << 24) for j in range(NW)]
+          | (ABs[4 * j + 3] << 24) for j in range(16)]
     # 64-byte key fingerprint (the reference LDM's minMatchLength scale):
     # an 8-byte key would send common 8-grams to NEAR candidates and
     # break replica chains; only 64-byte-repeating content should match.
@@ -116,7 +117,8 @@ def _ldm_channel(full, has_prefix, pre: int, job: int):
             (Ws[2 * k] * jnp.int32(-1640531527)) ^ \
             (Ws[2 * k + 1] * jnp.int32(-2048144789))
 
-    srt = jax.lax.sort((ha, a) + tuple(Ws), dimension=1, num_keys=1)
+    srt = jax.lax.sort((ha, a) + tuple(Ws[:NW]), dimension=1,
+                       num_keys=1)
     hs, a_s = srt[0], srt[1]
     Ws_s = srt[2:]
 
@@ -199,7 +201,49 @@ def _ldm_channel(full, has_prefix, pre: int, job: int):
     return off_full[:, pre:], L_full[:, pre:]
 
 
-def _literal_stage(lits, lit_cnt, bs):
+
+def _litlut_kernel(lit_ref, tab_ref, code_ref, nb_ref):
+    """Per-block Huffman code lookup: 2 broadcast lane-gathers + select
+    instead of a (R, 64Ki, 256) one-hot einsum (which is HBM-bound on
+    the materialized one-hot — measured ~11 ms per 16 MB)."""
+    lit = lit_ref[0].astype(jnp.int32)
+    shp = lit.shape
+    t0 = jnp.broadcast_to(tab_ref[0, 0:1, :], shp)
+    t1 = jnp.broadcast_to(tab_ref[0, 1:2, :], shp)
+    idx = lit & 127
+    g0 = jnp.take_along_axis(t0, idx, axis=1)
+    g1 = jnp.take_along_axis(t1, idx, axis=1)
+    e = jnp.where(lit < 128, g0, g1)          # code | nb << 16
+    code_ref[0] = e & 0xFFFF
+    nb_ref[0] = e >> 16
+
+
+def _litlut(lits, packed_tab, interpret=False):
+    """lits (R, BS) u8 + packed per-block tables (R, 2, 128) i32
+    (code | nb<<16) -> (lcode, lnb) each (R, BS) i32."""
+    import jax.experimental.pallas as _pl
+    from jax.experimental.pallas import tpu as _pltpu
+
+    R = lits.shape[0]
+    bs = lits.shape[1]
+    rows = bs // 128
+    spec = _pl.BlockSpec((1, rows, 128), lambda b: (b, 0, 0),
+                         memory_space=_pltpu.VMEM)
+    code, nb = _pl.pallas_call(
+        _litlut_kernel,
+        grid=(R,),
+        in_specs=[spec,
+                  _pl.BlockSpec((1, 2, 128), lambda b: (b, 0, 0),
+                                memory_space=_pltpu.VMEM)],
+        out_specs=(spec, spec),
+        out_shape=(jax.ShapeDtypeStruct((R, rows, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((R, rows, 128), jnp.int32)),
+        interpret=interpret,
+    )(lits.reshape(R, rows, 128), packed_tab)
+    return code.reshape(R, bs), nb.reshape(R, bs)
+
+
+def _literal_stage(lits, lit_cnt, bs, interpret=False):
     """Per-block huff0 literal path on compacted literals (zdev's code at
     64 KiB block scale): table build, code lookup, 4-stream bit-pack."""
     R = lits.shape[0]
@@ -213,11 +257,8 @@ def _literal_stage(lits, lit_cnt, bs):
     nbits_t, max_bits, huff_ok = _huff_build(hist)
     codes_t = _canonical_codes_dev(nbits_t, max_bits)
 
-    htabs = jnp.stack([codes_t & 0xFF, codes_t >> 8, nbits_t], axis=-1)
-    ln = jnp.einsum("rns,rsk->rnk", oh_lit, htabs.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32).astype(jnp.int32)
-    lcode = ln[:, :, 0] | (ln[:, :, 1] << 8)
-    lnb = ln[:, :, 2]
+    packed_tab = (codes_t | (nbits_t << 16)).reshape(R, 2, 128)
+    lcode, lnb = _litlut(lits, packed_tab, interpret=interpret)
     lnb = jnp.where(is_lit, lnb, 0)
     lcode = jnp.where(is_lit, lcode, 0)
 
@@ -341,7 +382,8 @@ def _pack_stage(st_val, st_nb, st_fin, extras, rle3, n_seqs):
     return seq_halves, seq_nh, seq_total_bits
 
 
-_lit_stage_jit = jax.jit(_literal_stage, static_argnames=("bs",))
+_lit_stage_jit = jax.jit(_literal_stage,
+                         static_argnames=("bs", "interpret"))
 
 
 def zstd_encode_jobs_v2(jobs, job: int = 1 << 20, block: int = BLOCK,
@@ -389,7 +431,7 @@ def zstd_encode_jobs_v2(jobs, job: int = 1 << 20, block: int = BLOCK,
         pk_ll, pk_of, pk_ml, n_seqs, tables, interpret=interpret)
 
     nbits_t, max_bits, huff_ok, bq, lit_halves, lit_nh = _lit_stage_jit(
-        lits, lit_cnt, bs=block)
+        lits, lit_cnt, bs=block, interpret=interpret)
 
     seq_halves, seq_nh, seq_total_bits = _pack_stage(
         st_val, st_nb, st_fin, extras, rle3, n_seqs)
