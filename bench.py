@@ -568,8 +568,10 @@ def main():
             nf = jnp.asarray(np.asarray(nsym).reshape(N_ * C_))
             tj = jnp.asarray(packed)
             K_ = int(accel["k"])
+            # 50 iters: at ~2 ms/iter, 5 dispatches sit inside the
+            # tunnel-RTT jitter and the RTT subtraction goes negative
             dt = timed(lambda: EP.huff0_decode_chunks_shared(
-                wf, lf, nf, tj, k=K_, max_bits=mb)[0], iters)
+                wf, lf, nf, tj, k=K_, max_bits=mb)[0], 50)
             hdec_gbps = len(big) / dt / 1e9
             # validity: first container decodes bit-exactly via pallas
             outs = huff0.decompress_4x_batch(conts[:4], accel={
@@ -651,7 +653,8 @@ def main():
         zargs = (jnp.asarray(wins), jnp.asarray(lb), jnp.asarray(ns),
                  jnp.asarray(st), jnp.asarray(rp), jnp.asarray(lf),
                  jnp.asarray(tstt), jnp.asarray(xbt))
-        dt = timed(lambda: ZP.zseq_decode_chunks_shared(*zargs)[0], iters)
+        # 50 iters: ~0.6 ms/iter is far below the RTT jitter floor
+        dt = timed(lambda: ZP.zseq_decode_chunks_shared(*zargs)[0], 50)
         seqdec_gbps = sum(len(s) for s in zsrcs) / dt / 1e9
     except Exception:
         seqdec_gbps = -1.0
