@@ -386,6 +386,9 @@ _lit_stage_jit = jax.jit(_literal_stage,
                          static_argnames=("bs", "interpret"))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("job", "block", "tile", "debug",
+                                    "level", "ldm", "interpret"))
 def zstd_encode_jobs_v2(jobs, job: int = 1 << 20, block: int = BLOCK,
                         tile: int = 512, debug: bool = False,
                         prefixes=None, has_prefix=None, level: int = 2,
