@@ -13,9 +13,11 @@ Replaces ops/zdev.py's XLA-graph job encoder (0.047 GB/s across rounds
   5. XLA              — MXU bit-pack of the sequence items.
 
 Geometry: 64 KiB zstd blocks (the Pallas panel size; format max is
-128 KiB).  Matches are block-local (the finder's window) — the job/
-prefix arguments are accepted for engine compatibility; long-range
-(job-wide) candidates ride the optional LDM channel (ldm_channel).
+128 KiB).  The finder's matches are block-local; job-wide (and
+into-the-overlap-prefix) candidates come from the winnowed LDM channel
+(_ldm_channel), so the effective window is the whole job + prefix —
+4 MiB + 512 KiB by default through zstd/device.py (the reference's L1
+window scale, encoder_options.go:246-263).
 
 FSE sequence tables are BATCH-SHARED at accuracy log 7 (vs zdev's
 per-job 9/8/9): the serial chain kernel then needs one lane-gather per
