@@ -373,7 +373,10 @@ def main():
     # tunnel RTT; derive achieved bf16 TFLOPS so a judge can separate
     # kernel quality from chip luck (v5e peak ~197 bf16 TFLOPS; the chain
     # is MXU-bound so healthy ≈ 80-180 TFLOPS here).
-    KC = 32 if first_s < 30.0 else 1
+    # 256 dependent matmuls ~= 45 ms on a healthy chip — comfortably
+    # above the tunnel-RTT jitter (at KC=32 the chain was ~5 ms and the
+    # RTT subtraction occasionally went negative: calib printed 0.0)
+    KC = 256 if first_s < 30.0 else 1
 
     @jax.jit
     def mmK(a):
@@ -391,9 +394,12 @@ def main():
         t0 = time.time()
         np.asarray(tadd(tiny).ravel()[0:1])
         rtt_s = min(rtt_s, time.time() - t0)
-    t = time.time()
-    np.asarray(mmK(a).ravel()[0:1])
-    calib_ms = max((time.time() - t - rtt_s), 1e-9) / KC * 1e3
+    best_c = 1e9
+    for _ in range(2):
+        t = time.time()
+        np.asarray(mmK(a).ravel()[0:1])
+        best_c = min(best_c, time.time() - t)
+    calib_ms = max(best_c - rtt_s, 1e-6) / KC * 1e3
     calib_tflops = 2 * 2048**3 / (calib_ms / 1e3) / 1e12
 
     # tunnel round-trip latency: every host sync through the axon tunnel
